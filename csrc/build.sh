@@ -1,0 +1,12 @@
+#!/bin/bash
+# Build the native host-I/O library for srf_tpu.
+set -e
+cd "$(dirname "$0")"
+CXX=${CXX:-g++}
+FLAGS="-O3 -shared -fPIC -std=c++17 -Wall"
+# Use the hardware CRC path when the build machine supports SSE4.2.
+if grep -q sse4_2 /proc/cpuinfo 2>/dev/null; then
+  FLAGS="$FLAGS -msse4.2"
+fi
+$CXX $FLAGS srf_io.cc -o libsrf_io.so
+echo "built csrc/libsrf_io.so"

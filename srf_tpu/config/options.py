@@ -1,0 +1,309 @@
+"""Config / CLI flag system.
+
+Two-level configuration identical in behavior to the reference
+(reference: tfsr/helper/common_helper.py:134-459):
+
+- flags may come from a ``--config=<file>.conf`` argparse @-file and/or the
+  command line; **command line wins** for any flag explicitly given there
+  (reference: common_helper.py:176-179),
+- the conf file must end in ``.conf`` (reference: common_helper.py:152-156)
+  and is resolved relative to ``--path-base`` when not found as given,
+- the same ~70 flag registry, grouped train-/prep-/path-/feat-/model-/
+  decoding-, with identical names, types and defaults, plus an additive
+  ``tpu-*`` group for TPU-native capabilities (mesh shape, dtype policy,
+  kernel selection) that has no reference analog.
+"""
+
+import argparse
+import os
+import sys
+
+from srf_tpu.config.constants import Constants, ExitCode
+
+
+class ParseOption:
+    """Merges options from a conf file and the command line."""
+
+    def __init__(self, argv, logger, is_print_opts=True):
+        self.logger = logger
+        parser = self.build_parser()
+
+        # flags explicitly present on the command line (normalized to _)
+        command_keys = set()
+        for command_key in argv[1:]:
+            eq = command_key.find("=")
+            end = eq if eq >= 0 else len(command_key)
+            command_keys.add(command_key[2:end].replace("-", "_"))
+
+        if len(argv) <= 1:
+            self.logger.critical("No options..")
+            sys.exit(ExitCode.INVALID_OPTION.value)
+
+        command_args = parser.parse_args(argv[1:])
+
+        if command_args.config is not None and not command_args.config.endswith(".conf"):
+            self.logger.critical(
+                "The extension of configuration file must be conf, but %s",
+                command_args.config,
+            )
+            sys.exit(ExitCode.INVALID_NAME_OF_CONFIGURATION_FILE.value)
+
+        command_dict = vars(command_args)
+        if command_args.config:
+            if "config" not in command_keys:
+                self.logger.critical('"config" is a required option for the command line.')
+                sys.exit(ExitCode.INVALID_OPTION.value)
+            file_path = command_args.config
+            if command_args.path_base and not os.path.exists(file_path):
+                file_path = command_args.path_base + "/" + file_path
+            config_dict = vars(parser.parse_args(["@" + file_path]))
+            for arg_key in command_dict:
+                if arg_key not in command_keys:
+                    command_dict[arg_key] = config_dict[arg_key]
+
+        args = argparse.Namespace(**command_dict)
+
+        if not self.sanity_check(args):
+            sys.exit(ExitCode.INVALID_OPTION.value)
+        if is_print_opts:
+            self.print_args(args)
+        self._args = args
+
+    @staticmethod
+    def str2bool(bool_string):
+        return bool_string.lower() in ("yes", "true", "t", "1")
+
+    @staticmethod
+    def str2list_int(list_string):
+        if list_string is None:
+            return list_string
+        return list(
+            map(
+                int,
+                list_string.replace('"', "").replace("[", "").replace("]", "").split(","),
+            )
+        )
+
+    @property
+    def args(self):
+        return self._args
+
+    def sanity_check(self, args):
+        if args.model_caps_type not in ["lowmemory", "einsum", "naive"]:
+            self.logger.critical(
+                "model-caps-type must be lowmemory, einsum or naive but %s",
+                args.model_caps_type,
+            )
+            return False
+
+        if not args.path_base:
+            self.logger.critical("the following arguments are required: path-base")
+            return False
+
+        if not os.path.isdir(args.path_base) or os.path.isfile(args.path_base):
+            self.logger.critical(
+                "A data path must exist, please check the data path option : %s",
+                args.path_base,
+            )
+            return False
+
+        if args.train_schedule_prob is not None and not 0 <= args.train_schedule_prob < 2:
+            self.logger.critical(
+                "Prob. for scheduled sampling must be within [0, 2) but %f",
+                args.train_schedule_prob,
+            )
+            return False
+
+        if args.train_smoothing_type not in (Constants.SM_LABEL, Constants.SM_NEIGHBOR):
+            self.logger.critical(
+                "Please check smoothing type %s", args.train_smoothing_type
+            )
+            return False
+
+        if not args.train_is_mwer and (args.prep_max_inp > 0 or args.prep_max_tar > 0):
+            self.logger.warning(
+                "Please do not set max length unless you use mwer, but "
+                "prep-max-inp %d, prep-max-tar %d",
+                args.prep_max_inp,
+                args.prep_max_tar,
+            )
+
+        return True
+
+    def print_args(self, args):
+        self.logger.info("********************************************")
+        self.logger.info("    Sequential Routing Framework (TPU)      ")
+        self.logger.info("********************************************")
+        pre_name = ""
+        for arg in sorted(vars(args)):
+            name = arg.split("_")[0]
+            if name != pre_name:
+                self.logger.info(". %s", name.upper())
+                pre_name = name
+            self.logger.info("- %s=%s", arg, getattr(args, arg))
+        self.logger.info("*********************************************")
+
+    @staticmethod
+    def build_parser():
+        parser = argparse.ArgumentParser(
+            description="TPU-native Sequential Routing Framework",
+            fromfile_prefix_chars="@",
+        )
+        parser.add_argument("--config", help="options can be loaded from this config file")
+
+        # Hyper-parameters for training
+        train_group = parser.add_argument_group(title="training")
+        train_group.add_argument("--train-inp-dropout", type=float, default=0.1)
+        train_group.add_argument("--train-inn-dropout", type=float, default=0.1)
+        train_group.add_argument("--train-att-dropout", type=float, default=0.1)
+        train_group.add_argument("--train-res-dropout", type=float, default=0.1)
+        train_group.add_argument("--train-ckpt-saving-per", type=int, default=1)
+        train_group.add_argument("--train-es-min-delta", type=float, default=0.001)
+        train_group.add_argument("--train-es-tolerance", type=int, default=1)
+        train_group.add_argument("--train-lr-param-k", type=float, default=None)
+        train_group.add_argument("--train-max-epoch", type=int, default=None)
+        train_group.add_argument("--train-adam-beta1", type=float, default=0.9)
+        train_group.add_argument("--train-adam-beta2", type=float, default=0.98)
+        train_group.add_argument("--train-adam-epsilon", type=float, default=1e-09)
+        train_group.add_argument("--train-warmup-n", type=int, default=25000)
+        train_group.add_argument("--train-ppl-step", type=int, default=1)
+        train_group.add_argument("--train-max-step", type=int, default=0)
+        train_group.add_argument("--train-opti-type", default=None)
+        train_group.add_argument("--train-smoothing-confidence", type=float, default=0.0)
+        train_group.add_argument("--train-smoothing-type", default=Constants.SM_NEIGHBOR)
+        train_group.add_argument("--train-schedule-prob", type=float, default=None)
+        train_group.add_argument("--train-batch-size", type=int, default=26)
+        train_group.add_argument("--train-batch-frame", type=int, default=20000)
+        train_group.add_argument("--train-lr-max", type=float, default=1e3)
+        train_group.add_argument(
+            "--train-batch-dynamic", type=ParseOption.str2bool, default="False"
+        )
+        train_group.add_argument("--train-is-mwer", type=ParseOption.str2bool, default="false")
+        train_group.add_argument(
+            "--train-batch-buckets", type=ParseOption.str2list_int, default=None
+        )
+
+        # Preprocess
+        prep_group = parser.add_argument_group(title="Pre-processing")
+        prep_group.add_argument("--prep-data-shard", type=int, default=100)
+        prep_group.add_argument("--prep-data-name", default="wsj")
+        prep_group.add_argument("--prep-data-unit", default="char")
+        prep_group.add_argument("--prep-data-bos", type=ParseOption.str2bool, default="True")
+        prep_group.add_argument(
+            "--prep-data-pad-space", type=ParseOption.str2bool, default="True"
+        )
+        prep_group.add_argument("--prep-max-tar", type=int, default=-1)
+        prep_group.add_argument("--prep-max-inp", type=int, default=-1)
+        prep_group.add_argument("--prep-data-num-train", type=int, default=None)
+        prep_group.add_argument("--prep-data-num-valid", type=int, default=None)
+        prep_group.add_argument("--prep-data-num-test", type=int, default=None)
+
+        # Path
+        path_group = parser.add_argument_group(title="path")
+        path_group.add_argument("--path-base", help="base path")
+        path_group.add_argument("--path-ckpt", default=None, help="checkpoint")
+        path_group.add_argument("--path-ckpt-epoch", type=int, default=0)
+        path_group.add_argument("--path-cmvn-ptrn", default=None)
+        path_group.add_argument("--path-vocab", help="vocab file")
+        path_group.add_argument("--path-hyp", help="recognized text file")
+        path_group.add_argument("--path-train-ptrn", default=None)
+        path_group.add_argument("--path-test-ptrn", default=None)
+        path_group.add_argument("--path-valid-ptrn", default=None)
+        path_group.add_argument("--path-train-json", default=None)
+        path_group.add_argument("--path-valid-json", default=None)
+        path_group.add_argument("--path-test-json", default=None)
+        path_group.add_argument("--path-wrt-tfrecord", default=None)
+
+        # Feature
+        feature_group = parser.add_argument_group(title="feature")
+        feature_group.add_argument("--feat-type", default=None, help="stf, stfraw")
+        feature_group.add_argument("--feat-dim", type=int, default=None)
+        feature_group.add_argument("--feat-dim1", type=int, default=None)
+        feature_group.add_argument("--feat-dim2", type=int, default=None)
+
+        # Model architecture
+        model_group = parser.add_argument_group(title="model architecture")
+        model_group.add_argument("--model-encoder-num", type=int, default=None)
+        model_group.add_argument("--model-decoder-num", type=int, default=None)
+        model_group.add_argument("--model-res-enc", type=int, default=1)
+        model_group.add_argument("--model-res-dec", type=int, default=1)
+        model_group.add_argument("--model-dimension", type=int, default=1)
+        model_group.add_argument("--model-inner-dim", type=int, default=2048)
+        model_group.add_argument("--model-inner-num", type=int, default=3)
+        model_group.add_argument("--model-att-head-num", type=int, default=4)
+        model_group.add_argument("--model-conv-filter-num", type=int, default=64)
+        model_group.add_argument("--model-conv-layer-num", type=int, default=2)
+        model_group.add_argument("--model-conv-stride", type=int, default=2)
+        model_group.add_argument("--model-ckpt-max-to-keep", type=int, default=-1)
+        model_group.add_argument(
+            "--model-shared-embed", type=ParseOption.str2bool, default="False"
+        )
+        model_group.add_argument("--model-conv-mask-type", type=int, default=None)
+        model_group.add_argument("--model-ap-scale", type=float, default=None)
+        model_group.add_argument("--model-ap-width-zero", type=int, default=None)
+        model_group.add_argument("--model-ap-width-stripe", type=int, default=None)
+        model_group.add_argument("--model-average-num", type=int, default=None)
+        model_group.add_argument("--model-ap-encoder", type=ParseOption.str2bool, default="False")
+        model_group.add_argument("--model-ap-decoder", type=ParseOption.str2bool, default="False")
+        model_group.add_argument("--model-ap-encdec", type=ParseOption.str2bool, default="False")
+        model_group.add_argument("--model-type", default="srf")
+        model_group.add_argument("--model-initializer", default=None)
+        model_group.add_argument("--model-emb-sqrt", type=ParseOption.str2bool, default="True")
+        model_group.add_argument(
+            "--model-caps-context", type=ParseOption.str2bool, default="True"
+        )
+        model_group.add_argument(
+            "--model-lstm-is-cnnfe", type=ParseOption.str2bool, default="False"
+        )
+        model_group.add_argument("--model-lstm-merge", default="ave")
+        model_group.add_argument("--model-caps-type", default="lowmemory")
+        model_group.add_argument("--model-caps-iter", type=int, default=2)
+        model_group.add_argument("--model-caps-primary-num", type=int, default=3)
+        model_group.add_argument("--model-caps-primary-dim", type=int, default=2)
+        model_group.add_argument("--model-caps-convolution-num", type=int, default=4)
+        model_group.add_argument("--model-caps-convolution-dim", type=int, default=4)
+        model_group.add_argument("--model-caps-class-dim", type=int, default=64)
+        model_group.add_argument("--model-caps-window-lpad", type=int, default=None)
+        model_group.add_argument("--model-caps-window-rpad", type=int, default=None)
+        model_group.add_argument("--model-caps-layer-num", type=int, default=2)
+        model_group.add_argument("--model-caps-layer-time", type=int, default=None)
+        model_group.add_argument(
+            "--model-caps-res-connection", type=ParseOption.str2bool, default="False"
+        )
+        model_group.add_argument("--model-conv-is-mp", type=ParseOption.str2bool, default="False")
+        model_group.add_argument("--model-conv-inp-nfilt", type=int, default=64)
+        model_group.add_argument("--model-conv-inn-nfilt", type=int, default=128)
+        model_group.add_argument("--model-conv-proj-num", type=int, default=3)
+        model_group.add_argument("--model-conv-proj-dim", type=int, default=512)
+
+        # Decoding
+        decoding_group = parser.add_argument_group(title="decoding")
+        decoding_group.add_argument("--decoding-beam-width", type=int, default=None)
+        decoding_group.add_argument("--decoding-lp-alpha", type=float, default=None)
+        decoding_group.add_argument(
+            "--decoding-from-npy", type=ParseOption.str2bool, default="False"
+        )
+
+        # TPU-native additions (no reference analog; additive group)
+        tpu_group = parser.add_argument_group(title="tpu")
+        tpu_group.add_argument(
+            "--tpu-bf16", type=ParseOption.str2bool, default="False",
+            help="bfloat16 compute (params stay float32)",
+        )
+        tpu_group.add_argument(
+            "--tpu-mesh-data", type=int, default=-1,
+            help="data-parallel mesh size; -1 = all visible devices",
+        )
+        tpu_group.add_argument(
+            "--tpu-routing-kernel", default="auto",
+            help="auto | xla | pallas : implementation of the SDR scan step",
+        )
+        tpu_group.add_argument(
+            "--tpu-seed", type=int, default=1234,
+            help="PRNG seed (the reference leaves dropout unseeded)",
+        )
+        tpu_group.add_argument(
+            "--tpu-donate", type=ParseOption.str2bool, default="True",
+            help="donate train-state buffers to the jitted step",
+        )
+        return parser

@@ -1,0 +1,210 @@
+"""Host input pipeline: TFRecord shards -> static-shape bucketed batches.
+
+Replaces the reference tf.data pipeline
+(reference: tfsr/data/load_speech_data.py:26-175,
+tfsr/helper/data_helper.py:50-125) with a TPU-first design:
+
+- examples are parsed off TFRecord shards with the clean-room codec,
+- length filters match ``_filter_max_length``
+  (reference: load_speech_data.py:48-50),
+- bucketing uses the reference's frame-budget geometry (bucketing.py) but
+  pads every batch to its **bucket boundary**, so each bucket is a single
+  static shape and XLA compiles once per bucket (the reference pads to the
+  batch max, which would retrace for every length),
+- label padding is likewise static per bucket,
+- train batches drop remainders (reference: load_speech_data.py:174
+  drop_remainder=True); eval keeps everything at batch size 1 with utt ids
+  (reference: data_helper.py:50-66),
+- a background prefetch thread overlaps host parsing with device compute,
+- multi-process sharding splits utterances round-robin by process index
+  (the tf.data AutoShardPolicy.DATA analog, reference: trainer_sr.py:147-149).
+"""
+
+import glob as _glob
+import queue
+import threading
+
+import numpy as np
+
+from srf_tpu.data.example_proto import decode_example
+from srf_tpu.data.tfrecord import read_records
+
+
+class SpeechDataset:
+    """Parsed, in-memory view of one split (these corpora fit host RAM)."""
+
+    def __init__(self, file_pattern, feat_dim, max_inp=-1, max_tar=-1,
+                 with_utt_id=False, process_index=0, process_count=1):
+        self.feat_dim = feat_dim
+        self.with_utt_id = with_utt_id
+        paths = sorted(_glob.glob(file_pattern))
+        if not paths:
+            raise FileNotFoundError("no TFRecord shards match %s" % file_pattern)
+        feats, labels, utt_ids = [], [], []
+        idx = 0
+        for path in paths:
+            for record in read_records(path):
+                if idx % process_count != process_index:
+                    idx += 1
+                    continue
+                idx += 1
+                ex = decode_example(record)
+                inp_len = int(ex["input_length"][0])
+                tar_len = int(ex["target_length"][0])
+                if max_inp >= 1 and inp_len > max_inp:
+                    continue
+                if max_tar >= 1 and tar_len > max_tar:
+                    continue
+                feats.append(
+                    np.asarray(ex["input_speech"], np.float32).reshape(inp_len, feat_dim)
+                )
+                labels.append(np.asarray(ex["target_label"], np.int32))
+                if with_utt_id:
+                    utt_ids.append(ex["utt_id"][0].decode("utf-8"))
+        self.feats = feats
+        self.labels = labels
+        self.utt_ids = utt_ids if with_utt_id else None
+
+    def __len__(self):
+        return len(self.feats)
+
+
+def _pad_batch(feat_list, label_list, time_width, label_width, feat_dim):
+    batch = len(feat_list)
+    feats = np.zeros((batch, time_width, feat_dim), np.float32)
+    labels = np.zeros((batch, label_width), np.int32)
+    inp_len = np.zeros((batch,), np.int32)
+    tar_len = np.zeros((batch,), np.int32)
+    for i, (f, l) in enumerate(zip(feat_list, label_list)):
+        feats[i, : f.shape[0]] = f
+        labels[i, : l.shape[0]] = l
+        inp_len[i] = f.shape[0]
+        tar_len[i] = l.shape[0]
+    return {"feats": feats, "labels": labels, "inp_len": inp_len, "tar_len": tar_len}
+
+
+class BucketedLoader:
+    """Length-bucketed batches with one static shape per bucket."""
+
+    def __init__(self, dataset, bucket_boundaries, bucket_batch_sizes,
+                 shuffle=False, seed=0, drop_remainder=True,
+                 label_cap_divisor=2, prefetch=2):
+        assert len(bucket_batch_sizes) == len(bucket_boundaries) + 1
+        self.ds = dataset
+        self.boundaries = list(bucket_boundaries)
+        self.batch_sizes = list(bucket_batch_sizes)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self._epoch = 0
+        # Static time width per bucket = its boundary; overflow bucket uses
+        # the data max. Static label width = time width / label_cap_divisor.
+        max_len = max((f.shape[0] for f in dataset.feats), default=1)
+        self.time_widths = self.boundaries + [max(max_len, (self.boundaries[-1] if self.boundaries else 1))]
+        self.label_caps = [max(8, -(-w // label_cap_divisor)) for w in self.time_widths]
+        # guard: label never exceeds its cap
+        max_lab = max((l.shape[0] for l in dataset.labels), default=1)
+        self.label_caps = [max(c, min(max_lab, w)) for c, w in zip(self.label_caps, self.time_widths)]
+
+    def _bucket_of(self, length):
+        for b, boundary in enumerate(self.boundaries):
+            if length <= boundary:
+                return b
+        return len(self.boundaries)
+
+    def batch_shapes(self):
+        """All static (batch, time, label) shapes this loader can emit."""
+        return [
+            (bs, tw, lc)
+            for bs, tw, lc in zip(self.batch_sizes, self.time_widths, self.label_caps)
+        ]
+
+    def _iter_epoch(self):
+        ds = self.ds
+        order = np.arange(len(ds))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        pools = [[] for _ in self.batch_sizes]
+        for idx in order:
+            f = ds.feats[idx]
+            b = self._bucket_of(f.shape[0])
+            if ds.labels[idx].shape[0] > self.label_caps[b]:
+                continue  # pathological: label longer than static cap
+            pools[b].append(idx)
+            if len(pools[b]) == self.batch_sizes[b]:
+                yield self._emit(pools[b], b)
+                pools[b] = []
+        if not self.drop_remainder:
+            for b, pool in enumerate(pools):
+                if pool:
+                    yield self._emit(pool, b)
+
+    def _emit(self, indices, bucket):
+        ds = self.ds
+        batch = _pad_batch(
+            [ds.feats[i] for i in indices],
+            [ds.labels[i] for i in indices],
+            self.time_widths[bucket],
+            self.label_caps[bucket],
+            ds.feat_dim,
+        )
+        batch["bucket"] = bucket
+        if ds.utt_ids is not None:
+            batch["utt_ids"] = [ds.utt_ids[i] for i in indices]
+        return batch
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._iter_epoch()
+            return
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in self._iter_epoch():
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+
+
+class EvalLoader:
+    """Batch-size-1 eval batches with utt ids, padded per-utterance.
+
+    Pads time to the next multiple of ``pad_multiple`` to bound the number of
+    XLA compilations during decoding (the reference pads to the exact length,
+    which on TPU would compile per unique length).
+    """
+
+    def __init__(self, dataset, batch_size=1, pad_multiple=128):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.pad_multiple = pad_multiple
+        if batch_size != 1 and len(dataset) % batch_size != 0:
+            self.batch_size = 1  # reference hard-codes this fallback
+
+    def __iter__(self):
+        ds = self.ds
+        for start in range(0, len(ds), self.batch_size):
+            idxs = range(start, min(start + self.batch_size, len(ds)))
+            feat_list = [ds.feats[i] for i in idxs]
+            label_list = [ds.labels[i] for i in idxs]
+            max_len = max(f.shape[0] for f in feat_list)
+            width = -(-max_len // self.pad_multiple) * self.pad_multiple
+            max_lab = max(max(l.shape[0] for l in label_list), 1)
+            batch = _pad_batch(feat_list, label_list, width, max_lab, ds.feat_dim)
+            if ds.utt_ids is not None:
+                batch["utt_ids"] = [ds.utt_ids[i] for i in idxs]
+            yield batch

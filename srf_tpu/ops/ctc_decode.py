@@ -1,0 +1,133 @@
+"""CTC decoding: greedy (jittable) and prefix beam search.
+
+The reference delegates decoding to ``tf.nn.ctc_beam_search_decoder`` with
+beam width 100 and top_paths=1 on time-major logits, using floor
+``inp_len // in_len_div`` lengths (reference: tfsr/trainer_sr.py:109-112 —
+note the floor here vs the ceil used for the loss at trainer_sr.py:65; both
+are reproduced faithfully by the callers).
+
+TPU had no library decoder, so this is a build item:
+
+- :func:`greedy_decode`: argmax -> collapse repeats -> drop blanks, fully
+  vectorized/jittable; runs on-device.
+- :func:`prefix_beam_search`: merged-prefix beam search (blank/non-blank
+  probability split per prefix), host-side numpy; the correctness oracle and
+  the sclite-scoring path. Golden-tested against the TF decoder in
+  tests/test_ctc.py.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_ZERO = -1e30
+
+
+def _logsumexp2(a, b):
+    if a <= LOG_ZERO:
+        return b
+    if b <= LOG_ZERO:
+        return a
+    m = a if a > b else b
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+def greedy_decode(logits, logit_lengths, blank_id=None):
+    """Best-path decode. Returns (ids [B, T], lengths [B]).
+
+    ids are left-aligned, padded with zeros past each length.
+    """
+    if blank_id is None:
+        blank_id = logits.shape[-1] - 1
+    batch, maxlen, _ = logits.shape
+    best = jnp.argmax(logits, axis=-1)  # [B, T]
+    positions = jnp.arange(maxlen)[None, :]
+    valid = positions < logit_lengths[:, None]
+    prev = jnp.concatenate([jnp.full((batch, 1), -1), best[:, :-1]], axis=1)
+    keep = valid & (best != blank_id) & (best != prev)
+    # stable left-compaction of kept symbols
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    compacted = jnp.take_along_axis(best, order, axis=1)
+    lengths = jnp.sum(keep, axis=1)
+    mask = positions < lengths[:, None]
+    return jnp.where(mask, compacted, 0), lengths
+
+
+greedy_decode_jit = jax.jit(greedy_decode, static_argnames=("blank_id",))
+
+
+def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
+                       top_paths=1):
+    """Merged-prefix CTC beam search for one utterance.
+
+    Args:
+        logits: [T, K] numpy logits (pre-softmax).
+        logit_length: number of valid frames.
+    Returns:
+        list of (ids, neg_sum_logit) tuples, best first.
+    """
+    logits = np.asarray(logits, np.float64)
+    if blank_id is None:
+        blank_id = logits.shape[-1] - 1
+    log_probs = logits - _np_logsumexp(logits)
+    # beams: prefix tuple -> [p_blank, p_non_blank] (log)
+    beams = {(): [0.0, LOG_ZERO]}
+    for t in range(int(logit_length)):
+        lp = log_probs[t]
+        # prune symbols below a floor to keep the python loop tractable
+        candidates = np.nonzero(lp > -18.0)[0]
+        if candidates.size == 0:
+            candidates = np.array([int(np.argmax(lp))])
+        new_beams = {}
+
+        def _acc(prefix, is_blank, value):
+            entry = new_beams.setdefault(prefix, [LOG_ZERO, LOG_ZERO])
+            idx = 0 if is_blank else 1
+            entry[idx] = _logsumexp2(entry[idx], value)
+
+        for prefix, (p_b, p_nb) in beams.items():
+            p_tot = _logsumexp2(p_b, p_nb)
+            last = prefix[-1] if prefix else None
+            for sym in candidates:
+                sym = int(sym)
+                lp_s = float(lp[sym])
+                if sym == blank_id:
+                    _acc(prefix, True, p_tot + lp_s)
+                elif sym == last:
+                    # repeated symbol: stays the same prefix from non-blank
+                    # paths, extends it from blank-ending paths
+                    _acc(prefix, False, p_nb + lp_s)
+                    _acc(prefix + (sym,), False, p_b + lp_s)
+                else:
+                    _acc(prefix + (sym,), False, p_tot + lp_s)
+        scored = sorted(
+            new_beams.items(),
+            key=lambda kv: -_logsumexp2(kv[1][0], kv[1][1]),
+        )
+        beams = dict(scored[:beam_width])
+    results = sorted(
+        ((prefix, _logsumexp2(pb, pnb)) for prefix, (pb, pnb) in beams.items()),
+        key=lambda kv: -kv[1],
+    )
+    return [
+        (list(prefix), -score) for prefix, score in results[:top_paths]
+    ]
+
+
+def _np_logsumexp(x):
+    m = np.max(x, axis=-1, keepdims=True)
+    return m + np.log(np.sum(np.exp(x - m), axis=-1, keepdims=True))
+
+
+def beam_search_batch(logits, logit_lengths, beam_width=100, blank_id=None):
+    """Decode a [B, T, K] batch on host; returns list of id lists."""
+    logits = np.asarray(logits)
+    out = []
+    for i in range(logits.shape[0]):
+        hyps = prefix_beam_search(
+            logits[i], int(logit_lengths[i]), beam_width, blank_id
+        )
+        out.append(hyps[0][0] if hyps else [])
+    return out

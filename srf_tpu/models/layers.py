@@ -30,12 +30,12 @@ class ConvFrontEnd(nn.Module):
     nfilt: int
     kernel_size: int = 3
     stride: int = 2
-    init: Optional[str] = None
+    init_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs, input_lengths, training: bool):
         x = inputs[..., None]  # [B, T, F, 1]
-        kernel_init = get_init(self.init)
+        kernel_init = get_init(self.init_name)
         for conv_idx in range(self.cnn_n):
             branches = []
             for branch in range(2):
@@ -86,7 +86,7 @@ def scaled_dot_product_attention(query, key, value, mask, attention_dropout,
 class MultiHeadAttention(nn.Module):
     d_model: int
     num_heads: int
-    init: Optional[str] = None
+    init_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, value, key, query, mask, attention_dropout, att_pen_mask,
@@ -94,7 +94,7 @@ class MultiHeadAttention(nn.Module):
         assert self.d_model % self.num_heads == 0
         depth = self.d_model // self.num_heads
         batch = query.shape[0]
-        kernel_init = get_init(self.init)
+        kernel_init = get_init(self.init_name)
 
         def _dense(name, x, use_bias):
             return nn.Dense(
@@ -127,11 +127,11 @@ class PointWiseFeedForward(nn.Module):
     d_model: int
     dff: int
     ff_dropout: float
-    init: Optional[str] = None
+    init_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs, training: bool):
-        kernel_init = get_init(self.init)
+        kernel_init = get_init(self.init_name)
         x = nn.Dense(self.dff, kernel_init=kernel_init, name="ff1")(inputs)
         x = nn.relu(x)
         x = nn.Dropout(rate=self.ff_dropout, deterministic=not training)(x)
@@ -145,14 +145,14 @@ class EncoderBlock(nn.Module):
     inner_dropout: float
     residual_dropout: float
     attention_dropout: float
-    init: Optional[str] = None
+    init_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs, mask, att_pen_mask, training: bool):
         emb = nn.LayerNorm(epsilon=1e-6, name="ln_cur")(inputs)
         att_drop = self.attention_dropout if training else 0.0
         attn_out, _ = MultiHeadAttention(
-            self.d_model, self.num_heads, self.init, name="mha"
+            self.d_model, self.num_heads, self.init_name, name="mha"
         )(emb, emb, emb, mask, att_drop, att_pen_mask, training)
         attn_out = nn.Dropout(
             rate=self.residual_dropout, deterministic=not training
@@ -161,7 +161,7 @@ class EncoderBlock(nn.Module):
 
         nout1 = nn.LayerNorm(epsilon=1e-6, name="ln_res")(out1)
         ffn_out = PointWiseFeedForward(
-            self.d_model, self.dff, self.inner_dropout, self.init, name="ffn"
+            self.d_model, self.dff, self.inner_dropout, self.init_name, name="ffn"
         )(nout1, training)
         ffn_out = nn.Dropout(
             rate=self.residual_dropout, deterministic=not training

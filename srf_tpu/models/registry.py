@@ -1,0 +1,59 @@
+"""Model dispatch matching the reference trainer's selection logic.
+
+Reference: tfsr/trainer_sr.py:175-201 — ``--model-type`` ending in "lstm"
+selects the LSTM encoder; "cnn"/"conv"/"convolution" selects the maxout CNN
+(maxpool or stride variant on ``--model-conv-is-mp``); anything else is SRF
+with the ``--model-caps-type`` flavor. ``in_len_div`` (the time-subsampling
+divisor used for CTC lengths) follows trainer_sr.py:176-187. The STF model
+lives in trainer_tf (reference: trainer_tf.py:286-293) and is exposed here
+as model_type "stf" for convenience.
+"""
+
+from srf_tpu.models.cnn import CNNEncoder, CNNStrideEncoder
+from srf_tpu.models.lstm import LstmEncoder
+from srf_tpu.models.srf import SequenceRouter
+from srf_tpu.models.stf import ConvEncoder
+
+
+def build_model(config, dec_out_dim, logger=None, **overrides):
+    """Returns (model, in_len_div)."""
+    model_type = (config.model_type or "srf").lower()
+    if model_type.endswith("lstm"):
+        in_len_div = (
+            config.model_conv_stride**config.model_conv_layer_num
+            if config.model_lstm_is_cnnfe
+            else 1
+        )
+        model = LstmEncoder.from_config(config, dec_out_dim, **overrides)
+    elif model_type in ("cnn", "conv", "convolution"):
+        in_len_div = config.model_conv_stride**config.model_conv_layer_num
+        if config.model_conv_is_mp:
+            model = CNNEncoder.from_config(config, dec_out_dim, **overrides)
+        else:
+            model = CNNStrideEncoder.from_config(config, dec_out_dim, **overrides)
+    elif model_type == "stf":
+        # reference computes this as layer_num ** stride (trainer_tf.py:302),
+        # = stride ** layer_num = 4 for the defaults; we use the true formula
+        in_len_div = config.model_conv_stride**config.model_conv_layer_num
+        model = ConvEncoder.from_config(config, dec_out_dim, **overrides)
+    else:
+        in_len_div = config.model_conv_stride**config.model_conv_layer_num
+        if config.model_caps_layer_time is not None:
+            if logger is not None:
+                logger.critical("LSRF is deprecated")
+            raise ValueError("LSRF (model-caps-layer-time) is deprecated")
+        if config.model_caps_type not in ("lowmemory", "einsum", "naive"):
+            raise ValueError("unknown caps type %s" % config.model_caps_type)
+        model = SequenceRouter.from_config(config, dec_out_dim, **overrides)
+        if logger is not None:
+            logger.info(
+                "Layer x %d, Iter x %s, Win %d (l:%d, r:%d), %s",
+                config.model_encoder_num,
+                "1 (fixed)" if config.model_caps_type == "lowmemory"
+                else str(config.model_caps_iter),
+                config.model_caps_window_lpad + config.model_caps_window_rpad + 1,
+                config.model_caps_window_lpad,
+                config.model_caps_window_rpad,
+                "SDR" if config.model_caps_context else "DR",
+            )
+    return model, in_len_div

@@ -1,0 +1,177 @@
+"""SequenceRouter: the capsule-network SRF CTC acoustic model.
+
+One unified implementation replacing the reference's three kernel flavors
+(tfsr/model/sequence_router_naive.py, sequence_router_lowmemory.py,
+sequence_router_einsum.py — all the same math with different memory plans;
+here the memory plan is a scan/chunk decision inside ops/routing.py, and
+``--model-caps-type`` is accepted for compatibility):
+
+Forward pass (reference: sequence_router_naive.py:120-193):
+    CNN front-end (maxout convs, 4x time subsample)
+    -> reshape -> Dense(PH) bottleneck ("flatten")
+    [einsum flavor only: *sqrt(PH) + positional encoding
+     (reference: sequence_router_einsum.py:130-131)]
+    -> two parallel 3x3 Conv(PD) + dropout(0.2), maxout ("encaps")
+    -> length-mask -> [B,T',PH,PD] -> squash -> flattened LayerNorm
+    -> input dropout
+    -> enc_num x { windowing -> routing (DR or SDR) -> flattened LayerNorm
+                   -> dropout }
+    -> logits = LayerNorm(||class capsules||)   (class logit = capsule norm)
+
+Capsule stack geometry (reference: sequence_router_naive.py:88-95):
+    primary (PH x PD) -> (enc_num-2) x conv capsules (CH x CD)
+    -> class capsules (class_n x VD); in-capsules multiply by the window.
+
+Flavor quirks preserved:
+- ``lowmemory`` forces exactly 1 routing iteration
+  (reference: sequence_router_lowmemory.py:107 "Iter x 1 (fixed)"),
+- ``einsum`` adds positional encoding to the bottleneck and uses
+  epsilon=1e-9 in the output length (reference: sequence_router_einsum.py:
+  130-131,238); others use 1e-7.
+The lowmemory DR path's missing W-multiply bug is NOT preserved (see
+ops/routing.py docstring).
+"""
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from srf_tpu.models.initializers import get_init, routing_weight_init
+from srf_tpu.models.layers import ConvFrontEnd
+from srf_tpu.ops.masking import feat_mask
+from srf_tpu.ops.pos_enc import get_pos_enc
+from srf_tpu.ops.routing import route_layer, window_stack
+from srf_tpu.ops.squash import capsule_length, squash
+
+
+class SequenceRouter(nn.Module):
+    feat_dim: int
+    class_n: int
+    enc_num: int
+    caps_primary_num: int
+    caps_primary_dim: int
+    caps_conv_num: int
+    caps_conv_dim: int
+    caps_class_dim: int
+    caps_iter: int
+    lpad: int
+    rpad: int
+    is_context: bool  # True = SDR, False = DR
+    conv_layer_num: int = 2
+    conv_filter_num: int = 64
+    inp_dropout: float = 0.1
+    inn_dropout: float = 0.1
+    init_name: Optional[str] = None
+    caps_type: str = "lowmemory"  # lowmemory | naive | einsum
+    stride: int = 2
+    time_chunk: Optional[int] = None  # SDR u_hat chunking (MXU batching)
+
+    @classmethod
+    def from_config(cls, config, class_n, **overrides):
+        kwargs = dict(
+            feat_dim=config.feat_dim,
+            class_n=class_n,
+            enc_num=config.model_encoder_num,
+            caps_primary_num=config.model_caps_primary_num,
+            caps_primary_dim=config.model_caps_primary_dim,
+            caps_conv_num=config.model_caps_convolution_num,
+            caps_conv_dim=config.model_caps_convolution_dim,
+            caps_class_dim=config.model_caps_class_dim,
+            caps_iter=config.model_caps_iter,
+            lpad=config.model_caps_window_lpad,
+            rpad=config.model_caps_window_rpad,
+            is_context=config.model_caps_context,
+            conv_layer_num=config.model_conv_layer_num,
+            conv_filter_num=config.model_conv_filter_num,
+            inp_dropout=config.train_inp_dropout,
+            inn_dropout=config.train_inn_dropout,
+            init_name=config.model_initializer,
+            caps_type=config.model_caps_type,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def layer_shapes(self):
+        """[(in_n, out_n, out_d, in_d)] per capsule layer
+        (reference: sequence_router_naive.py:88-95)."""
+        window = self.lpad + self.rpad + 1
+        ph, pd = self.caps_primary_num, self.caps_primary_dim
+        ch, cd = self.caps_conv_num, self.caps_conv_dim
+        vd = self.caps_class_dim
+        if self.enc_num == 1:
+            return [(ph * window, self.class_n, vd, pd)]
+        shapes = [(ph * window, ch, cd, pd)]
+        for _ in range(1, self.enc_num - 1):
+            shapes.append((ch * window, ch, cd, cd))
+        shapes.append((ch * window, self.class_n, vd, cd))
+        return shapes
+
+    @nn.compact
+    def __call__(self, feats, input_lengths, training: bool):
+        window = self.lpad + self.rpad + 1
+        num_iter = 1 if self.caps_type == "lowmemory" else self.caps_iter
+
+        conv_out = ConvFrontEnd(
+            cnn_n=self.conv_layer_num,
+            nfilt=self.conv_filter_num,
+            stride=self.stride,
+            init_name=self.init_name,
+            name="conv_feat",
+        )(feats, input_lengths, training)
+        batch, seq_len = conv_out.shape[0], conv_out.shape[1]
+
+        emb = conv_out.reshape(batch, seq_len, -1)
+        emb = nn.Dense(
+            self.caps_primary_num, kernel_init=get_init(self.init_name), name="flatten"
+        )(emb)
+        if self.caps_type == "einsum":
+            emb = emb * jnp.sqrt(float(self.caps_primary_num))
+            emb = emb + get_pos_enc(seq_len, self.caps_primary_num)
+        emb = emb[..., None]  # [B, T', PH, 1]
+
+        branches = []
+        for i in range(2):
+            conv = nn.Conv(
+                features=self.caps_primary_dim,
+                kernel_size=(3, 3),
+                strides=(1, 1),
+                padding="SAME",
+                kernel_init=get_init(self.init_name),
+                name="encaps%d" % (i + 1),
+            )(emb)
+            conv = nn.Dropout(rate=0.2, deterministic=not training)(conv)
+            branches.append(conv)
+        emb = jnp.maximum(branches[0], branches[1])
+        emb = feat_mask(emb, input_lengths, self.stride**2)
+
+        emb = emb.reshape(batch, seq_len, self.caps_primary_num, self.caps_primary_dim)
+        emb = squash(emb, axis=-1)
+        flat = emb.reshape(batch, seq_len, -1)
+        flat = nn.LayerNorm(name="ln_input")(flat)
+        emb = flat.reshape(batch, seq_len, self.caps_primary_num, self.caps_primary_dim)
+        emb = nn.Dropout(rate=self.inp_dropout, deterministic=not training)(emb)
+
+        shapes = self.layer_shapes()
+        w_init = routing_weight_init()
+        for i, (in_n, out_n, out_d, in_d) in enumerate(shapes):
+            wgt = self.param("W%d" % i, w_init, (in_n, out_n, out_d, in_d))
+            bias = self.param("b%d" % i, w_init, (in_n, out_n, out_d))
+            emb = window_stack(emb, self.lpad, self.rpad)
+            assert emb.shape[2] == in_n and emb.shape[3] == in_d, (
+                emb.shape, (in_n, in_d),
+            )
+            emb = route_layer(
+                emb, wgt, bias, num_iter, self.is_context,
+                is_last_layer=(i == self.enc_num - 1),
+                time_chunk=self.time_chunk,
+            )
+            flat = emb.reshape(batch, seq_len, -1)
+            flat = nn.LayerNorm(name="ln_mid%d" % (i + 1))(flat)
+            emb = flat.reshape(batch, seq_len, out_n, out_d)
+            emb = nn.Dropout(rate=self.inn_dropout, deterministic=not training)(emb)
+
+        eps = 1e-9 if self.caps_type == "einsum" else 1e-7
+        logits = capsule_length(emb, axis=-1, epsilon=eps)
+        return nn.LayerNorm(name="ln_output")(logits)

@@ -1,0 +1,91 @@
+"""Speech-Transformer CTC encoder ("STF").
+
+Reference: the ``ConvEncoder`` defined inside tfsr/trainer_tf.py:39-118 —
+CNN front-end -> reshape -> Dense(d_model) -> length mask -> * sqrt(d_model)
++ positional encoding -> input dropout -> N x pre-LN EncoderBlock ->
+LayerNorm -> Dense(vocab). The attention mask is the padding bias
+(reference: tfsr/helper/model_helper.py:79-98) and the optional distance
+penalty board is computed analytically in ops/attention_penalty.py.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from srf_tpu.models.initializers import get_init
+from srf_tpu.models.layers import ConvFrontEnd, EncoderBlock
+from srf_tpu.ops.masking import feat_mask2
+from srf_tpu.ops.pos_enc import get_pos_enc
+
+
+class ConvEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    dff: int
+    feat_dim: int
+    vocab_n: int
+    input_dropout: float = 0.1
+    inner_dropout: float = 0.1
+    residual_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    nfilt: int = 64
+    cnn_n: int = 2
+    init_name: Optional[str] = None
+    stride: int = 2
+
+    @classmethod
+    def from_config(cls, config, vocab_n, **overrides):
+        kwargs = dict(
+            num_layers=config.model_encoder_num,
+            d_model=config.model_dimension,
+            num_heads=config.model_att_head_num,
+            dff=config.model_inner_dim,
+            feat_dim=config.feat_dim,
+            vocab_n=vocab_n,
+            input_dropout=config.train_inp_dropout,
+            inner_dropout=config.train_inn_dropout,
+            residual_dropout=config.train_res_dropout,
+            attention_dropout=config.train_att_dropout,
+            nfilt=config.model_conv_filter_num,
+            cnn_n=config.model_conv_layer_num,
+            init_name=config.model_initializer,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @nn.compact
+    def __call__(self, feats, input_lengths, training: bool, mask=None,
+                 attention_penalty_mask=None, in_len_div=4):
+        out = ConvFrontEnd(
+            cnn_n=self.cnn_n,
+            nfilt=self.nfilt,
+            stride=self.stride,
+            init_name=self.init_name,
+            name="conv",
+        )(feats, input_lengths, training)
+        batch, seq_len = out.shape[0], out.shape[1]
+        out = out.reshape(batch, seq_len, -1)
+        out = nn.Dense(
+            self.d_model, kernel_init=get_init(self.init_name),
+            name="linear_projection",
+        )(out)
+        embeddings = feat_mask2(out, input_lengths, in_len_div)
+
+        embeddings = embeddings * jnp.sqrt(float(self.d_model))
+        embeddings = embeddings + get_pos_enc(seq_len, self.d_model)
+        embeddings = nn.Dropout(
+            rate=self.input_dropout, deterministic=not training
+        )(embeddings)
+
+        for i in range(self.num_layers):
+            embeddings = EncoderBlock(
+                self.d_model, self.num_heads, self.dff,
+                self.inner_dropout, self.residual_dropout,
+                self.attention_dropout, self.init_name,
+                name="enc%d" % i,
+            )(embeddings, mask, attention_penalty_mask, training)
+
+        embeddings = nn.LayerNorm(epsilon=1e-6, name="ln")(embeddings)
+        return nn.Dense(self.vocab_n, name="proj")(embeddings)

@@ -2,16 +2,26 @@
 
 Multi-device sharding tests use a virtual CPU mesh
 (XLA_FLAGS=--xla_force_host_platform_device_count=8), the standard way to
-test pjit/shard_map layouts without real multi-chip hardware. Must be set
-before jax initializes.
+test pjit/shard_map layouts without real multi-chip hardware.
+
+The environment pins JAX_PLATFORMS=axon (remote TPU) and a sitecustomize
+imports jax at interpreter start, so the env var alone is snapshotted too
+early; jax.config.update is the effective override. Tests force CPU so they
+are fast, deterministic and runnable anywhere. Set SRF_TEST_PLATFORM=axon to
+exercise the real chip instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_platform = os.environ.get("SRF_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)

@@ -1,0 +1,171 @@
+"""Training / validation / decoding driver.
+
+Epoch loop with the reference's observable behavior
+(reference: tfsr/trainer_sr.py:250-299):
+
+- per-epoch train + valid passes, ``STEP`` progress prints every 50 steps,
+- early stopping: "better" means the valid loss did not worsen by more than
+  1% of the previous loss; a tolerance counter of consecutive non-better
+  epochs triggers the stop (reference: trainer_sr.py:269-279),
+- per-epoch checkpoint save gated by ``--train-ckpt-saving-per``,
+- decode mode (``--train-max-epoch=0``): batch-1 CTC beam search, emitting
+  ``UTTID: ["<id>"]`` + a sparse-values line compatible with the reference's
+  log2utt scrapers (reference: trainer_sr.py:96-117, log2utt.py:78-93).
+"""
+
+import time
+
+import jax
+import numpy as np
+
+from srf_tpu.ops.ctc_decode import beam_search_batch
+from srf_tpu.ops.masking import subsampled_lengths
+from srf_tpu.utils.metrics import MeanMetric, MetricsWriter, SumMetric
+
+
+def run_training(config, logger, state, train_step, valid_step, train_loader,
+                 valid_loader, ckpt_manager, epoch_offset, rng,
+                 train_num, schedule_fn=None, metrics_path=None,
+                 state_to_save=None):
+    """Returns the final state."""
+    writer = MetricsWriter(metrics_path)
+    train_loss = MeanMetric()
+    valid_loss = MeanMetric()
+    num_feats = MeanMetric()
+    train_samples = SumMetric()
+
+    pre_loss = 1e9
+    tolerance = 0
+    for epoch in range(epoch_offset, config.train_max_epoch):
+        train_loss.reset()
+        valid_loss.reset()
+        num_feats.reset()
+        train_samples.reset()
+
+        prev = time.time()
+        index = 0
+        for batch in train_loader:
+            state, metrics = train_step(
+                state,
+                {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
+                rng,
+            )
+            if index % 50 == 0 and index > 0:
+                metrics = jax.device_get(metrics)
+                train_loss.update(metrics["loss_sum"], metrics["samples"])
+                train_samples.update(metrics["samples"])
+                num_feats.update(metrics["frames"])
+                step_i = int(jax.device_get(state.step))
+                lr = float(schedule_fn(step_i)) if schedule_fn else float(
+                    config.train_lr_param_k or 0.0
+                )
+                print(
+                    "STEP %d %.6f %.6f %.8f"
+                    % (
+                        step_i,
+                        train_samples.result() / max(train_num, 1) * 100.0,
+                        train_loss.result(),
+                        lr,
+                    ),
+                    flush=True,
+                )
+            else:
+                metrics = jax.device_get(metrics)
+                train_loss.update(metrics["loss_sum"], metrics["samples"])
+                train_samples.update(metrics["samples"])
+                num_feats.update(metrics["frames"])
+            index += 1
+        train_secs = time.time() - prev
+        step_i = int(jax.device_get(state.step))
+        logger.info(
+            "Epoch %03d Train Loss %.4f, %.3f secs, %d feats/step, %d/%d steps",
+            epoch + 1, train_loss.result(), train_secs,
+            int(num_feats.result()), step_i, config.train_max_step,
+        )
+        writer.write(
+            {"kind": "train_epoch", "epoch": epoch + 1,
+             "loss": train_loss.result(), "secs": train_secs, "step": step_i,
+             "samples": train_samples.result()}
+        )
+
+        prev = time.time()
+        for batch in valid_loader:
+            metrics = jax.device_get(
+                valid_step(
+                    state,
+                    {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
+                )
+            )
+            valid_loss.update(metrics["loss_sum"], metrics["samples"])
+        valid_secs = time.time() - prev
+        better = valid_loss.result() - pre_loss <= (pre_loss * 0.01)
+        tolerance = 0 if better else tolerance + 1
+        logger.info(
+            "Epoch %03d Valid Loss %.4f, %.3f secs%s",
+            epoch + 1, valid_loss.result(), valid_secs,
+            ", improved" if better else ", tolerance %d" % tolerance,
+        )
+        writer.write(
+            {"kind": "valid_epoch", "epoch": epoch + 1,
+             "loss": valid_loss.result(), "secs": valid_secs,
+             "better": bool(better), "tolerance": tolerance}
+        )
+        pre_loss = valid_loss.result()
+
+        stop = 0 < config.train_es_tolerance <= tolerance
+        if config.train_ckpt_saving_per > 0:
+            to_save = state_to_save(state) if state_to_save else state
+            path = ckpt_manager.save(epoch + 1, to_save)
+            logger.info("Saving a ckpt for the last epoch at %s", path)
+        else:
+            logger.warning(
+                "Not saved since train-ckpt-saving-per is %d, it needs to be "
+                "bigger than 0 if you want save checkpoints",
+                config.train_ckpt_saving_per,
+            )
+        if stop:
+            logger.info("early stopped!")
+            break
+
+    writer.close()
+    return state
+
+
+def run_decoding(config, logger, state, logits_fn, test_loader, in_len_div,
+                 beam_width=None, use_beam=True):
+    """Decode and print hypotheses in the reference's scrape-able format."""
+    beam_width = beam_width or config.decoding_beam_width or 100
+    prev = time.time()
+    for batch in test_loader:
+        logits = np.asarray(
+            logits_fn(
+                state,
+                {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
+            )
+        )
+        # reference uses floor division for decode lengths
+        # (trainer_sr.py:110), unlike the ceil used in the loss
+        dec_lens = np.asarray(batch["inp_len"]) // in_len_div
+        dec_lens = np.minimum(np.maximum(dec_lens, 1), logits.shape[1])
+        if use_beam:
+            hyps = beam_search_batch(logits, dec_lens, beam_width)
+        else:
+            from srf_tpu.ops.ctc_decode import greedy_decode
+
+            ids, lens = greedy_decode(logits, dec_lens)
+            ids, lens = np.asarray(ids), np.asarray(lens)
+            hyps = [list(ids[i, : lens[i]]) for i in range(ids.shape[0])]
+        for i, utt_id in enumerate(batch.get("utt_ids", [])):
+            values = " ".join(str(int(x)) for x in hyps[i])
+            n = len(hyps[i])
+            print('UTTID: ["%s"]' % utt_id, flush=True)
+            # two lines shaped like tf.print's SparseTensor dump; the line
+            # containing "values" has exactly one '[' before the values list
+            # so the reference scraper's line.split("[")[2] lands on it
+            # (reference: log2utt.py:86-88)
+            print("SparseTensor(indices=[[0 0]", flush=True)
+            print(
+                " [0 %d]], values=[%s], shape=[1 %d])" % (max(n - 1, 0), values, n),
+                flush=True,
+            )
+    logger.info("%.3f secs elapsed", time.time() - prev)

@@ -1,0 +1,133 @@
+"""Jitted train/valid/decode steps, data-parallel over the mesh.
+
+Replaces the reference's per-replica ``strategy.run(process_train_step)``
+(reference: tfsr/trainer_sr.py:41-117,205-238) with single jitted functions
+compiled over the whole mesh: the batch arrives sharded on the 'data' axis,
+parameters are replicated, and XLA inserts the gradient psum. Loss scaling
+matches ``tf.nn.compute_average_loss(pe_loss, global_batch_size=B_global)``
+(reference: trainer_sr.py:57-68) — here the jitted step sees the global
+batch, so it is simply ``sum(pe_loss) / B_global``.
+
+Unlike the reference (which crops each batch to the batch-max length,
+trainer_sr.py:59-60, retracing per shape), batches keep their static bucket
+shape and padding is handled by masks — one compilation per bucket shape.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from srf_tpu.ops.ctc import ctc_loss_from_frames
+from srf_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def make_apply_fn(model, extra_kwargs_fn=None):
+    """Uniform apply adapter: (variables, batch, training, rng) -> logits[, mut].
+
+    ``extra_kwargs_fn(batch)`` supplies model-specific keyword arguments (the
+    STF encoder's padding-bias mask and attention-penalty slice); it runs at
+    trace time, so shape-dependent constants fold into the compiled program.
+    """
+
+    def apply_fn(params, batch_stats, batch, training, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = extra_kwargs_fn(batch) if extra_kwargs_fn else {}
+        if training:
+            out, mutated = model.apply(
+                variables, batch["feats"], batch["inp_len"], True,
+                rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs,
+            )
+            return out, mutated.get("batch_stats", {})
+        out = model.apply(
+            variables, batch["feats"], batch["inp_len"], False, **kwargs
+        )
+        return out, batch_stats
+
+    return apply_fn
+
+
+def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True):
+    def train_step(state, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        global_batch = batch["feats"].shape[0]
+
+        def loss_fn(params):
+            logits, new_stats = apply_fn(
+                params, state.batch_stats, batch, True, step_rng
+            )
+            pe_loss = ctc_loss_from_frames(
+                logits, batch["inp_len"], in_len_div,
+                batch["labels"], batch["tar_len"],
+            )
+            loss = jnp.sum(pe_loss) / global_batch
+            return loss, (pe_loss, new_stats)
+
+        (loss, (pe_loss, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_stats,
+        )
+        metrics = {
+            "loss_sum": jnp.sum(pe_loss),
+            "samples": jnp.asarray(global_batch, jnp.float32),
+            "frames": jnp.sum(batch["inp_len"]).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    batch_shardings = {
+        "feats": data, "labels": data, "inp_len": data, "tar_len": data,
+    }
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_shardings, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_valid_step(apply_fn, in_len_div, mesh=None):
+    def valid_step(state, batch):
+        logits, _ = apply_fn(state.params, state.batch_stats, batch, False, None)
+        pe_loss = ctc_loss_from_frames(
+            logits, batch["inp_len"], in_len_div,
+            batch["labels"], batch["tar_len"],
+        )
+        return {
+            "loss_sum": jnp.sum(pe_loss),
+            "samples": jnp.asarray(batch["feats"].shape[0], jnp.float32),
+        }
+
+    if mesh is None:
+        return jax.jit(valid_step)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    batch_shardings = {
+        "feats": data, "labels": data, "inp_len": data, "tar_len": data,
+    }
+    return jax.jit(
+        valid_step, in_shardings=(repl, batch_shardings), out_shardings=repl
+    )
+
+
+def make_logits_fn(apply_fn):
+    """Jitted inference logits for decoding."""
+
+    def logits_fn(state, batch):
+        logits, _ = apply_fn(state.params, state.batch_stats, batch, False, None)
+        return logits
+
+    return jax.jit(logits_fn)

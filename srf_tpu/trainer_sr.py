@@ -1,0 +1,194 @@
+"""Entry point: train/decode SRF, LSTM and CNN CTC models.
+
+CLI-compatible rebuild of the reference's ``tfsr/trainer_sr.py``: same flags
+(conf-file + command-line merge), same model dispatch
+(reference: trainer_sr.py:175-201), same epoch/early-stop/checkpoint
+behavior, same decode log format. The runtime underneath is TPU-native:
+a jax.sharding.Mesh data-parallel jitted step over static bucket shapes.
+
+Usage:
+    python -m srf_tpu.trainer_sr --config=egs/conf/timit.conf --path-base=...
+"""
+
+import os
+import sys
+
+import jax
+
+from srf_tpu.config import Logger, ParseOption
+from srf_tpu.data.bucketing import get_bucket_info, round_batch_sizes
+from srf_tpu.data.loader import BucketedLoader, EvalLoader, SpeechDataset
+from srf_tpu.data.tfrecord import count_records
+from srf_tpu.models.registry import build_model
+from srf_tpu.parallel.mesh import make_mesh
+from srf_tpu.train.loop import run_decoding, run_training
+from srf_tpu.train.optimizer import get_optimizer
+from srf_tpu.train.state import TrainState, param_count
+from srf_tpu.train.step import make_apply_fn, make_logits_fn, make_train_step, make_valid_step
+from srf_tpu.utils.checkpoint import load_checkpoint
+from srf_tpu.utils.vocab import get_file_path, load_vocab
+
+
+def get_data_len(config):
+    """Record counts per split (reference: data_helper.py:30-48)."""
+    nums = []
+    for num, ptrn in [
+        (config.prep_data_num_train, config.path_train_ptrn),
+        (config.prep_data_num_valid, config.path_valid_ptrn),
+        (config.prep_data_num_test, config.path_test_ptrn),
+    ]:
+        if num is None and ptrn:
+            num = count_records(os.path.join(config.path_base, ptrn))
+        nums.append(num)
+    return tuple(nums)
+
+
+def build_loaders(config, logger, num_replicas, seed=0):
+    """(train_loader, valid_loader) with static bucket shapes."""
+    feat_dim = config.feat_dim
+    train_ptrn = os.path.join(config.path_base, config.path_train_ptrn)
+    valid_ptrn = os.path.join(config.path_base, config.path_valid_ptrn)
+    train_ds = SpeechDataset(
+        train_ptrn, feat_dim, config.prep_max_inp, config.prep_max_tar,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    valid_ds = SpeechDataset(
+        valid_ptrn, feat_dim, config.prep_max_inp, config.prep_max_tar,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    if config.train_batch_dynamic:
+        assert config.train_batch_frame and config.train_batch_frame > 0
+        boundaries, batch_sizes = get_bucket_info(
+            config.train_batch_frame, num_replicas, 241, 10000, 150,
+            step_for_bucket_size=False,
+            manual_bucket_batch_sizes=config.train_batch_buckets,
+        )
+        batch_sizes = round_batch_sizes(batch_sizes, num_replicas)
+        logger.info("bucket_boundaries: [%s]", ", ".join(map(str, boundaries)))
+        logger.info("bucket_batch_sizes: [%s]", ", ".join(map(str, batch_sizes)))
+    else:
+        assert config.train_batch_size and config.train_batch_size > 0
+        boundaries, batch_sizes = [], [
+            max(num_replicas,
+                config.train_batch_size // num_replicas * num_replicas)
+        ]
+    train_loader = BucketedLoader(
+        train_ds, boundaries, batch_sizes, shuffle=True, seed=seed,
+        drop_remainder=True,
+    )
+    valid_loader = BucketedLoader(
+        valid_ds, boundaries, batch_sizes, shuffle=False,
+        drop_remainder=True,
+    )
+    return train_loader, valid_loader
+
+
+def state_template(model, config, tx, rng):
+    """Init params/batch_stats with a dummy forward (reference dummy_step:
+    trainer_sr.py:241-247)."""
+    import jax.numpy as jnp
+
+    dummy_feats = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
+    dummy_len = jnp.full((1,), 20, jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_feats, dummy_len, False
+    )
+    return TrainState.create(
+        variables["params"], tx, variables.get("batch_stats", {})
+    )
+
+
+def state_to_tree(state):
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+    }
+
+
+def tree_to_state(tree):
+    return TrainState(
+        step=tree["step"],
+        params=tree["params"],
+        opt_state=tree["opt_state"],
+        batch_stats=tree["batch_stats"],
+    )
+
+
+def main(argv=None):
+    logger = Logger(name="srf_tpu", level=Logger.DEBUG).logger
+    config = ParseOption(argv or sys.argv, logger).args
+
+    _, _, dec_in_dim, _ = load_vocab(
+        get_file_path(config.path_base, config.path_vocab), logger
+    )
+    dec_out_dim = dec_in_dim + 1
+    blank_idx = dec_in_dim
+    logger.info(
+        "The modified output Dimension %d, blank index %d", dec_out_dim, blank_idx
+    )
+
+    mesh = make_mesh(config.tpu_mesh_data)
+    num_replicas = mesh.shape["data"]
+    logger.info("Mesh: %s (%d-way data parallel)", dict(mesh.shape), num_replicas)
+
+    logger.info("Analysing data samples..")
+    train_num, valid_num, test_num = get_data_len(config)
+    logger.info(
+        "Data number: Train %s, Valid %s, Test %s", train_num, valid_num, test_num
+    )
+
+    model, in_len_div = build_model(config, dec_out_dim, logger)
+    tx, schedule = get_optimizer(config)
+
+    rng = jax.random.PRNGKey(config.tpu_seed)
+    state = state_template(model, config, tx, rng)
+    logger.info("Model parameters: %d", param_count(state.params))
+
+    ckpt_manager, restored, epoch_offset = load_checkpoint(
+        config, logger, state_to_tree(state)
+    )
+    if restored is not None:
+        state = tree_to_state(restored)
+
+    apply_fn = make_apply_fn(model)
+
+    if config.train_max_epoch == 0:
+        # decode mode (reference: trainer_sr.py:290-299)
+        test_ptrn = os.path.join(config.path_base, config.path_test_ptrn)
+        test_ds = SpeechDataset(
+            test_ptrn, config.feat_dim, config.prep_max_inp, config.prep_max_tar,
+            with_utt_id=True,
+        )
+        test_loader = EvalLoader(test_ds, batch_size=1)
+        logits_fn = make_logits_fn(apply_fn)
+        run_decoding(
+            config, logger, state, logits_fn, test_loader, in_len_div,
+            beam_width=config.decoding_beam_width,
+        )
+        ckpt_manager.close()
+        return
+
+    train_loader, valid_loader = build_loaders(
+        config, logger, num_replicas, seed=config.tpu_seed
+    )
+    train_step = make_train_step(
+        apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate
+    )
+    valid_step = make_valid_step(apply_fn, in_len_div, mesh=mesh)
+
+    metrics_path = (
+        os.path.join(config.path_ckpt, "metrics.jsonl") if config.path_ckpt else None
+    )
+    run_training(
+        config, logger, state, train_step, valid_step, train_loader,
+        valid_loader, ckpt_manager, epoch_offset, rng, train_num or 1,
+        schedule_fn=schedule, metrics_path=metrics_path,
+        state_to_save=state_to_tree,
+    )
+    ckpt_manager.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Entry point: train/decode the Speech-Transformer (STF) CTC encoder.
+
+CLI-compatible rebuild of the reference's ``tfsr/trainer_tf.py``. Deltas
+from trainer_sr mirrored from the reference:
+
+- attention-penalty plumbing (reference: trainer_tf.py:144-146,285),
+- the padding-bias mask passed into self-attention
+  (reference: trainer_tf.py:141-142, train_helper.py:382-401) — computed
+  here inside the jitted step at trace time from the static bucket shape,
+- ``in_len_div = conv_layer_num ** conv_stride``
+  (reference quirk: trainer_tf.py:302; = 4 for the defaults),
+- a full validation pass before training starts
+  (reference: trainer_tf.py:336).
+"""
+
+import math
+import os
+import sys
+
+import jax
+
+from srf_tpu.config import Logger, ParseOption
+from srf_tpu.models.stf import ConvEncoder
+from srf_tpu.ops.attention_penalty import create_attention_penalty
+from srf_tpu.ops.masking import get_padding_bias
+from srf_tpu.parallel.mesh import make_mesh
+from srf_tpu.train.loop import run_decoding, run_training
+from srf_tpu.train.optimizer import get_optimizer
+from srf_tpu.train.state import TrainState, param_count
+from srf_tpu.train.step import make_apply_fn, make_logits_fn, make_train_step, make_valid_step
+from srf_tpu.trainer_sr import (
+    build_loaders,
+    get_data_len,
+    state_to_tree,
+    tree_to_state,
+)
+from srf_tpu.utils.checkpoint import load_checkpoint
+from srf_tpu.utils.metrics import MeanMetric
+from srf_tpu.utils.vocab import get_file_path, load_vocab
+from srf_tpu.data.loader import EvalLoader, SpeechDataset
+
+
+def make_stf_extra_kwargs(att_pen, in_len_div):
+    """Per-batch STF kwargs, evaluated at trace time (static shapes)."""
+
+    def extra(batch):
+        frames = batch["feats"].shape[1]
+        out_frames = math.ceil(frames / in_len_div)
+        mask = get_padding_bias(batch["inp_len"], out_frames, in_len_div)
+        pen = att_pen.penalty(out_frames) if att_pen is not None else None
+        return {
+            "mask": mask,
+            "attention_penalty_mask": pen,
+            "in_len_div": in_len_div,
+        }
+
+    return extra
+
+
+def main(argv=None):
+    logger = Logger(name="srf_tpu_stf", level=Logger.DEBUG).logger
+    config = ParseOption(argv or sys.argv, logger).args
+
+    _, _, dec_in_dim, _ = load_vocab(
+        get_file_path(config.path_base, config.path_vocab), logger
+    )
+    dec_out_dim = dec_in_dim + 1
+    blank_idx = dec_in_dim
+    logger.info(
+        "The modified output Dimension %d, blank index %d", dec_out_dim, blank_idx
+    )
+
+    mesh = make_mesh(config.tpu_mesh_data)
+    num_replicas = mesh.shape["data"]
+
+    logger.info("Analysing data samples..")
+    train_num, valid_num, test_num = get_data_len(config)
+    logger.info(
+        "Data number: Train %s, Valid %s, Test %s", train_num, valid_num, test_num
+    )
+
+    att_pen = create_attention_penalty(config, logger)
+    # reference quirk: layer_num ** stride, not stride ** layer_num
+    # (trainer_tf.py:302); both are 4 with the default 2,2
+    in_len_div = config.model_conv_layer_num**config.model_conv_stride
+    model = ConvEncoder.from_config(config, dec_out_dim)
+    tx, schedule = get_optimizer(config)
+
+    rng = jax.random.PRNGKey(config.tpu_seed)
+    import jax.numpy as jnp
+
+    dummy_feats = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
+    dummy_len = jnp.full((1,), 20, jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_feats, dummy_len, False,
+        mask=None, attention_penalty_mask=None, in_len_div=in_len_div,
+    )
+    state = TrainState.create(variables["params"], tx,
+                              variables.get("batch_stats", {}))
+    logger.info("Model parameters: %d", param_count(state.params))
+
+    ckpt_manager, restored, epoch_offset = load_checkpoint(
+        config, logger, state_to_tree(state)
+    )
+    if restored is not None:
+        state = tree_to_state(restored)
+
+    apply_fn = make_apply_fn(model, make_stf_extra_kwargs(att_pen, in_len_div))
+
+    if config.train_max_epoch == 0:
+        test_ptrn = os.path.join(config.path_base, config.path_test_ptrn)
+        test_ds = SpeechDataset(
+            test_ptrn, config.feat_dim, config.prep_max_inp,
+            config.prep_max_tar, with_utt_id=True,
+        )
+        run_decoding(
+            config, logger, state, make_logits_fn(apply_fn),
+            EvalLoader(test_ds, batch_size=1), in_len_div,
+            beam_width=config.decoding_beam_width,
+        )
+        ckpt_manager.close()
+        return
+
+    train_loader, valid_loader = build_loaders(
+        config, logger, num_replicas, seed=config.tpu_seed
+    )
+    train_step = make_train_step(
+        apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate
+    )
+    valid_step = make_valid_step(apply_fn, in_len_div, mesh=mesh)
+
+    # pre-training validation pass (reference: trainer_tf.py:336)
+    pre_valid = MeanMetric()
+    for batch in valid_loader:
+        metrics = jax.device_get(
+            valid_step(
+                state,
+                {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
+            )
+        )
+        pre_valid.update(metrics["loss_sum"], metrics["samples"])
+    logger.info("Pre-training Valid Loss %.4f", pre_valid.result())
+
+    metrics_path = (
+        os.path.join(config.path_ckpt, "metrics.jsonl") if config.path_ckpt else None
+    )
+    run_training(
+        config, logger, state, train_step, valid_step, train_loader,
+        valid_loader, ckpt_manager, epoch_offset, rng, train_num or 1,
+        schedule_fn=schedule, metrics_path=metrics_path,
+        state_to_save=state_to_tree,
+    )
+    ckpt_manager.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+#!/bin/bash
+# 123-dim fbank+energy+deltas feature extraction with per-speaker CMVN,
+# self-contained (no Kaldi; reference: egs/script/fbank123.sh).
+# Usage: fbank123.sh wav.scp spk2utt outdir
+set -e
+cd "$(dirname "$0")/../.."
+python -m srf_tpu.tools.extract_features "$1" "$3" --spk2utt "$2" --cmvn-dir "$3/../cmvn"

@@ -81,14 +81,17 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     train_step, state, batch, rng, batch_size, n_dev = build_workload()
 
+    # NOTE: synchronize by fetching a value, not block_until_ready — on the
+    # remote-attached (axon) platform block_until_ready returns before
+    # execution finishes and would overstate throughput ~50x.
     for _ in range(warmup):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["loss_sum"]))
 
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["loss_sum"]))
     elapsed = time.perf_counter() - start
 
     utts_per_sec = batch_size * iters / elapsed

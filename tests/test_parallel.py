@@ -1,0 +1,90 @@
+"""Data-parallel correctness on a virtual 8-device CPU mesh.
+
+The reference had no distributed tests (SURVEY.md §4); here DP is validated
+by construction: the same global batch must produce identical losses and
+updated parameters whether the mesh has 1 device or 8 (the global-batch
+loss semantics of reference trainer_sr.py:57-68).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from srf_tpu.models.srf import SequenceRouter
+from srf_tpu.parallel.mesh import make_mesh, shard_batch
+from srf_tpu.train.optimizer import noam_schedule
+from srf_tpu.train.state import TrainState
+from srf_tpu.train.step import make_apply_fn, make_train_step, make_valid_step
+
+
+def _tiny_setup():
+    model = SequenceRouter(
+        feat_dim=12, class_n=7, enc_num=2, caps_primary_num=4,
+        caps_primary_dim=3, caps_conv_num=4, caps_conv_dim=3, caps_class_dim=3,
+        caps_iter=1, lpad=1, rpad=0, is_context=True, conv_layer_num=2,
+        conv_filter_num=4, caps_type="naive", inp_dropout=0.0, inn_dropout=0.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    host = np.random.RandomState(0)
+    batch = {
+        "feats": jnp.asarray(host.randn(8, 24, 12), jnp.float32),
+        "labels": jnp.asarray(host.randint(1, 6, size=(8, 3)), jnp.int32),
+        "inp_len": jnp.asarray([24, 20, 17, 24, 22, 24, 19, 24], jnp.int32),
+        "tar_len": jnp.asarray([3, 2, 3, 3, 2, 3, 2, 3], jnp.int32),
+    }
+    variables = model.init(
+        {"params": rng, "dropout": rng}, batch["feats"][:1],
+        batch["inp_len"][:1], False,
+    )
+    tx = optax.adam(noam_schedule(1.0, 8, 100))
+    state = TrainState.create(variables["params"], tx,
+                              variables.get("batch_stats", {}))
+    return model, tx, state, batch, rng
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp8_matches_single_device():
+    model, tx, state0, batch, rng = _tiny_setup()
+    apply_fn = make_apply_fn(model)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(num_data=n_dev, devices=jax.devices()[:n_dev])
+        step = make_train_step(apply_fn, tx, 4, mesh=mesh, donate=False)
+        state = jax.device_put(
+            state0, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        sharded = shard_batch(mesh, batch)
+        for _ in range(3):
+            state, metrics = step(state, sharded, rng)
+        results[n_dev] = (
+            float(metrics["loss_sum"]),
+            jax.device_get(jax.tree.leaves(state.params)[0]),
+        )
+    loss1, leaf1 = results[1]
+    loss8, leaf8 = results[8]
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-4)
+    np.testing.assert_allclose(leaf8, leaf1, rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_valid_step_on_mesh():
+    model, tx, state, batch, rng = _tiny_setup()
+    mesh = make_mesh(num_data=8)
+    valid = make_valid_step(make_apply_fn(model), 4, mesh=mesh)
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    metrics = valid(state, shard_batch(mesh, batch))
+    assert np.isfinite(float(metrics["loss_sum"]))
+    assert float(metrics["samples"]) == 8.0
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(min(8, len(jax.devices())))

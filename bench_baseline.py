@@ -63,9 +63,9 @@ def main():
     rng = np.random.RandomState(0)
     batch = args.batch
     feats = tf.constant(rng.randn(batch, args.frames, 123), tf.float32)
-    inp_len = tf.constant(
-        rng.randint(int(args.frames * 0.7), args.frames + 1, size=batch), tf.int32
-    )
+    lens = rng.randint(int(args.frames * 0.7), args.frames + 1, size=batch)
+    lens[0] = args.frames  # reference crops to batch max; keep max == frames
+    inp_len = tf.constant(lens, tf.int32)
     tar_len = tf.constant(np.maximum(2, inp_len.numpy() // 8), tf.int32)
     labels = tf.constant(
         rng.randint(1, 62, size=(batch, int(tar_len.numpy().max()))), tf.int32

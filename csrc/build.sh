@@ -8,5 +8,5 @@ FLAGS="-O3 -shared -fPIC -std=c++17 -Wall"
 if grep -q sse4_2 /proc/cpuinfo 2>/dev/null; then
   FLAGS="$FLAGS -msse4.2"
 fi
-$CXX $FLAGS srf_io.cc -o libsrf_io.so
+$CXX $FLAGS srf_io.cc ctc_beam.cc -o libsrf_io.so
 echo "built csrc/libsrf_io.so"

@@ -44,6 +44,9 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
             raise ValueError("LSRF (model-caps-layer-time) is deprecated")
         if config.model_caps_type not in ("lowmemory", "einsum", "naive"):
             raise ValueError("unknown caps type %s" % config.model_caps_type)
+        kernel = getattr(config, "tpu_routing_kernel", "auto")
+        if kernel == "pallas":
+            overrides.setdefault("routing_impl", "pallas")
         model = SequenceRouter.from_config(config, dec_out_dim, **overrides)
         if logger is not None:
             logger.info(

@@ -67,6 +67,7 @@ class SequenceRouter(nn.Module):
     caps_type: str = "lowmemory"  # lowmemory | naive | einsum
     stride: int = 2
     time_chunk: Optional[int] = None  # SDR u_hat chunking (MXU batching)
+    routing_impl: str = "xla"  # xla | pallas (--tpu-routing-kernel)
 
     @classmethod
     def from_config(cls, config, class_n, **overrides):
@@ -166,6 +167,7 @@ class SequenceRouter(nn.Module):
                 emb, wgt, bias, num_iter, self.is_context,
                 is_last_layer=(i == self.enc_num - 1),
                 time_chunk=self.time_chunk,
+                impl=self.routing_impl,
             )
             flat = emb.reshape(batch, seq_len, -1)
             flat = nn.LayerNorm(name="ln_mid%d" % (i + 1))(flat)

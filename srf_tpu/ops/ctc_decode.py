@@ -121,11 +121,76 @@ def _np_logsumexp(x):
     return m + np.log(np.sum(np.exp(x - m), axis=-1, keepdims=True))
 
 
+_native_lib = None
+
+
+def _load_native():
+    """Optional C++ decoder (csrc/ctc_beam.cc via csrc/build.sh)."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    import ctypes
+    import os
+
+    lib_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "csrc",
+        "libsrf_io.so",
+    )
+    _native_lib = False
+    if os.path.exists(lib_path):
+        try:
+            lib = ctypes.CDLL(lib_path)
+            lib.srf_ctc_beam_search.restype = ctypes.c_int64
+            lib.srf_ctc_beam_search.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ]
+            _native_lib = lib
+        except (OSError, AttributeError):
+            pass
+    return _native_lib
+
+
+def beam_search_native(logits_tk, logit_length, beam_width, blank_id):
+    """C++ prefix beam search for one utterance; None if lib unavailable."""
+    import ctypes
+
+    lib = _load_native()
+    if not lib:
+        return None
+    arr = np.ascontiguousarray(logits_tk[: int(logit_length)], np.float32)
+    t, k = arr.shape
+    out = np.zeros((t + 1,), np.int32)
+    n = lib.srf_ctc_beam_search(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t, k, int(beam_width), int(blank_id),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+    )
+    if n < 0:
+        return None
+    return [int(x) for x in out[:n]]
+
+
 def beam_search_batch(logits, logit_lengths, beam_width=100, blank_id=None):
-    """Decode a [B, T, K] batch on host; returns list of id lists."""
+    """Decode a [B, T, K] batch on host; returns list of id lists.
+
+    Uses the native C++ decoder when built, the Python implementation
+    otherwise (same algorithm; the Python one additionally prunes symbols
+    below a -18 logprob floor).
+    """
     logits = np.asarray(logits)
+    if blank_id is None:
+        blank_id = logits.shape[-1] - 1
     out = []
     for i in range(logits.shape[0]):
+        native = beam_search_native(
+            logits[i], logit_lengths[i], beam_width, blank_id
+        )
+        if native is not None:
+            out.append(native)
+            continue
         hyps = prefix_beam_search(
             logits[i], int(logit_lengths[i]), beam_width, blank_id
         )

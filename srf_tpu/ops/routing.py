@@ -175,9 +175,20 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
 
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
-                time_chunk=None):
-    """One capsule layer: prediction + routing (DR or SDR)."""
+                time_chunk=None, impl="xla"):
+    """One capsule layer: prediction + routing (DR or SDR).
+
+    ``impl``: "xla" (lax.scan) or "pallas" (fused kernel,
+    ops/routing_pallas.py) for the SDR path; DR is always plain XLA (fully
+    parallel over time, nothing to fuse beyond what XLA already does).
+    """
     if is_context:
+        if impl == "pallas":
+            from srf_tpu.ops.routing_pallas import sequential_routing_pallas
+
+            return sequential_routing_pallas(
+                u, wgt, bias, num_iter, is_last_layer
+            )
         return sequential_routing(
             u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
             time_chunk=time_chunk,

@@ -77,6 +77,9 @@ def build_workload(batch=29, frames=241, feat_dim=123, vocab=62):
 def main():
     import jax
 
+    from srf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     train_step, state, batch, rng, batch_size, n_dev = build_workload()

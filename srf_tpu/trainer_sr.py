@@ -117,6 +117,9 @@ def tree_to_state(tree):
 
 
 def main(argv=None):
+    from srf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logger = Logger(name="srf_tpu", level=Logger.DEBUG).logger
     config = ParseOption(argv or sys.argv, logger).args
 

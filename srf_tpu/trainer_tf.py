@@ -58,6 +58,9 @@ def make_stf_extra_kwargs(att_pen, in_len_div):
 
 
 def main(argv=None):
+    from srf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logger = Logger(name="srf_tpu_stf", level=Logger.DEBUG).logger
     config = ParseOption(argv or sys.argv, logger).args
 

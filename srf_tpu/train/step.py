@@ -22,29 +22,45 @@ from srf_tpu.ops.ctc import ctc_loss_from_frames
 from srf_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_apply_fn(model, extra_kwargs_fn=None):
+def make_apply_fn(model, extra_kwargs_fn=None, bf16=False):
     """Uniform apply adapter: (variables, batch, training, rng) -> logits[, mut].
 
     ``extra_kwargs_fn(batch)`` supplies model-specific keyword arguments (the
     STF encoder's padding-bias mask and attention-penalty slice); it runs at
     trace time, so shape-dependent constants fold into the compiled program.
+
+    ``bf16=True`` enables mixed precision: parameters and features are cast
+    to bfloat16 at the apply boundary (master params stay float32 in the
+    optimizer; the cast is differentiable so gradients accumulate in f32),
+    logits are cast back to float32 before the CTC loss.
     """
 
     def apply_fn(params, batch_stats, batch, training, rng):
+        feats = batch["feats"]
+        if bf16:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params,
+            )
+            feats = feats.astype(jnp.bfloat16)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         kwargs = extra_kwargs_fn(batch) if extra_kwargs_fn else {}
         if training:
             out, mutated = model.apply(
-                variables, batch["feats"], batch["inp_len"], True,
+                variables, feats, batch["inp_len"], True,
                 rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs,
             )
-            return out, mutated.get("batch_stats", {})
-        out = model.apply(
-            variables, batch["feats"], batch["inp_len"], False, **kwargs
-        )
-        return out, batch_stats
+            new_stats = mutated.get("batch_stats", {})
+            if bf16:
+                new_stats = jax.tree.map(
+                    lambda x: x.astype(jnp.float32), new_stats
+                )
+            return out.astype(jnp.float32), new_stats
+        out = model.apply(variables, feats, batch["inp_len"], False, **kwargs)
+        return out.astype(jnp.float32), batch_stats
 
     return apply_fn
 

@@ -155,7 +155,7 @@ def main(argv=None):
     if restored is not None:
         state = tree_to_state(restored)
 
-    apply_fn = make_apply_fn(model)
+    apply_fn = make_apply_fn(model, bf16=config.tpu_bf16)
 
     if config.train_max_epoch == 0:
         # decode mode (reference: trainer_sr.py:290-299)

@@ -108,7 +108,8 @@ def main(argv=None):
     if restored is not None:
         state = tree_to_state(restored)
 
-    apply_fn = make_apply_fn(model, make_stf_extra_kwargs(att_pen, in_len_div))
+    apply_fn = make_apply_fn(model, make_stf_extra_kwargs(att_pen, in_len_div),
+                             bf16=config.tpu_bf16)
 
     if config.train_max_epoch == 0:
         test_ptrn = os.path.join(config.path_base, config.path_test_ptrn)

@@ -306,4 +306,9 @@ class ParseOption:
             "--tpu-donate", type=ParseOption.str2bool, default="True",
             help="donate train-state buffers to the jitted step",
         )
+        tpu_group.add_argument(
+            "--tpu-decode-impl", default="host",
+            help="host (C++/python prefix beam) | device (jittable beam scan)"
+                 " | greedy",
+        )
         return parser

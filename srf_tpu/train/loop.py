@@ -132,9 +132,14 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
 
 
 def run_decoding(config, logger, state, logits_fn, test_loader, in_len_div,
-                 beam_width=None, use_beam=True):
-    """Decode and print hypotheses in the reference's scrape-able format."""
+                 beam_width=None, decode_impl=None):
+    """Decode and print hypotheses in the reference's scrape-able format.
+
+    ``decode_impl``: "host" (C++/python prefix beam), "device" (on-chip
+    jittable beam scan), or "greedy".
+    """
     beam_width = beam_width or config.decoding_beam_width or 100
+    decode_impl = decode_impl or getattr(config, "tpu_decode_impl", "host")
     prev = time.time()
     for batch in test_loader:
         logits = np.asarray(
@@ -147,14 +152,21 @@ def run_decoding(config, logger, state, logits_fn, test_loader, in_len_div,
         # (trainer_sr.py:110), unlike the ceil used in the loss
         dec_lens = np.asarray(batch["inp_len"]) // in_len_div
         dec_lens = np.minimum(np.maximum(dec_lens, 1), logits.shape[1])
-        if use_beam:
-            hyps = beam_search_batch(logits, dec_lens, beam_width)
-        else:
+        if decode_impl == "greedy":
             from srf_tpu.ops.ctc_decode import greedy_decode
 
             ids, lens = greedy_decode(logits, dec_lens)
             ids, lens = np.asarray(ids), np.asarray(lens)
             hyps = [list(ids[i, : lens[i]]) for i in range(ids.shape[0])]
+        elif decode_impl == "device":
+            from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_jax
+
+            hyps = [
+                ctc_beam_search_jax(logits[i], dec_lens[i], beam_width)[0]
+                for i in range(logits.shape[0])
+            ]
+        else:
+            hyps = beam_search_batch(logits, dec_lens, beam_width)
         for i, utt_id in enumerate(batch.get("utt_ids", [])):
             values = " ".join(str(int(x)) for x in hyps[i])
             n = len(hyps[i])

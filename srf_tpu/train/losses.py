@@ -40,9 +40,8 @@ def _loss_sm_label(labels, logits, confidence, output_dim):
     """Uniform label smoothing with the minimum-entropy normalizer
     subtracted (transformer-official style)."""
     low_confidence = (1.0 - confidence) / (output_dim - 1)
-    soft_targets = jax.nn.one_hot(
-        labels, output_dim, on_value=confidence, off_value=low_confidence
-    )
+    one_hot = jax.nn.one_hot(labels, output_dim)
+    soft_targets = one_hot * confidence + (1.0 - one_hot) * low_confidence
     xentropy = -jnp.sum(soft_targets * jax.nn.log_softmax(logits), axis=-1)
     norm_const = -(
         confidence * jnp.log(confidence)

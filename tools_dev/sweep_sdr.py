@@ -74,6 +74,7 @@ def main():
     enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--only", default=None, help="run a single variant")
     parser.add_argument("--batch", type=int, default=29)
     args = parser.parse_args()
 
@@ -86,6 +87,8 @@ def main():
         ("scan_chunk16_bf16", dict(time_chunk=16, bf16=True)),
     ]
     for name, kw in variants:
+        if args.only and name != args.only:
+            continue
         train_step, logits_fn, state, batch, rng = build(batch=args.batch, **kw)
         t_train = time_fn(
             lambda: train_step(state, batch, rng)[1], args.iters,
@@ -102,6 +105,8 @@ def main():
 
     # pallas: inference path
     for name, kw in [("pallas_fwd", dict(routing_impl="pallas"))]:
+        if args.only and name != args.only:
+            continue
         try:
             _, logits_fn, state, batch, rng = build(batch=args.batch, **kw)
             t_fwd = time_fn(

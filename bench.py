@@ -58,10 +58,10 @@ def build_workload(batch=29, frames=241, feat_dim=123, vocab=62):
         "tar_len": jnp.asarray(tar_lens),
     }
 
-    variables = model.init(
-        {"params": rng, "dropout": rng},
-        batch_data["feats"][:1], batch_data["inp_len"][:1], False,
-    )
+    variables = jax.jit(
+        lambda rngs, feats, lens: model.init(rngs, feats, lens, False)
+    )({"params": rng, "dropout": rng}, batch_data["feats"][:1],
+      batch_data["inp_len"][:1])
     tx = optax.adam(noam_schedule(0.5, 1, 1200))
     state = TrainState.create(variables["params"], tx,
                               variables.get("batch_stats", {}))

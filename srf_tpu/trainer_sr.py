@@ -90,9 +90,9 @@ def state_template(model, config, tx, rng):
 
     dummy_feats = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
     dummy_len = jnp.full((1,), 20, jnp.int32)
-    variables = model.init(
-        {"params": rng, "dropout": rng}, dummy_feats, dummy_len, False
-    )
+    variables = jax.jit(
+        lambda rngs, feats, lens: model.init(rngs, feats, lens, False)
+    )({"params": rng, "dropout": rng}, dummy_feats, dummy_len)
     return TrainState.create(
         variables["params"], tx, variables.get("batch_stats", {})
     )

@@ -94,10 +94,12 @@ def main(argv=None):
 
     dummy_feats = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
     dummy_len = jnp.full((1,), 20, jnp.int32)
-    variables = model.init(
-        {"params": rng, "dropout": rng}, dummy_feats, dummy_len, False,
-        mask=None, attention_penalty_mask=None, in_len_div=in_len_div,
-    )
+    variables = jax.jit(
+        lambda rngs, feats, lens: model.init(
+            rngs, feats, lens, False, mask=None,
+            attention_penalty_mask=None, in_len_div=in_len_div,
+        )
+    )({"params": rng, "dropout": rng}, dummy_feats, dummy_len)
     state = TrainState.create(variables["params"], tx,
                               variables.get("batch_stats", {}))
     logger.info("Model parameters: %d", param_count(state.params))

@@ -126,8 +126,14 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     out_n = wgt.shape[1]
     out_d = wgt.shape[2]
     batch = u.shape[0]
-    pad_mask = _pad_capsule_mask(out_n, u.dtype) if mask_pad_capsule else None
-    v0 = jnp.zeros((batch, out_n, out_d), u.dtype)
+    in_dtype = u.dtype
+    pad_mask = (
+        _pad_capsule_mask(out_n, jnp.float32) if mask_pad_capsule else None
+    )
+    # the routing recurrence itself runs in f32 regardless of the compute
+    # dtype: u_hat accumulates in f32 (MXU preferred type) and the scan
+    # carry must be dtype-stable
+    v0 = jnp.zeros((batch, out_n, out_d), jnp.float32)
 
     if time_chunk is None or time_chunk <= 1:
         u_t_major = jnp.moveaxis(u, 1, 0)  # [T, B, in_n, in_d]
@@ -142,7 +148,7 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
             return v, v
 
         _, vs = jax.lax.scan(body, v0, u_t_major)
-        return jnp.moveaxis(vs, 0, 1)
+        return jnp.moveaxis(vs, 0, 1).astype(in_dtype)
 
     # chunked: precompute u_hat for `time_chunk` steps at once (MXU batch),
     # then scan the routing recurrence inside the chunk.
@@ -171,7 +177,7 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
     _, vs = jax.lax.scan(chunk_body, v0, u_chunks)
     vs = jnp.moveaxis(vs, 0, 1).reshape(batch, -1, out_n, out_d)
-    return vs[:, :seq_len]
+    return vs[:, :seq_len].astype(in_dtype)
 
 
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
@@ -194,4 +200,5 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
             time_chunk=time_chunk,
         )
     u_hat = predict_capsules(u, wgt, bias)
-    return dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last_layer)
+    out = dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last_layer)
+    return out.astype(u.dtype)

@@ -2,33 +2,34 @@
 
 The SDR time recurrence is the throughput bottleneck of the SRF model
 (SURVEY.md §3.2: the reference runs it as a tf.while_loop + TensorArray,
-sequence_router_lowmemory.py:172-177). The XLA version here is a lax.scan
-(ops/routing.py); this kernel fuses the whole recurrence for one capsule
-layer into a single Pallas program:
+sequence_router_lowmemory.py:172-177). This kernel fuses the whole
+recurrence for one capsule layer into a single Pallas program per
+batch element: weights stay in VMEM across the sequence and each timestep's
+prediction/agreement/softmax/weighted-sum/squash chain runs without HBM
+round trips.
 
-- the transformation weights live in VMEM for the entire sequence,
-- per timestep: prediction matmul (MXU), agreement with v_{t-1}, softmax
-  over output capsules, weighted sum, squash — all fused, no HBM round
-  trips between timesteps,
-- grid over batch tiles; the time loop is a fori_loop inside the kernel.
+Mosaic-friendly layout (everything is 2-D, lanes = out_n*out_d):
+    u_t     [in_n, in_d]            (in_d statically unrolled)
+    u_hat   [in_n, out_no]          out_no = out_n * out_d
+    G       [out_no, out_n]         static 0/1 capsule-group matrix
+    agreement  b += u_hat @ (G * v^T)          -> [in_n, out_n]   (MXU)
+    coupling   c = softmax(b, lanes)
+    s = sum_n(u_hat * (c @ G^T))               -> [1, out_no]
+    squash via group norms: (s*s) @ G, factor broadcast back with G^T
 
-Gradients: the op carries a custom VJP whose backward re-runs the XLA scan
-implementation's VJP (numerically identical math). The fused kernel is the
-inference/decode fast path; training may use it too at the cost of one
-extra XLA forward in the backward pass.
-
-Falls back to interpret mode automatically off-TPU (tests run on CPU).
+Gradients: custom VJP whose backward re-runs the XLA scan implementation's
+VJP (numerically identical math). Falls back to interpret mode off-TPU.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from srf_tpu.ops.routing import NEG_INF, sequential_routing
-from srf_tpu.ops.squash import squash
 
 
 def _on_tpu():
@@ -38,106 +39,97 @@ def _on_tpu():
         return False
 
 
-def _sdr_kernel(u_ref, w_ref, b_ref, out_ref, *, num_iter, mask_pad, out_n,
-                out_d):
-    """One batch tile: u [Bt, T, in_n, in_d] -> vs [Bt, T, out_n, out_d]."""
-    bt, seq_len, in_n, in_d = u_ref.shape
-    w = w_ref[:]          # [in_n, in_d, out_n*out_d]
-    bias = b_ref[:]       # [in_n, out_n*out_d]
+def _sdr_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, *, num_iter,
+                mask_pad, in_d, out_n, out_no):
+    """One batch element: u [1, T, in_n, in_d] -> vs [1, T, out_no]."""
+    seq_len = u_ref.shape[1]
+    in_n = u_ref.shape[2]
+    g = g_ref[:]    # [out_no, out_n]
+    gt = gt_ref[:]  # [out_n, out_no]
+    bias = b_ref[:]  # [in_n, out_no]
 
     if mask_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
         pad_mask = jnp.where(col == 0, NEG_INF, 0.0).astype(jnp.float32)
-    else:
-        pad_mask = None
 
-    def step(t, v_prev):
-        u_t = u_ref[:, t]  # [Bt, in_n, in_d]
-        # prediction vectors: per-input-capsule matmul on the MXU
-        u_hat = jax.lax.dot_general(
-            jnp.transpose(u_t, (1, 0, 2)),  # [in_n, Bt, in_d]
-            w,                              # [in_n, in_d, out_no]
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [in_n, Bt, out_no]
-        u_hat = u_hat + bias[:, None, :]
-        u_hat = u_hat.reshape(in_n, bt, out_n, out_d)
-
-        v = v_prev
-        b = jnp.zeros((in_n, bt, out_n), jnp.float32)
+    def step(t, v_flat):
+        u_t = u_ref[0, t]  # [in_n, in_d]
+        u_hat = bias
+        for j in range(in_d):  # in_d is small (8-20): static unroll on VPU
+            u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
+        # routing iterations (accumulating logits, reference naive semantics)
+        b_acc = jnp.zeros((in_n, out_n), jnp.float32)
+        v = v_flat
         for _ in range(num_iter):
-            # agreement with previous output capsules
-            b = b + jnp.sum(u_hat * v[None], axis=-1)
-            if pad_mask is not None:
-                b = b + pad_mask[None]
-            c = jax.nn.softmax(b, axis=-1)
-            s = jnp.sum(c[..., None] * u_hat, axis=0)  # [Bt, out_n, out_d]
-            v = squash(s, axis=-1)
-        out_ref[:, t] = v
+            m = g * jnp.transpose(v)  # [out_no, out_n], v broadcast per group
+            b_acc = b_acc + jnp.dot(u_hat, m, preferred_element_type=jnp.float32)
+            if mask_pad:
+                b_acc = b_acc + pad_mask
+            c = jax.nn.softmax(b_acc, axis=1)  # [in_n, out_n]
+            c_exp = jnp.dot(c, gt, preferred_element_type=jnp.float32)
+            s = jnp.sum(u_hat * c_exp, axis=0, keepdims=True)  # [1, out_no]
+            sq = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
+            factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
+            v = s * jnp.dot(factor, gt, preferred_element_type=jnp.float32)
+        out_ref[0, t] = v[0]
         return v
 
-    v0 = jnp.zeros((bt, out_n, out_d), jnp.float32)
+    v0 = jnp.zeros((1, out_no), jnp.float32)
     jax.lax.fori_loop(0, seq_len, step, v0)
 
 
-def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, batch_tile=None,
-                interpret=None):
+def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
     batch, seq_len, in_n, in_d = u.shape
     _, out_n, out_d, _ = wgt.shape
+    out_no = out_n * out_d
     if interpret is None:
         interpret = not _on_tpu()
-    if batch_tile is None or batch_tile > batch:
-        batch_tile = batch
-    while batch % batch_tile:
-        batch_tile -= 1
 
-    w_flat = jnp.transpose(wgt, (0, 3, 1, 2)).reshape(in_n, in_d, out_n * out_d)
-    b_flat = bias.reshape(in_n, out_n * out_d)
+    # [in_d, in_n, out_no] so the unrolled j-loop indexes the leading dim
+    w_flat = jnp.transpose(wgt, (3, 0, 1, 2)).reshape(in_d, in_n, out_no)
+    b_flat = bias.reshape(in_n, out_no)
+    group = np.zeros((out_no, out_n), np.float32)
+    group[np.arange(out_no), np.arange(out_no) // out_d] = 1.0
+    g = jnp.asarray(group)
 
     kernel = functools.partial(
         _sdr_kernel, num_iter=num_iter, mask_pad=mask_pad_capsule,
-        out_n=out_n, out_d=out_d,
+        in_d=in_d, out_n=out_n, out_no=out_no,
     )
-    grid = (batch // batch_tile,)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(batch,),
         in_specs=[
-            pl.BlockSpec(
-                (batch_tile, seq_len, in_n, in_d),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.ANY if False else pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (in_n, in_d, out_n * out_d), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (in_n, out_n * out_d), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, seq_len, in_n, in_d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_d, in_n, out_no), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_n, out_no), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_no, out_n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_n, out_no), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (batch_tile, seq_len, out_n, out_d),
-            lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, seq_len, out_n, out_d),
-                                       jnp.float32),
+        out_specs=pl.BlockSpec((1, seq_len, out_no), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, seq_len, out_no), jnp.float32),
         interpret=interpret,
-    )(u.astype(jnp.float32), w_flat, b_flat)
+    )(u.astype(jnp.float32), w_flat, b_flat, g, jnp.transpose(g))
+    return out.reshape(batch, seq_len, out_n, out_d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def sequential_routing_pallas(u, wgt, bias, num_iter, mask_pad_capsule,
                               batch_tile=None):
     """Fused-SDR with XLA-scan VJP. Same contract as
-    ops.routing.sequential_routing."""
-    return _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, batch_tile)
+    ops.routing.sequential_routing (``batch_tile`` kept for API stability;
+    the kernel grids over single batch elements)."""
+    return _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule)
 
 
 def _fwd(u, wgt, bias, num_iter, mask_pad_capsule, batch_tile):
-    out = _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, batch_tile)
+    out = _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule)
     return out, (u, wgt, bias)
 
 
@@ -149,7 +141,7 @@ def _bwd(num_iter, mask_pad_capsule, batch_tile, residuals, g):
         ),
         u, wgt, bias,
     )
-    return vjp(g)
+    return vjp(g.astype(u.dtype))
 
 
 sequential_routing_pallas.defvjp(_fwd, _bwd)

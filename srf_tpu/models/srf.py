@@ -68,6 +68,7 @@ class SequenceRouter(nn.Module):
     stride: int = 2
     time_chunk: Optional[int] = None  # SDR u_hat chunking (MXU batching)
     routing_impl: str = "xla"  # xla | pallas (--tpu-routing-kernel)
+    routing_remat: bool = False  # checkpoint the SDR scan body
 
     @classmethod
     def from_config(cls, config, class_n, **overrides):
@@ -150,7 +151,7 @@ class SequenceRouter(nn.Module):
         emb = emb.reshape(batch, seq_len, self.caps_primary_num, self.caps_primary_dim)
         emb = squash(emb, axis=-1)
         flat = emb.reshape(batch, seq_len, -1)
-        flat = nn.LayerNorm(name="ln_input")(flat)
+        flat = nn.LayerNorm(epsilon=1e-3, name="ln_input")(flat)
         emb = flat.reshape(batch, seq_len, self.caps_primary_num, self.caps_primary_dim)
         emb = nn.Dropout(rate=self.inp_dropout, deterministic=not training)(emb)
 
@@ -168,12 +169,13 @@ class SequenceRouter(nn.Module):
                 is_last_layer=(i == self.enc_num - 1),
                 time_chunk=self.time_chunk,
                 impl=self.routing_impl,
+                remat=self.routing_remat,
             )
             flat = emb.reshape(batch, seq_len, -1)
-            flat = nn.LayerNorm(name="ln_mid%d" % (i + 1))(flat)
+            flat = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))(flat)
             emb = flat.reshape(batch, seq_len, out_n, out_d)
             emb = nn.Dropout(rate=self.inn_dropout, deterministic=not training)(emb)
 
         eps = 1e-9 if self.caps_type == "einsum" else 1e-7
         logits = capsule_length(emb, axis=-1, epsilon=eps)
-        return nn.LayerNorm(name="ln_output")(logits)
+        return nn.LayerNorm(epsilon=1e-3, name="ln_output")(logits)

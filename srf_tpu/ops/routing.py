@@ -113,7 +113,7 @@ def _sdr_step(u_hat_t, v_prev, num_iter, pad_mask):
 
 
 def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
-                       time_chunk=None):
+                       time_chunk=None, remat=False):
     """SDR: scan over time, carrying the previous output capsules.
 
     ``u`` is [B, T, in_n, in_d]; the weight multiply runs inside the scan
@@ -122,6 +122,10 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     ``time_chunk``: if set, the prediction einsum is hoisted out of the scan
     in chunks of this many timesteps to batch the matmul for the MXU while
     bounding live memory (the naive-vs-lowmemory tradeoff as a tile size).
+
+    ``remat``: checkpoint the scan body — the backward pass recomputes the
+    per-step routing chain instead of reading saved residuals from HBM
+    (trades VPU flops for HBM bandwidth on the sequential hot path).
     """
     out_n = wgt.shape[1]
     out_d = wgt.shape[2]
@@ -147,6 +151,8 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
             v = _sdr_step(u_hat_t, v_prev, num_iter, pad_mask)
             return v, v
 
+        if remat:
+            body = jax.checkpoint(body)
         _, vs = jax.lax.scan(body, v0, u_t_major)
         return jnp.moveaxis(vs, 0, 1).astype(in_dtype)
 
@@ -181,7 +187,7 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
 
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
-                time_chunk=None, impl="xla"):
+                time_chunk=None, impl="xla", remat=False):
     """One capsule layer: prediction + routing (DR or SDR).
 
     ``impl``: "xla" (lax.scan) or "pallas" (fused kernel,
@@ -197,7 +203,7 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
             )
         return sequential_routing(
             u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
-            time_chunk=time_chunk,
+            time_chunk=time_chunk, remat=remat,
         )
     u_hat = predict_capsules(u, wgt, bias)
     out = dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last_layer)

@@ -44,17 +44,20 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
 
         prev = time.time()
         index = 0
+        pending = []  # device metrics, fetched lazily so steps pipeline
         for batch in train_loader:
             state, metrics = train_step(
                 state,
                 {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
                 rng,
             )
+            pending.append(metrics)
             if index % 50 == 0 and index > 0:
-                metrics = jax.device_get(metrics)
-                train_loss.update(metrics["loss_sum"], metrics["samples"])
-                train_samples.update(metrics["samples"])
-                num_feats.update(metrics["frames"])
+                for fetched in jax.device_get(pending):
+                    train_loss.update(fetched["loss_sum"], fetched["samples"])
+                    train_samples.update(fetched["samples"])
+                    num_feats.update(fetched["frames"])
+                pending = []
                 step_i = int(jax.device_get(state.step))
                 lr = float(schedule_fn(step_i)) if schedule_fn else float(
                     config.train_lr_param_k or 0.0
@@ -69,12 +72,11 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                     ),
                     flush=True,
                 )
-            else:
-                metrics = jax.device_get(metrics)
-                train_loss.update(metrics["loss_sum"], metrics["samples"])
-                train_samples.update(metrics["samples"])
-                num_feats.update(metrics["frames"])
             index += 1
+        for fetched in jax.device_get(pending):
+            train_loss.update(fetched["loss_sum"], fetched["samples"])
+            train_samples.update(fetched["samples"])
+            num_feats.update(fetched["frames"])
         train_secs = time.time() - prev
         step_i = int(jax.device_get(state.step))
         logger.info(
@@ -89,13 +91,14 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         )
 
         prev = time.time()
-        for batch in valid_loader:
-            metrics = jax.device_get(
-                valid_step(
-                    state,
-                    {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
-                )
+        pending = [
+            valid_step(
+                state,
+                {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
             )
+            for batch in valid_loader
+        ]
+        for metrics in jax.device_get(pending):
             valid_loss.update(metrics["loss_sum"], metrics["samples"])
         valid_secs = time.time() - prev
         better = valid_loss.result() - pre_loss <= (pre_loss * 0.01)

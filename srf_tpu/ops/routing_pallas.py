@@ -2,20 +2,21 @@
 
 The SDR time recurrence is the throughput bottleneck of the SRF model
 (SURVEY.md §3.2: the reference runs it as a tf.while_loop + TensorArray,
-sequence_router_lowmemory.py:172-177). This kernel fuses the whole
-recurrence for one capsule layer into a single Pallas program per
-batch element: weights stay in VMEM across the sequence and each timestep's
-prediction/agreement/softmax/weighted-sum/squash chain runs without HBM
-round trips.
+sequence_router_lowmemory.py:172-177). This kernel runs the recurrence for
+one capsule layer as a Pallas program with grid (batch, time): time is the
+innermost (sequential) grid dimension, the carried output capsules live in
+a VMEM scratch that persists across grid steps (reset at t == 0), and each
+step's prediction/agreement/softmax/weighted-sum/squash chain is fused —
+weights stay resident in VMEM, no HBM round trips between timesteps.
 
-Mosaic-friendly layout (everything is 2-D, lanes = out_n*out_d):
-    u_t     [in_n, in_d]            (in_d statically unrolled)
-    u_hat   [in_n, out_no]          out_no = out_n * out_d
-    G       [out_no, out_n]         static 0/1 capsule-group matrix
-    agreement  b += u_hat @ (G * v^T)          -> [in_n, out_n]   (MXU)
+Mosaic-friendly layout (everything 2-D, lanes = out_n*out_d = "out_no"):
+    u_t     [in_n, in_d]       block per (b, t); in_d statically unrolled
+    u_hat   [in_n, out_no]     rank-1 accumulated prediction vectors
+    G       [out_no, out_n]    static 0/1 capsule-group matrix
+    agreement  b += (u_hat * v_row) @ G        -> [in_n, out_n]   (MXU)
     coupling   c = softmax(b, lanes)
     s = sum_n(u_hat * (c @ G^T))               -> [1, out_no]
-    squash via group norms: (s*s) @ G, factor broadcast back with G^T
+    squash via group norms: (s*s) @ G, factor spread back with G^T
 
 Gradients: custom VJP whose backward re-runs the XLA scan implementation's
 VJP (numerically identical math). Falls back to interpret mode off-TPU.
@@ -39,43 +40,43 @@ def _on_tpu():
         return False
 
 
-def _sdr_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, *, num_iter,
-                mask_pad, in_d, out_n, out_no):
-    """One batch element: u [1, T, in_n, in_d] -> vs [1, T, out_no]."""
-    seq_len = u_ref.shape[1]
+def _sdr_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, v_ref, *,
+                num_iter, mask_pad, in_d, out_n, out_no):
+    """Grid (batch, t): u [1, 1, in_n, in_d] -> out [1, 1, out_no]."""
+    t = pl.program_id(1)
     in_n = u_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        v_ref[:] = jnp.zeros_like(v_ref)
+
     g = g_ref[:]    # [out_no, out_n]
     gt = gt_ref[:]  # [out_n, out_no]
-    bias = b_ref[:]  # [in_n, out_no]
+    u_t = u_ref[0, 0]  # [in_n, in_d]
+
+    u_hat = b_ref[:]  # start from the bias
+    for j in range(in_d):  # in_d is small (8-20): static unroll on the VPU
+        u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
 
     if mask_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
         pad_mask = jnp.where(col == 0, NEG_INF, 0.0).astype(jnp.float32)
 
-    def step(t, v_flat):
-        u_t = u_ref[0, t]  # [in_n, in_d]
-        u_hat = bias
-        for j in range(in_d):  # in_d is small (8-20): static unroll on VPU
-            u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
-        # routing iterations (accumulating logits, reference naive semantics)
-        b_acc = jnp.zeros((in_n, out_n), jnp.float32)
-        v = v_flat
-        for _ in range(num_iter):
-            m = g * jnp.transpose(v)  # [out_no, out_n], v broadcast per group
-            b_acc = b_acc + jnp.dot(u_hat, m, preferred_element_type=jnp.float32)
-            if mask_pad:
-                b_acc = b_acc + pad_mask
-            c = jax.nn.softmax(b_acc, axis=1)  # [in_n, out_n]
-            c_exp = jnp.dot(c, gt, preferred_element_type=jnp.float32)
-            s = jnp.sum(u_hat * c_exp, axis=0, keepdims=True)  # [1, out_no]
-            sq = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
-            factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
-            v = s * jnp.dot(factor, gt, preferred_element_type=jnp.float32)
-        out_ref[0, t] = v[0]
-        return v
-
-    v0 = jnp.zeros((1, out_no), jnp.float32)
-    jax.lax.fori_loop(0, seq_len, step, v0)
+    v = v_ref[:]  # [1, out_no]
+    b_acc = jnp.zeros((in_n, out_n), jnp.float32)
+    for _ in range(num_iter):
+        b_acc = b_acc + jnp.dot(u_hat * v, g,
+                                preferred_element_type=jnp.float32)
+        if mask_pad:
+            b_acc = b_acc + pad_mask
+        c = jax.nn.softmax(b_acc, axis=1)  # [in_n, out_n]
+        c_exp = jnp.dot(c, gt, preferred_element_type=jnp.float32)
+        s = jnp.sum(u_hat * c_exp, axis=0, keepdims=True)  # [1, out_no]
+        sq = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
+        factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
+        v = s * jnp.dot(factor, gt, preferred_element_type=jnp.float32)
+    v_ref[:] = v
+    out_ref[0, 0] = v[0]
 
 
 def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
@@ -98,22 +99,23 @@ def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
     )
     out = pl.pallas_call(
         kernel,
-        grid=(batch,),
+        grid=(batch, seq_len),
         in_specs=[
-            pl.BlockSpec((1, seq_len, in_n, in_d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, in_n, in_d), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda i: (0, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda i: (0, 0),
+            pl.BlockSpec((in_n, out_no), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_no, out_n), lambda i: (0, 0),
+            pl.BlockSpec((out_no, out_n), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_n, out_no), lambda i: (0, 0),
+            pl.BlockSpec((out_n, out_no), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, seq_len, out_no), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, out_no), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, seq_len, out_no), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, out_no), jnp.float32)],
         interpret=interpret,
     )(u.astype(jnp.float32), w_flat, b_flat, g, jnp.transpose(g))
     return out.reshape(batch, seq_len, out_n, out_d)
@@ -123,8 +125,7 @@ def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
 def sequential_routing_pallas(u, wgt, bias, num_iter, mask_pad_capsule,
                               batch_tile=None):
     """Fused-SDR with XLA-scan VJP. Same contract as
-    ops.routing.sequential_routing (``batch_tile`` kept for API stability;
-    the kernel grids over single batch elements)."""
+    ops.routing.sequential_routing (``batch_tile`` kept for API stability)."""
     return _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule)
 
 

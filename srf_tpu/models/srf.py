@@ -69,6 +69,7 @@ class SequenceRouter(nn.Module):
     time_chunk: Optional[int] = None  # SDR u_hat chunking (MXU batching)
     routing_impl: str = "xla"  # xla | pallas (--tpu-routing-kernel)
     routing_remat: bool = False  # checkpoint the SDR scan body
+    routing_unroll: int = 8  # scan body unroll factor (iteration overhead)
 
     @classmethod
     def from_config(cls, config, class_n, **overrides):
@@ -170,6 +171,7 @@ class SequenceRouter(nn.Module):
                 time_chunk=self.time_chunk,
                 impl=self.routing_impl,
                 remat=self.routing_remat,
+                unroll=self.routing_unroll,
             )
             flat = emb.reshape(batch, seq_len, -1)
             flat = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))(flat)

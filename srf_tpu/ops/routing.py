@@ -113,7 +113,7 @@ def _sdr_step(u_hat_t, v_prev, num_iter, pad_mask):
 
 
 def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
-                       time_chunk=None, remat=False):
+                       time_chunk=None, remat=False, unroll=8):
     """SDR: scan over time, carrying the previous output capsules.
 
     ``u`` is [B, T, in_n, in_d]; the weight multiply runs inside the scan
@@ -153,7 +153,7 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
         if remat:
             body = jax.checkpoint(body)
-        _, vs = jax.lax.scan(body, v0, u_t_major)
+        _, vs = jax.lax.scan(body, v0, u_t_major, unroll=unroll)
         return jnp.moveaxis(vs, 0, 1).astype(in_dtype)
 
     # chunked: precompute u_hat for `time_chunk` steps at once (MXU batch),
@@ -187,7 +187,7 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
 
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
-                time_chunk=None, impl="xla", remat=False):
+                time_chunk=None, impl="xla", remat=False, unroll=8):
     """One capsule layer: prediction + routing (DR or SDR).
 
     ``impl``: "xla" (lax.scan) or "pallas" (fused kernel,
@@ -203,7 +203,7 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
             )
         return sequential_routing(
             u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
-            time_chunk=time_chunk, remat=remat,
+            time_chunk=time_chunk, remat=remat, unroll=unroll,
         )
     u_hat = predict_capsules(u, wgt, bias)
     out = dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last_layer)

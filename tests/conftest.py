@@ -13,6 +13,11 @@ exercise the real chip instead.
 
 import os
 
+# oneDNN's TF-CPU softmax kernel rejects the 6-D tensors of the reference
+# DR path exercised by the parity tests; must be set before TF ever loads
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+
 _platform = os.environ.get("SRF_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
 os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -23,7 +23,7 @@ def sync(x):
     return float(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
 
 
-def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=False,
+def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=False, routing_unroll=8,
           batch=29, frames=241):
     from srf_tpu.models.srf import SequenceRouter
     from srf_tpu.train.optimizer import noam_schedule
@@ -80,6 +80,8 @@ def main():
 
     variants = [
         ("scan", dict()),
+        ("scan_unroll1", dict(routing_unroll=1)),
+        ("scan_unroll16", dict(routing_unroll=16)),
         ("scan_chunk8", dict(time_chunk=8)),
         ("scan_chunk16", dict(time_chunk=16)),
         ("scan_chunk32", dict(time_chunk=32)),

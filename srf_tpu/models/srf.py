@@ -32,7 +32,7 @@ The lowmemory DR path's missing W-multiply bug is NOT preserved (see
 ops/routing.py docstring).
 """
 
-import math
+
 from typing import Optional
 
 import jax.numpy as jnp

@@ -40,43 +40,43 @@ def _on_tpu():
         return False
 
 
-def _sdr_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, v_ref, *,
+def _sdr_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, *,
                 num_iter, mask_pad, in_d, out_n, out_no):
-    """Grid (batch, t): u [1, 1, in_n, in_d] -> out [1, 1, out_no]."""
-    t = pl.program_id(1)
+    """Grid (batch,): u [1, T, in_n, in_d] -> out [1, T, out_no]."""
+    seq_len = u_ref.shape[1]
     in_n = u_ref.shape[2]
-
-    @pl.when(t == 0)
-    def _():
-        v_ref[:] = jnp.zeros_like(v_ref)
-
     g = g_ref[:]    # [out_no, out_n]
     gt = gt_ref[:]  # [out_n, out_no]
-    u_t = u_ref[0, 0]  # [in_n, in_d]
-
-    u_hat = b_ref[:]  # start from the bias
-    for j in range(in_d):  # in_d is small (8-20): static unroll on the VPU
-        u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
+    bias = b_ref[:]  # [in_n, out_no]
 
     if mask_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
         pad_mask = jnp.where(col == 0, NEG_INF, 0.0).astype(jnp.float32)
 
-    v = v_ref[:]  # [1, out_no]
-    b_acc = jnp.zeros((in_n, out_n), jnp.float32)
-    for _ in range(num_iter):
-        b_acc = b_acc + jnp.dot(u_hat * v, g,
-                                preferred_element_type=jnp.float32)
-        if mask_pad:
-            b_acc = b_acc + pad_mask
-        c = jax.nn.softmax(b_acc, axis=1)  # [in_n, out_n]
-        c_exp = jnp.dot(c, gt, preferred_element_type=jnp.float32)
-        s = jnp.sum(u_hat * c_exp, axis=0, keepdims=True)  # [1, out_no]
-        sq = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
-        factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
-        v = s * jnp.dot(factor, gt, preferred_element_type=jnp.float32)
-    v_ref[:] = v
-    out_ref[0, 0] = v[0]
+    def step(t, v_carry):
+        u_t = u_ref[0, t]  # [in_n, in_d]
+        u_hat = bias
+        for j in range(in_d):  # in_d is small (8-20): static unroll (VPU)
+            u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
+
+        v = v_carry  # [1, out_no]
+        b_acc = jnp.zeros((in_n, out_n), jnp.float32)
+        for _ in range(num_iter):
+            b_acc = b_acc + jnp.dot(u_hat * v, g,
+                                    preferred_element_type=jnp.float32)
+            if mask_pad:
+                b_acc = b_acc + pad_mask
+            c = jax.nn.softmax(b_acc, axis=1)  # [in_n, out_n]
+            c_exp = jnp.dot(c, gt, preferred_element_type=jnp.float32)
+            s = jnp.sum(u_hat * c_exp, axis=0, keepdims=True)  # [1, out_no]
+            sq = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
+            factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
+            v = s * jnp.dot(factor, gt, preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(t, 1)] = v
+        return v
+
+    v0 = jnp.zeros((1, out_no), jnp.float32)
+    jax.lax.fori_loop(0, seq_len, step, v0)
 
 
 def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
@@ -99,23 +99,22 @@ def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
     )
     out = pl.pallas_call(
         kernel,
-        grid=(batch, seq_len),
+        grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, 1, in_n, in_d), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, seq_len, in_n, in_d), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda b, t: (0, 0),
+            pl.BlockSpec((in_n, out_no), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_no, out_n), lambda b, t: (0, 0),
+            pl.BlockSpec((out_no, out_n), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_n, out_no), lambda b, t: (0, 0),
+            pl.BlockSpec((out_n, out_no), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, out_no), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, seq_len, out_no), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, seq_len, out_no), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, out_no), jnp.float32)],
         interpret=interpret,
     )(u.astype(jnp.float32), w_flat, b_flat, g, jnp.transpose(g))
     return out.reshape(batch, seq_len, out_n, out_d)

@@ -1,0 +1,67 @@
+"""BucketedLoader unit tests: static shapes, bucketing, shuffling."""
+
+import numpy as np
+
+from srf_tpu.data.loader import BucketedLoader, EvalLoader
+
+
+class FakeDataset:
+    def __init__(self, lengths, feat_dim=4, label_len=3):
+        rng = np.random.RandomState(0)
+        self.feat_dim = feat_dim
+        self.feats = [rng.randn(n, feat_dim).astype(np.float32) for n in lengths]
+        self.labels = [
+            rng.randint(1, 5, size=label_len).astype(np.int32) for _ in lengths
+        ]
+        self.utt_ids = None
+
+    def __len__(self):
+        return len(self.feats)
+
+
+def test_static_shapes_per_bucket():
+    ds = FakeDataset([5, 8, 10, 12, 18, 20, 19, 7, 9, 11])
+    loader = BucketedLoader(ds, [10], [4, 2], shuffle=False, prefetch=0)
+    shapes = set()
+    for batch in loader:
+        shapes.add(batch["feats"].shape)
+        assert batch["feats"].shape[0] in (4, 2)
+        # padding beyond each utterance's length is exactly zero
+        for i in range(batch["feats"].shape[0]):
+            n = batch["inp_len"][i]
+            assert np.all(batch["feats"][i, n:] == 0)
+    # bucket 0: 6 utts <= 10 -> one batch of 4 (2 dropped);
+    # bucket 1: 4 utts > 10 -> two batches of 2
+    assert len(shapes) == 2
+    widths = sorted(s[1] for s in shapes)
+    assert widths[0] == 10  # bucket boundary is the static width
+
+
+def test_drop_remainder_and_epoch_shuffle():
+    ds = FakeDataset([5] * 7)
+    loader = BucketedLoader(ds, [10], [3, 1], shuffle=True, seed=1, prefetch=0)
+    first = [b["inp_len"].copy() for b in loader]
+    assert sum(b.shape[0] for b in first) == 6  # 7 -> two batches of 3
+    second = [b["inp_len"].copy() for b in loader]
+    assert sum(b.shape[0] for b in second) == 6
+
+
+def test_eval_loader_pads_to_multiple():
+    ds = FakeDataset([5, 129])
+    ds.utt_ids = ["a", "b"]
+    loader = EvalLoader(ds, batch_size=1, pad_multiple=128)
+    batches = list(loader)
+    assert batches[0]["feats"].shape[1] == 128
+    assert batches[1]["feats"].shape[1] == 256
+    assert batches[0]["utt_ids"] == ["a"]
+
+
+def test_prefetch_thread_yields_same_batches():
+    ds = FakeDataset([5, 6, 7, 8, 9, 10])
+    plain = BucketedLoader(ds, [12], [2, 1], shuffle=False, prefetch=0)
+    threaded = BucketedLoader(ds, [12], [2, 1], shuffle=False, prefetch=2)
+    a = [b["inp_len"] for b in plain]
+    b = [b["inp_len"] for b in threaded]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

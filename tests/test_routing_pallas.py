@@ -35,17 +35,22 @@ def test_pallas_sdr_batch_tiling():
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
 
 
-def test_pallas_sdr_gradients_match_xla():
-    u, W, b = _problem(B=2, T=5)
+@pytest.mark.parametrize("mask,num_iter", [(True, 1), (False, 1), (True, 2)])
+def test_pallas_sdr_gradients_match_xla(mask, num_iter):
+    """num_iter==1 exercises the fused Pallas backward kernel; num_iter==2
+    the XLA-scan VJP fallback."""
+    u, W, b = _problem(B=3, T=6)
 
     def loss_pallas(u, W, b):
-        return jnp.sum(sequential_routing_pallas(u, W, b, 1, True) ** 2)
+        out = sequential_routing_pallas(u, W, b, num_iter, mask)
+        return jnp.sum(out**2) + jnp.sum(out[:, -1])
 
     def loss_xla(u, W, b):
-        return jnp.sum(sequential_routing(u, W, b, 1, True) ** 2)
+        out = sequential_routing(u, W, b, num_iter, mask)
+        return jnp.sum(out**2) + jnp.sum(out[:, -1])
 
     gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(u, W, b)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(u, W, b)
     for a, e in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=2e-4, atol=1e-5)

@@ -4,10 +4,11 @@ The SDR time recurrence is the throughput bottleneck of the SRF model
 (SURVEY.md §3.2: the reference runs it as a tf.while_loop + TensorArray,
 sequence_router_lowmemory.py:172-177). This kernel runs the recurrence for
 one capsule layer as a Pallas program with grid (batch, time): time is the
-innermost (sequential) grid dimension, the carried output capsules live in
-a VMEM scratch that persists across grid steps (reset at t == 0), and each
-step's prediction/agreement/softmax/weighted-sum/squash chain is fused —
-weights stay resident in VMEM, no HBM round trips between timesteps.
+innermost (sequential) grid dimension, per-timestep input/output blocks are
+delivered by the BlockSpec machinery (double-buffered DMA, **no in-kernel
+dynamic indexing** — dynamic slicing of large VMEM blocks stalls the Mosaic
+compiler), and the carried output capsules live in a VMEM scratch that
+persists across grid steps (reset at t == 0).
 
 Mosaic-friendly layout (everything 2-D, lanes = out_n*out_d = "out_no"):
     u_t     [in_n, in_d]       block per (b, t); in_d statically unrolled
@@ -18,8 +19,14 @@ Mosaic-friendly layout (everything 2-D, lanes = out_n*out_d = "out_no"):
     s = sum_n(u_hat * (c @ G^T))               -> [1, out_no]
     squash via group norms: (s*s) @ G, factor spread back with G^T
 
-Gradients: custom VJP whose backward re-runs the XLA scan implementation's
-VJP (numerically identical math). Falls back to interpret mode off-TPU.
+The output array carries a padded sublane dim of 8 ((B, T, 8, out_no),
+sliced to [..., 0, :] outside) because Mosaic requires block shapes whose
+last two dims are (multiples of 8, 128) or equal to the array dims.
+
+Backward: a fused reverse-time kernel for num_iter == 1 (the canonical SRF
+configs) that recomputes the cheap per-step chain from ``u`` and the saved
+forward outputs and accumulates dW/dbias across the whole grid; other
+iteration counts fall back to the XLA scan's VJP.
 """
 
 import functools
@@ -40,43 +47,55 @@ def _on_tpu():
         return False
 
 
-def _sdr_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, *,
-                num_iter, mask_pad, in_d, out_n, out_no):
-    """Grid (batch,): u [1, T, in_n, in_d] -> out [1, T, out_no]."""
-    seq_len = u_ref.shape[1]
+def _group_matrix(out_n, out_d):
+    out_no = out_n * out_d
+    group = np.zeros((out_no, out_n), np.float32)
+    group[np.arange(out_no), np.arange(out_no) // out_d] = 1.0
+    return jnp.asarray(group)
+
+
+def _routing_iters(u_hat, v, g, gt, pad_mask, num_iter, in_n, out_n):
+    """Shared fwd math: returns final v [1, out_no]."""
+    b_acc = jnp.zeros((in_n, out_n), jnp.float32)
+    for _ in range(num_iter):
+        b_acc = b_acc + jnp.dot(u_hat * v, g,
+                                preferred_element_type=jnp.float32)
+        if pad_mask is not None:
+            b_acc = b_acc + pad_mask
+        c = jax.nn.softmax(b_acc, axis=1)
+        c_exp = jnp.dot(c, gt, preferred_element_type=jnp.float32)
+        s = jnp.sum(u_hat * c_exp, axis=0, keepdims=True)
+        sq = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
+        factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
+        v = s * jnp.dot(factor, gt, preferred_element_type=jnp.float32)
+    return v
+
+
+def _pad_mask_row(out_n):
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
+    return jnp.where(col == 0, NEG_INF, 0.0).astype(jnp.float32)
+
+
+def _sdr_fwd_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, v_ref, *,
+                    num_iter, mask_pad, in_d, out_n, out_no):
+    """Grid (batch, t): u [1, 1, in_n, in_d] -> out [1, 1, 8, out_no]."""
+    t = pl.program_id(1)
     in_n = u_ref.shape[2]
-    g = g_ref[:]    # [out_no, out_n]
-    gt = gt_ref[:]  # [out_n, out_no]
-    bias = b_ref[:]  # [in_n, out_no]
 
-    if mask_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
-        pad_mask = jnp.where(col == 0, NEG_INF, 0.0).astype(jnp.float32)
+    @pl.when(t == 0)
+    def _():
+        v_ref[:] = jnp.zeros_like(v_ref)
 
-    def step(t, v_carry):
-        u_t = u_ref[0, t]  # [in_n, in_d]
-        u_hat = bias
-        for j in range(in_d):  # in_d is small (8-20): static unroll (VPU)
-            u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
+    u_t = u_ref[0, 0]  # [in_n, in_d]
+    u_hat = b_ref[:]
+    for j in range(in_d):  # in_d is small (8-20): static unroll on the VPU
+        u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
 
-        v = v_carry  # [1, out_no]
-        b_acc = jnp.zeros((in_n, out_n), jnp.float32)
-        for _ in range(num_iter):
-            b_acc = b_acc + jnp.dot(u_hat * v, g,
-                                    preferred_element_type=jnp.float32)
-            if mask_pad:
-                b_acc = b_acc + pad_mask
-            c = jax.nn.softmax(b_acc, axis=1)  # [in_n, out_n]
-            c_exp = jnp.dot(c, gt, preferred_element_type=jnp.float32)
-            s = jnp.sum(u_hat * c_exp, axis=0, keepdims=True)  # [1, out_no]
-            sq = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
-            factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
-            v = s * jnp.dot(factor, gt, preferred_element_type=jnp.float32)
-        out_ref[0, pl.ds(t, 1)] = v
-        return v
-
-    v0 = jnp.zeros((1, out_no), jnp.float32)
-    jax.lax.fori_loop(0, seq_len, step, v0)
+    pad_mask = _pad_mask_row(out_n) if mask_pad else None
+    v = _routing_iters(u_hat, v_ref[:], g_ref[:], gt_ref[:], pad_mask,
+                       num_iter, in_n, out_n)
+    v_ref[:] = v
+    out_ref[0, 0] = jnp.broadcast_to(v, (8, out_no))
 
 
 def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
@@ -89,115 +108,105 @@ def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
     # [in_d, in_n, out_no] so the unrolled j-loop indexes the leading dim
     w_flat = jnp.transpose(wgt, (3, 0, 1, 2)).reshape(in_d, in_n, out_no)
     b_flat = bias.reshape(in_n, out_no)
-    group = np.zeros((out_no, out_n), np.float32)
-    group[np.arange(out_no), np.arange(out_no) // out_d] = 1.0
-    g = jnp.asarray(group)
+    g = _group_matrix(out_n, out_d)
 
     kernel = functools.partial(
-        _sdr_kernel, num_iter=num_iter, mask_pad=mask_pad_capsule,
+        _sdr_fwd_kernel, num_iter=num_iter, mask_pad=mask_pad_capsule,
         in_d=in_d, out_n=out_n, out_no=out_no,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(batch,),
+        grid=(batch, seq_len),
         in_specs=[
-            pl.BlockSpec((1, seq_len, in_n, in_d), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, in_n, in_d), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda b: (0, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda b: (0, 0),
+            pl.BlockSpec((in_n, out_no), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_no, out_n), lambda b: (0, 0),
+            pl.BlockSpec((out_no, out_n), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_n, out_no), lambda b: (0, 0),
+            pl.BlockSpec((out_n, out_no), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, seq_len, out_no), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 8, out_no), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, seq_len, out_no), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, seq_len, 8, out_no),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, out_no), jnp.float32)],
         interpret=interpret,
     )(u.astype(jnp.float32), w_flat, b_flat, g, jnp.transpose(g))
-    return out.reshape(batch, seq_len, out_n, out_d)
+    return out[:, :, 0, :].reshape(batch, seq_len, out_n, out_d)
 
 
-def _sdr_bwd_kernel(u_ref, vs_ref, dvs_ref, w_ref, b_ref, g_ref, gt_ref,
-                    du_ref, dw_ref, db_ref, *, mask_pad, in_d, out_n, out_no):
-    """Reverse pass for num_iter == 1, grid (batch,).
+def _sdr_bwd_kernel(u_ref, vprev_ref, dvs_ref, w_ref, b_ref, g_ref, gt_ref,
+                    du_ref, dw_ref, db_ref, dv_ref, *, mask_pad, in_d, out_n,
+                    out_no, seq_len):
+    """Grid (batch, k) with k walking time BACKWARDS via the index maps.
 
-    Recomputes the per-step forward chain from ``u`` and the saved forward
-    outputs ``vs`` (v_{t-1} is vs[t-1]), walks time backwards carrying the
-    gradient flowing into v_{t-1} from the agreement term, and accumulates
-    dW/dbias across the batch grid (initialized at b == 0).
+    Recomputes the per-step forward chain (num_iter == 1) and accumulates
+    dW/dbias across the whole grid; the carried gradient into v_{t-1} lives
+    in VMEM scratch, reset at k == 0 (i.e. t == T-1).
     """
     b_idx = pl.program_id(0)
-    seq_len = u_ref.shape[1]
+    k = pl.program_id(1)
     in_n = u_ref.shape[2]
     g = g_ref[:]
     gt = gt_ref[:]
-    bias = b_ref[:]
 
-    @pl.when(b_idx == 0)
+    @pl.when(jnp.logical_and(b_idx == 0, k == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
+    @pl.when(k == 0)
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    t_is_zero = k == seq_len - 1
+    u_t = u_ref[0, 0]  # [in_n, in_d]
+    v_prev = jnp.where(t_is_zero, jnp.zeros((1, out_no), jnp.float32),
+                       vprev_ref[0, 0, 0:1])
+
+    # ---- recompute the forward chain ----
+    u_hat = b_ref[:]
+    for j in range(in_d):
+        u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
+    a = jnp.dot(u_hat * v_prev, g, preferred_element_type=jnp.float32)
     if mask_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
-        pad_mask = jnp.where(col == 0, NEG_INF, 0.0).astype(jnp.float32)
+        a = a + _pad_mask_row(out_n)
+    c = jax.nn.softmax(a, axis=1)
+    ce = jnp.dot(c, gt, preferred_element_type=jnp.float32)
+    s = jnp.sum(u_hat * ce, axis=0, keepdims=True)
+    q = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
+    inv_sqrt = 1.0 / jnp.sqrt(q + 1e-7)
+    f = (q / (1.0 + q)) * inv_sqrt
+    fe = jnp.dot(f, gt, preferred_element_type=jnp.float32)
 
-    def step(k, dv_next):
-        t = seq_len - 1 - k
-        u_t = u_ref[0, t]  # [in_n, in_d]
-        # v_{t-1}: forward output at t-1, zeros at t == 0
-        v_prev = jnp.where(t > 0, vs_ref[0, pl.ds(jnp.maximum(t - 1, 0), 1)],
-                           jnp.zeros((1, out_no), jnp.float32))
-        # ---- recompute the forward chain ----
-        u_hat = bias
-        for j in range(in_d):
-            u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
-        a = jnp.dot(u_hat * v_prev, g, preferred_element_type=jnp.float32)
-        if mask_pad:
-            a = a + pad_mask
-        c = jax.nn.softmax(a, axis=1)
-        ce = jnp.dot(c, gt, preferred_element_type=jnp.float32)
-        s = jnp.sum(u_hat * ce, axis=0, keepdims=True)
-        q = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
-        inv_sqrt = 1.0 / jnp.sqrt(q + 1e-7)
-        f = (q / (1.0 + q)) * inv_sqrt
-        fe = jnp.dot(f, gt, preferred_element_type=jnp.float32)
+    # ---- backward ----
+    dv = dvs_ref[0, 0, 0:1] + dv_ref[:]  # [1, out_no]
+    ds = dv * fe
+    df = jnp.dot(dv * s, g, preferred_element_type=jnp.float32)
+    dfdq = inv_sqrt / ((1.0 + q) * (1.0 + q)) - 0.5 * (q / (1.0 + q)) * (
+        inv_sqrt / (q + 1e-7)
+    )
+    dq = df * dfdq
+    ds = ds + 2.0 * s * jnp.dot(dq, gt, preferred_element_type=jnp.float32)
+    du_hat = ce * ds
+    dce = u_hat * ds
+    dc = jnp.dot(dce, g, preferred_element_type=jnp.float32)
+    da = c * (dc - jnp.sum(dc * c, axis=1, keepdims=True))
+    dag = jnp.dot(da, gt, preferred_element_type=jnp.float32)
+    du_hat = du_hat + dag * v_prev
+    dv_prev = jnp.sum(dag * u_hat, axis=0, keepdims=True)
 
-        # ---- backward ----
-        dv = dvs_ref[0, pl.ds(t, 1)] + dv_next  # [1, out_no]
-        # v = s * fe
-        ds = dv * fe
-        df = jnp.dot(dv * s, g, preferred_element_type=jnp.float32)  # [1,out_n]
-        # f(q) = q/(1+q) * (q+eps)^-1/2
-        dfdq = inv_sqrt / ((1.0 + q) * (1.0 + q)) - 0.5 * (
-            q / (1.0 + q)
-        ) * inv_sqrt / (q + 1e-7)
-        dq = df * dfdq
-        ds = ds + 2.0 * s * jnp.dot(dq, gt, preferred_element_type=jnp.float32)
-        # s = sum_n(u_hat * ce)
-        du_hat = ce * ds
-        dce = u_hat * ds
-        dc = jnp.dot(dce, g, preferred_element_type=jnp.float32)
-        # softmax backward over lanes
-        da = c * (dc - jnp.sum(dc * c, axis=1, keepdims=True))
-        dag = jnp.dot(da, gt, preferred_element_type=jnp.float32)
-        # a = (u_hat * v_prev) @ G
-        du_hat = du_hat + dag * v_prev
-        dv_prev = jnp.sum(dag * u_hat, axis=0, keepdims=True)
-        # u_hat = bias + sum_j u_t[:, j] x W2[j]
-        db_ref[:] += du_hat
-        du_cols = []
-        for j in range(in_d):
-            dw_ref[j] += du_hat * u_t[:, j][:, None]
-            du_cols.append(jnp.sum(du_hat * w_ref[j], axis=1, keepdims=True))
-        du_ref[0, pl.ds(t, 1)] = jnp.concatenate(du_cols, axis=1)[None]
-        return dv_prev
-
-    dv0 = jnp.zeros((1, out_no), jnp.float32)
-    jax.lax.fori_loop(0, seq_len, step, dv0)
+    db_ref[:] += du_hat
+    du_cols = []
+    for j in range(in_d):
+        dw_ref[j] += du_hat * u_t[:, j][:, None]
+        du_cols.append(jnp.sum(du_hat * w_ref[j], axis=1, keepdims=True))
+    du_ref[0, 0] = jnp.concatenate(du_cols, axis=1)
+    dv_ref[:] = dv_prev
 
 
 def _pallas_sdr_bwd(u, wgt, bias, vs, dvs, mask_pad_capsule, interpret=None):
@@ -209,39 +218,51 @@ def _pallas_sdr_bwd(u, wgt, bias, vs, dvs, mask_pad_capsule, interpret=None):
 
     w_flat = jnp.transpose(wgt, (3, 0, 1, 2)).reshape(in_d, in_n, out_no)
     b_flat = bias.reshape(in_n, out_no)
-    group = np.zeros((out_no, out_n), np.float32)
-    group[np.arange(out_no), np.arange(out_no) // out_d] = 1.0
-    g = jnp.asarray(group)
+    g = _group_matrix(out_n, out_d)
+    # pad the lane-grouped sequences with a sublane dim of 8 for the block
+    # constraint; vs is shifted so block (b, k) holds v_{t-1} for t = T-1-k
+    vs_flat = vs.reshape(batch, seq_len, 1, out_no)
+    vs_flat = jnp.broadcast_to(vs_flat, (batch, seq_len, 8, out_no))
+    dvs_flat = dvs.reshape(batch, seq_len, 1, out_no)
+    dvs_flat = jnp.broadcast_to(dvs_flat, (batch, seq_len, 8, out_no))
 
     kernel = functools.partial(
         _sdr_bwd_kernel, mask_pad=mask_pad_capsule, in_d=in_d, out_n=out_n,
-        out_no=out_no,
+        out_no=out_no, seq_len=seq_len,
     )
     du, dw, db = pl.pallas_call(
         kernel,
-        grid=(batch,),
+        grid=(batch, seq_len),
         in_specs=[
-            pl.BlockSpec((1, seq_len, in_n, in_d), lambda b: (b, 0, 0, 0),
+            # t = T-1-k
+            pl.BlockSpec((1, 1, in_n, in_d),
+                         lambda b, k: (b, seq_len - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, out_no), lambda b: (b, 0, 0),
+            # v_{t-1} = vs[t-1]; clamped at t==0 (value overridden in-kernel)
+            pl.BlockSpec(
+                (1, 1, 8, out_no),
+                lambda b, k: (b, jnp.maximum(seq_len - 2 - k, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, 8, out_no),
+                         lambda b, k: (b, seq_len - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, out_no), lambda b: (b, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda b, k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda b: (0, 0, 0),
+            pl.BlockSpec((in_n, out_no), lambda b, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda b: (0, 0),
+            pl.BlockSpec((out_no, out_n), lambda b, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_no, out_n), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_n, out_no), lambda b: (0, 0),
+            pl.BlockSpec((out_n, out_no), lambda b, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, seq_len, in_n, in_d), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, in_n, in_d),
+                         lambda b, k: (b, seq_len - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda b: (0, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda b, k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda b: (0, 0),
+            pl.BlockSpec((in_n, out_no), lambda b, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -249,16 +270,11 @@ def _pallas_sdr_bwd(u, wgt, bias, vs, dvs, mask_pad_capsule, interpret=None):
             jax.ShapeDtypeStruct((in_d, in_n, out_no), jnp.float32),
             jax.ShapeDtypeStruct((in_n, out_no), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((1, out_no), jnp.float32)],
         interpret=interpret,
-    )(
-        u.astype(jnp.float32),
-        vs.reshape(batch, seq_len, out_no).astype(jnp.float32),
-        dvs.reshape(batch, seq_len, out_no).astype(jnp.float32),
-        w_flat, b_flat, g, jnp.transpose(g),
-    )
-    dwgt = jnp.transpose(
-        dw.reshape(in_d, in_n, out_n, out_d), (1, 2, 3, 0)
-    )
+    )(u.astype(jnp.float32), vs_flat, dvs_flat, w_flat, b_flat, g,
+      jnp.transpose(g))
+    dwgt = jnp.transpose(dw.reshape(in_d, in_n, out_n, out_d), (1, 2, 3, 0))
     return du, dwgt, db.reshape(in_n, out_n, out_d)
 
 
@@ -279,8 +295,12 @@ def _fwd(u, wgt, bias, num_iter, mask_pad_capsule, batch_tile):
 def _bwd(num_iter, mask_pad_capsule, batch_tile, residuals, g):
     u, wgt, bias, vs = residuals
     if num_iter == 1:
-        du, dwgt, dbias = _pallas_sdr_bwd(u, wgt, bias, vs, g,
-                                          mask_pad_capsule)
+        du, dwgt, dbias = _pallas_sdr_bwd(
+            u, wgt, bias,
+            vs.reshape(vs.shape[0], vs.shape[1], -1),
+            g.reshape(g.shape[0], g.shape[1], -1),
+            mask_pad_capsule,
+        )
         return du.astype(u.dtype), dwgt, dbias
     _, vjp = jax.vjp(
         lambda u_, w_, b_: sequential_routing(

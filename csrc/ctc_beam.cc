@@ -36,10 +36,13 @@ struct Hyp {
 extern "C" {
 
 // logits: [T, K] row-major (pre-softmax). Returns hypothesis length, writes
-// ids into out_ids (capacity max_out). blank < K. Returns -1 on error.
-int64_t srf_ctc_beam_search(const float* logits, int64_t T, int64_t K,
-                            int64_t beam_width, int64_t blank,
-                            int32_t* out_ids, int64_t max_out) {
+// ids into out_ids (capacity max_out). blank < K. prune_logp: skip extension
+// symbols whose frame log-prob is below (max - prune_logp); <= 0 disables
+// pruning (exact). Returns -1 on error.
+int64_t srf_ctc_beam_search_pruned(const float* logits, int64_t T, int64_t K,
+                                   int64_t beam_width, int64_t blank,
+                                   double prune_logp, int32_t* out_ids,
+                                   int64_t max_out) {
   if (T < 0 || K <= 0 || beam_width <= 0 || blank < 0 || blank >= K) return -1;
 
   // prefix trie
@@ -73,6 +76,7 @@ int64_t srf_ctc_beam_search(const float* logits, int64_t T, int64_t K,
     for (int64_t k = 0; k < K; ++k) denom += std::exp(double(row[k]) - mx);
     double log_denom = mx + std::log(denom);
     for (int64_t k = 0; k < K; ++k) lp[k] = double(row[k]) - log_denom;
+    double floor = (prune_logp > 0) ? (mx - log_denom) - prune_logp : -1e300;
 
     std::unordered_map<int32_t, Hyp> next;
     next.reserve(beams.size() * 4);
@@ -91,6 +95,7 @@ int64_t srf_ctc_beam_search(const float* logits, int64_t T, int64_t K,
       int32_t last = symbol[node];
       for (int64_t k = 0; k < K; ++k) {
         double lpk = lp[k];
+        if (k != blank && lpk < floor) continue;
         if (k == blank) {
           acc(node, true, p_tot + lpk);
         } else if (static_cast<int32_t>(k) == last) {
@@ -132,6 +137,14 @@ int64_t srf_ctc_beam_search(const float* logits, int64_t T, int64_t K,
   if (n > max_out) return -1;
   for (int64_t i = 0; i < n; ++i) out_ids[i] = rev[n - 1 - i];
   return n;
+}
+
+// Exact (unpruned) variant — the scoring path's default.
+int64_t srf_ctc_beam_search(const float* logits, int64_t T, int64_t K,
+                            int64_t beam_width, int64_t blank,
+                            int32_t* out_ids, int64_t max_out) {
+  return srf_ctc_beam_search_pruned(logits, T, K, beam_width, blank, 0.0,
+                                    out_ids, max_out);
 }
 
 }  // extern "C"

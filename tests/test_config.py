@@ -1,0 +1,83 @@
+"""Config system tests: conf-file merge semantics (CLI wins)."""
+
+import pytest
+
+from srf_tpu.config import Logger, ParseOption
+
+
+@pytest.fixture
+def logger():
+    return Logger(name="cfg-test", level=Logger.INFO).logger
+
+
+def _write_conf(tmp_path, lines):
+    conf = tmp_path / "test.conf"
+    conf.write_text("\n".join(lines) + "\n")
+    return str(conf)
+
+
+def test_conf_file_provides_defaults(tmp_path, logger):
+    conf = _write_conf(tmp_path, [
+        "--feat-dim=123", "--model-encoder-num=7", "--train-batch-frame=7000",
+    ])
+    args = ParseOption(
+        ["prog", "--config=%s" % conf, "--path-base=%s" % tmp_path],
+        logger, is_print_opts=False,
+    ).args
+    assert args.feat_dim == 123
+    assert args.model_encoder_num == 7
+    assert args.train_batch_frame == 7000
+
+
+def test_command_line_wins_over_conf(tmp_path, logger):
+    conf = _write_conf(tmp_path, ["--feat-dim=123", "--train-warmup-n=25000"])
+    args = ParseOption(
+        ["prog", "--config=%s" % conf, "--path-base=%s" % tmp_path,
+         "--feat-dim=80"],
+        logger, is_print_opts=False,
+    ).args
+    assert args.feat_dim == 80        # CLI wins
+    assert args.train_warmup_n == 25000  # conf fills the rest
+
+
+def test_conf_extension_enforced(tmp_path, logger):
+    bad = tmp_path / "test.cfg"
+    bad.write_text("--feat-dim=1\n")
+    with pytest.raises(SystemExit):
+        ParseOption(
+            ["prog", "--config=%s" % bad, "--path-base=%s" % tmp_path],
+            logger, is_print_opts=False,
+        )
+
+
+def test_bool_and_list_coercion(tmp_path, logger):
+    args = ParseOption(
+        ["prog", "--path-base=%s" % tmp_path, "--train-batch-dynamic=True",
+         "--model-caps-context=false", '--train-batch-buckets="[241,500,750]"'],
+        logger, is_print_opts=False,
+    ).args
+    assert args.train_batch_dynamic is True
+    assert args.model_caps_context is False
+    assert args.train_batch_buckets == [241, 500, 750]
+
+
+def test_invalid_caps_type_rejected(tmp_path, logger):
+    with pytest.raises(SystemExit):
+        ParseOption(
+            ["prog", "--path-base=%s" % tmp_path, "--model-caps-type=bogus"],
+            logger, is_print_opts=False,
+        )
+
+
+def test_reference_conf_files_parse(logger, tmp_path):
+    """Our shipped egs confs parse with the full flag registry."""
+    import os
+
+    for conf in ("egs/conf/timit.conf", "egs/conf/wsj.conf"):
+        args = ParseOption(
+            ["prog", "--config=%s" % os.path.abspath(conf),
+             "--path-base=%s" % tmp_path],
+            logger, is_print_opts=False,
+        ).args
+        assert args.feat_dim == 123
+        assert args.decoding_beam_width == 100

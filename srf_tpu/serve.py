@@ -1,0 +1,123 @@
+"""Serving/inference API: load a checkpoint, transcribe features.
+
+A thin production-facing layer over the same pieces the trainers use
+(no reference analog — the reference's only inference path is the decode
+mode of its trainers):
+
+- pads inputs to a small set of static shape buckets (one compile each,
+  cached by the persistent compilation cache),
+- greedy or beam decoding (host C++ / on-device),
+- returns token ids and mapped text (TIMIT 61->39 or characters).
+
+CLI:
+    python -m srf_tpu.serve --config=... --path-base=... --path-ckpt=.../avg \
+        --feats utt1.npy [utt2.npy ...] [--corpus timit|wsj]
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srf_tpu.config import Logger, ParseOption
+from srf_tpu.models.registry import build_model
+from srf_tpu.ops.ctc_decode import beam_search_batch, greedy_decode
+from srf_tpu.train.optimizer import get_optimizer
+from srf_tpu.train.state import TrainState
+from srf_tpu.utils.log2utt import ids_to_utt
+from srf_tpu.utils.vocab import get_file_path, load_vocab
+
+
+class Recognizer:
+    def __init__(self, config, logger=None):
+        from srf_tpu.utils.compilation_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        logger = logger or Logger(name="srf_serve", level=Logger.INFO).logger
+        self.config = config
+        self.vocab, _, dec_in_dim, _ = load_vocab(
+            get_file_path(config.path_base, config.path_vocab), logger
+        )
+        dec_out_dim = dec_in_dim + 1
+        self.blank_id = dec_in_dim
+        self.model, self.in_len_div = build_model(config, dec_out_dim, logger)
+        tx, _ = get_optimizer(config)
+
+        rng = jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
+        variables = jax.jit(
+            lambda r, f, l: self.model.init(r, f, l, False)
+        )({"params": rng, "dropout": rng}, dummy, jnp.full((1,), 20, jnp.int32))
+        state = TrainState.create(
+            variables["params"], tx, variables.get("batch_stats", {})
+        )
+        from srf_tpu.trainer_sr import state_to_tree, tree_to_state
+        from srf_tpu.utils.checkpoint import load_checkpoint
+
+        manager, restored, _ = load_checkpoint(config, logger,
+                                               state_to_tree(state))
+        manager.close()
+        if restored is None:
+            raise FileNotFoundError("no checkpoint under %s" % config.path_ckpt)
+        self.state = tree_to_state(restored)
+        self._forward = jax.jit(self._apply)
+
+    def _apply(self, feats, lengths):
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return self.model.apply(variables, feats, lengths, False)
+
+    def transcribe(self, feats, beam_width=None, pad_multiple=128,
+                   corpus="timit"):
+        """feats: [T, feat_dim] numpy -> (ids, text)."""
+        feats = np.asarray(feats, np.float32)
+        length = feats.shape[0]
+        width = -(-length // pad_multiple) * pad_multiple
+        padded = np.zeros((1, width, feats.shape[1]), np.float32)
+        padded[0, :length] = feats
+        logits = np.asarray(
+            self._forward(jnp.asarray(padded), jnp.asarray([length], jnp.int32))
+        )
+        dec_len = max(1, length // self.in_len_div)
+        if beam_width and beam_width > 1:
+            ids = beam_search_batch(logits, [dec_len], beam_width,
+                                    self.blank_id)[0]
+        else:
+            out, lens = greedy_decode(
+                jnp.asarray(logits), jnp.asarray([dec_len]), self.blank_id
+            )
+            ids = [int(x) for x in np.asarray(out)[0, : int(lens[0])]]
+        raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
+        return ids, ids_to_utt(ids, raw_vocab, corpus)
+
+
+def main(argv=None):
+    logger = Logger(name="srf_serve", level=Logger.INFO).logger
+    argv = list(argv or sys.argv)
+    feats_paths = []
+    corpus = "timit"
+    filtered = []
+    it = iter(argv)
+    for arg in it:
+        if arg == "--feats":
+            feats_paths.append(next(it))
+        elif arg.startswith("--feats="):
+            feats_paths.append(arg.split("=", 1)[1])
+        elif arg.startswith("--corpus="):
+            corpus = arg.split("=", 1)[1]
+        else:
+            filtered.append(arg)
+    config = ParseOption(filtered, logger, is_print_opts=False).args
+    recognizer = Recognizer(config, logger)
+    for path in feats_paths:
+        feats = np.load(path)
+        ids, text = recognizer.transcribe(
+            feats, beam_width=config.decoding_beam_width, corpus=corpus
+        )
+        print("%s (%s)" % (text, path))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Serving API test: train tiny model, load via Recognizer, transcribe."""
+
+import json
+
+import numpy as np
+import pytest
+
+FEAT_DIM = 8
+VOCAB_TOKENS = ["<PADDING_SYMBOL>", "a", "b", "c", "<SPACE>", "$", "@"]
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    base = tmp_path_factory.mktemp("serve_corpus")
+    rng = np.random.RandomState(3)
+    (base / "test.vocab").write_text("\n".join(VOCAB_TOKENS) + "\n")
+    utts = []
+    for i in range(4):
+        n = int(rng.randint(12, 24))
+        np.save(base / ("u%d.None.npy" % i),
+                rng.randn(n, FEAT_DIM).astype(np.float32))
+        utts.append({"key": "u%d" % i, "duration": n / 100.0, "text": "ab"})
+    for split in ("train", "valid", "test"):
+        with open(base / ("%s.json" % split), "w") as f:
+            for u in utts:
+                f.write(json.dumps(u) + "\n")
+
+    argv = [
+        "prog", "--path-base=%s" % base, "--path-vocab=test.vocab",
+        "--feat-dim=%d" % FEAT_DIM, "--feat-type=None",
+        "--prep-data-name=synth", "--prep-data-shard=1",
+        "--path-train-json=train.json", "--path-valid-json=valid.json",
+        "--path-test-json=test.json", "--path-wrt-tfrecord=tfr",
+        "--path-train-ptrn=tfr/synth-train-None-8-*-of-*",
+        "--path-valid-ptrn=tfr/synth-valid-None-8-*-of-*",
+        "--path-test-ptrn=tfr/synth-test-None-8-*-of-*",
+        "--path-ckpt=%s/ckpt" % base,
+        "--model-type=lstm", "--model-encoder-num=1", "--model-dimension=8",
+        "--train-opti-type=adam", "--train-lr-param-k=0.05",
+        "--train-batch-dynamic=False", "--train-batch-size=2",
+        "--train-es-tolerance=100", "--decoding-beam-width=4",
+    ]
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.config.constants import Tag
+    from srf_tpu.data.writer import convert_to_tfrecord
+    from srf_tpu import trainer_sr
+
+    logger = Logger(name="serve-e2e", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    for tag in (Tag.TRAIN, Tag.VALID, Tag.TEST):
+        convert_to_tfrecord(logger, config, tag, None)
+    trainer_sr.main(argv + ["--train-max-epoch=1"])
+    return argv, base
+
+
+def test_recognizer_transcribes(trained):
+    argv, base = trained
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="serve-test", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    recognizer = Recognizer(config, logger)
+    feats = np.load(base / "u0.None.npy")
+    ids, text = recognizer.transcribe(feats, beam_width=4, corpus="wsj")
+    assert all(0 <= i < len(VOCAB_TOKENS) for i in ids)
+    assert isinstance(text, str)
+    # greedy path too
+    ids2, _ = recognizer.transcribe(feats, beam_width=None, corpus="wsj")
+    assert all(0 <= i < len(VOCAB_TOKENS) for i in ids2)

@@ -65,7 +65,8 @@ def make_apply_fn(model, extra_kwargs_fn=None, bf16=False):
     return apply_fn
 
 
-def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True):
+def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True,
+                    state_sharding=None):
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         global_batch = batch["feats"].shape[0]
@@ -107,10 +108,11 @@ def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True):
     batch_shardings = {
         "feats": data, "labels": data, "inp_len": data, "tar_len": data,
     }
+    state_in = state_sharding if state_sharding is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, batch_shardings, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_in, batch_shardings, repl),
+        out_shardings=(state_in, repl),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -225,3 +225,56 @@ def test_cnn_stride_encoder_matches_reference():
         jnp.asarray(inp_len, jnp.int32), False,
     )
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_srf_einsum_flavor_matches_reference():
+    """The einsum flavor adds pos-enc + sqrt scaling to the bottleneck
+    (reference: sequence_router_einsum.py:130-131) and uses eps=1e-9 in the
+    output length."""
+    from tfsr.model.sequence_router_einsum import SequenceRouter as RefSRF
+
+    from srf_tpu.models.srf import SequenceRouter
+    from tests.test_tf_parity import _ref_config
+
+    config = _ref_config(model_caps_context=True)
+    ref = RefSRF(config, _Log(), class_n=8)
+    rng = np.random.RandomState(5)
+    feats = rng.randn(2, 20, 12).astype(np.float32)
+    inp_len = np.array([20, 14], np.float32)
+    # the einsum variant's TensorArray requires graph mode in this TF
+    ref_out = tf.function(
+        lambda f, l: ref.call(f, input_lengths=l, training=False)
+    )(tf.constant(feats), tf.constant(inp_len)).numpy()
+
+    model = SequenceRouter(
+        feat_dim=12, class_n=8, enc_num=3, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4, caps_class_dim=4,
+        caps_iter=1, lpad=1, rpad=1, is_context=True,
+        conv_layer_num=2, conv_filter_num=4, caps_type="einsum",
+        inp_dropout=0.0, inn_dropout=0.0, init_name="glorot_uniform",
+    )
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key}, jnp.asarray(feats),
+        jnp.asarray(inp_len, jnp.int32), False,
+    )
+    params = dict(variables["params"])
+    params["conv_feat"] = _copy_convfe_weights(ref.conv, params["conv_feat"], 2)
+    batch_stats = {"conv_feat": _convfe_batch_stats(ref.conv, 2)}
+    params["flatten"] = _dense(ref.proj_pe)
+    for i in range(2):
+        params["encaps%d" % (i + 1)] = _dense(ref.ecs[i])
+    params["ln_input"] = _ln(ref.ln_i)
+    for i in range(3):
+        params["ln_mid%d" % (i + 1)] = _ln(ref.ln_m[i])
+    params["ln_output"] = _ln(ref.ln_o)
+    for i in range(3):
+        params["W%d" % i] = jnp.asarray(ref.wgt[i].numpy())
+        params["b%d" % i] = jnp.asarray(ref.bias[i].numpy()[0, 0])
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(feats),
+        jnp.asarray(inp_len, jnp.int32), False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-3, atol=5e-4)

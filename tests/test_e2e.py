@@ -129,6 +129,17 @@ def test_train_decode_cycle(written_corpus, capsys):
     for ids in hyps.values():
         assert all(0 <= i < len(VOCAB_TOKENS) for i in ids)
 
+    # on-device and greedy decode impls produce scrapeable logs too
+    for impl in ("device", "greedy"):
+        capsys.readouterr()
+        trainer_sr.main(
+            _argv(written_corpus, ckpt,
+                  ["--train-max-epoch=0", "--tpu-decode-impl=%s" % impl])
+        )
+        out_impl = capsys.readouterr().out
+        hyps_impl = dict(parse_decode_log(io.StringIO(out_impl)))
+        assert set(hyps_impl) == {"utt06", "utt07"}
+
 
 def test_checkpoint_averaging(written_corpus):
     from srf_tpu.config import Logger, ParseOption

@@ -69,7 +69,7 @@ class SequenceRouter(nn.Module):
     time_chunk: Optional[int] = None  # SDR u_hat chunking (MXU batching)
     routing_impl: str = "xla"  # xla | pallas (--tpu-routing-kernel)
     routing_remat: bool = False  # checkpoint the SDR scan body
-    routing_unroll: int = 8  # scan body unroll factor (iteration overhead)
+    routing_unroll: int = 1  # scan body unroll factor (measured: >1 hurts on v5e)
 
     @classmethod
     def from_config(cls, config, class_n, **overrides):

@@ -113,7 +113,7 @@ def _sdr_step(u_hat_t, v_prev, num_iter, pad_mask):
 
 
 def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
-                       time_chunk=None, remat=False, unroll=8):
+                       time_chunk=None, remat=False, unroll=1):
     """SDR: scan over time, carrying the previous output capsules.
 
     ``u`` is [B, T, in_n, in_d]; the weight multiply runs inside the scan
@@ -187,7 +187,7 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
 
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
-                time_chunk=None, impl="xla", remat=False, unroll=8):
+                time_chunk=None, impl="xla", remat=False, unroll=1):
     """One capsule layer: prediction + routing (DR or SDR).
 
     ``impl``: "xla" (lax.scan) or "pallas" (fused kernel,

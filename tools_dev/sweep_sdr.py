@@ -36,6 +36,7 @@ def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=False, 
         caps_class_dim=8, caps_iter=1, lpad=1, rpad=1, is_context=True,
         conv_layer_num=2, conv_filter_num=64, caps_type="naive",
         time_chunk=time_chunk, routing_impl=routing_impl,
+        routing_remat=routing_remat, routing_unroll=routing_unroll,
     )
     rng = jax.random.PRNGKey(0)
     host = np.random.RandomState(0)
@@ -80,8 +81,8 @@ def main():
 
     variants = [
         ("scan", dict()),
-        ("scan_unroll1", dict(routing_unroll=1)),
-        ("scan_unroll16", dict(routing_unroll=16)),
+        ("scan_unroll4", dict(routing_unroll=4)),
+        ("scan_unroll8", dict(routing_unroll=8)),
         ("scan_chunk8", dict(time_chunk=8)),
         ("scan_chunk16", dict(time_chunk=16)),
         ("scan_chunk32", dict(time_chunk=32)),

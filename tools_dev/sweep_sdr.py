@@ -90,6 +90,7 @@ def main():
         ("scan_remat", dict(routing_remat=True)),
         ("scan_remat_bf16", dict(routing_remat=True, bf16=True)),
         ("scan_chunk16_bf16", dict(time_chunk=16, bf16=True)),
+        ("pallas_train", dict(routing_impl="pallas")),
     ]
     for name, kw in variants:
         if args.only and name != args.only:

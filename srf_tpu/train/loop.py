@@ -13,6 +13,7 @@ Epoch loop with the reference's observable behavior
   log2utt scrapers (reference: trainer_sr.py:96-117, log2utt.py:78-93).
 """
 
+import collections
 import time
 
 import jax
@@ -22,11 +23,36 @@ from srf_tpu.ops.ctc_decode import beam_search_batch
 from srf_tpu.ops.masking import subsampled_lengths
 from srf_tpu.utils.metrics import MeanMetric, MetricsWriter, SumMetric
 
+STEP_KEYS = ("feats", "labels", "inp_len", "tar_len")
+
+
+def device_prefetch(iterator, sharding=None, depth=2):
+    """Stage host batches onto the device ahead of consumption so the H2D
+    transfer overlaps the previous step's compute."""
+    queue = collections.deque()
+
+    def put(batch):
+        arrays = {k: batch[k] for k in STEP_KEYS}
+        if sharding is not None:
+            arrays = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), arrays
+            )
+        else:
+            arrays = jax.tree.map(jax.device_put, arrays)
+        return arrays
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
 
 def run_training(config, logger, state, train_step, valid_step, train_loader,
                  valid_loader, ckpt_manager, epoch_offset, rng,
                  train_num, schedule_fn=None, metrics_path=None,
-                 state_to_save=None):
+                 state_to_save=None, batch_sharding=None):
     """Returns the final state."""
     writer = MetricsWriter(metrics_path)
     train_loss = MeanMetric()
@@ -45,12 +71,8 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         prev = time.time()
         index = 0
         pending = []  # device metrics, fetched lazily so steps pipeline
-        for batch in train_loader:
-            state, metrics = train_step(
-                state,
-                {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
-                rng,
-            )
+        for batch in device_prefetch(iter(train_loader), batch_sharding):
+            state, metrics = train_step(state, batch, rng)
             pending.append(metrics)
             if index % 50 == 0 and index > 0:
                 for fetched in jax.device_get(pending):
@@ -92,11 +114,8 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
 
         prev = time.time()
         pending = [
-            valid_step(
-                state,
-                {k: batch[k] for k in ("feats", "labels", "inp_len", "tar_len")},
-            )
-            for batch in valid_loader
+            valid_step(state, batch)
+            for batch in device_prefetch(iter(valid_loader), batch_sharding)
         ]
         for metrics in jax.device_get(pending):
             valid_loss.update(metrics["loss_sum"], metrics["samples"])

@@ -20,7 +20,7 @@ from srf_tpu.data.bucketing import get_bucket_info, round_batch_sizes
 from srf_tpu.data.loader import BucketedLoader, EvalLoader, SpeechDataset
 from srf_tpu.data.tfrecord import count_records
 from srf_tpu.models.registry import build_model
-from srf_tpu.parallel.mesh import make_mesh
+from srf_tpu.parallel.mesh import batch_sharding, make_mesh
 from srf_tpu.train.loop import run_decoding, run_training
 from srf_tpu.train.optimizer import get_optimizer
 from srf_tpu.train.state import TrainState, param_count
@@ -189,6 +189,7 @@ def main(argv=None):
         valid_loader, ckpt_manager, epoch_offset, rng, train_num or 1,
         schedule_fn=schedule, metrics_path=metrics_path,
         state_to_save=state_to_tree,
+        batch_sharding=batch_sharding(mesh),
     )
     ckpt_manager.close()
 

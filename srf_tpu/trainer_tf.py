@@ -23,7 +23,7 @@ from srf_tpu.config import Logger, ParseOption
 from srf_tpu.models.stf import ConvEncoder
 from srf_tpu.ops.attention_penalty import create_attention_penalty
 from srf_tpu.ops.masking import get_padding_bias
-from srf_tpu.parallel.mesh import make_mesh
+from srf_tpu.parallel.mesh import batch_sharding, make_mesh
 from srf_tpu.train.loop import run_decoding, run_training
 from srf_tpu.train.optimizer import get_optimizer
 from srf_tpu.train.state import TrainState, param_count
@@ -155,6 +155,7 @@ def main(argv=None):
         valid_loader, ckpt_manager, epoch_offset, rng, train_num or 1,
         schedule_fn=schedule, metrics_path=metrics_path,
         state_to_save=state_to_tree,
+        batch_sharding=batch_sharding(mesh),
     )
     ckpt_manager.close()
 

@@ -17,7 +17,6 @@ available and is used as the correctness oracle in tests.
 """
 
 import os
-import struct
 
 import numpy as np
 

@@ -8,7 +8,6 @@ directions like Keras ``merge_mode="ave"``
 (reference: lstm_encoder.py:52-54).
 """
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from srf_tpu.ops.ctc_decode import beam_search_batch
-from srf_tpu.ops.masking import subsampled_lengths
+
 from srf_tpu.utils.metrics import MeanMetric, MetricsWriter, SumMetric
 
 STEP_KEYS = ("feats", "labels", "inp_len", "tar_len")

@@ -13,7 +13,6 @@ trainer_sr.py:59-60, retracing per shape), batches keep their static bucket
 shape and padding is handled by masks — one compilation per bucket shape.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ CLI:
 """
 
 import argparse
-import sys
+
 
 from srf_tpu.utils.timit_map import map_phones
 

@@ -23,7 +23,7 @@ def sync(x):
     return float(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
 
 
-def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=False, routing_unroll=8,
+def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=False, routing_unroll=1,
           batch=29, frames=241):
     from srf_tpu.models.srf import SequenceRouter
     from srf_tpu.train.optimizer import noam_schedule

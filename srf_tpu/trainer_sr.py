@@ -117,8 +117,10 @@ def tree_to_state(tree):
 
 
 def main(argv=None):
+    from srf_tpu.parallel.distributed import maybe_initialize
     from srf_tpu.utils.compilation_cache import enable_compilation_cache
 
+    maybe_initialize()
     enable_compilation_cache()
     logger = Logger(name="srf_tpu", level=Logger.DEBUG).logger
     config = ParseOption(argv or sys.argv, logger).args

@@ -58,8 +58,10 @@ def make_stf_extra_kwargs(att_pen, in_len_div):
 
 
 def main(argv=None):
+    from srf_tpu.parallel.distributed import maybe_initialize
     from srf_tpu.utils.compilation_cache import enable_compilation_cache
 
+    maybe_initialize()
     enable_compilation_cache()
     logger = Logger(name="srf_tpu_stf", level=Logger.DEBUG).logger
     config = ParseOption(argv or sys.argv, logger).args

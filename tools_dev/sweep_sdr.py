@@ -76,6 +76,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--only", default=None, help="run a single variant")
+    parser.add_argument("--train-only", action="store_true")
     parser.add_argument("--batch", type=int, default=29)
     args = parser.parse_args()
 
@@ -100,14 +101,18 @@ def main():
             lambda: train_step(state, batch, rng)[1], args.iters,
             lambda m: m["loss_sum"],
         )
-        t_fwd = time_fn(
-            lambda: logits_fn(state, batch), args.iters, lambda x: x
-        )
-        print(
-            "%-20s train %7.2f ms/step (%7.1f utt/s)   fwd %7.2f ms"
-            % (name, t_train * 1e3, args.batch / t_train, t_fwd * 1e3),
-            flush=True,
-        )
+        if args.train_only:
+            print("%-20s train %7.2f ms/step (%7.1f utt/s)"
+                  % (name, t_train * 1e3, args.batch / t_train), flush=True)
+        else:
+            t_fwd = time_fn(
+                lambda: logits_fn(state, batch), args.iters, lambda x: x
+            )
+            print(
+                "%-20s train %7.2f ms/step (%7.1f utt/s)   fwd %7.2f ms"
+                % (name, t_train * 1e3, args.batch / t_train, t_fwd * 1e3),
+                flush=True,
+            )
 
     # pallas: inference path
     for name, kw in [("pallas_fwd", dict(routing_impl="pallas"))]:

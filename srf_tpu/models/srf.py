@@ -68,7 +68,7 @@ class SequenceRouter(nn.Module):
     stride: int = 2
     time_chunk: Optional[int] = None  # SDR u_hat chunking (MXU batching)
     routing_impl: str = "xla"  # xla | pallas (--tpu-routing-kernel)
-    routing_remat: bool = False  # checkpoint the SDR scan body
+    routing_remat: bool = True  # checkpoint the SDR scan body (1.5x faster bwd, see BENCH_NOTES)
     routing_unroll: int = 1  # scan body unroll factor (measured: >1 hurts on v5e)
 
     @classmethod

@@ -23,7 +23,7 @@ def sync(x):
     return float(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
 
 
-def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=False, routing_unroll=1,
+def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=True, routing_unroll=1,
           batch=29, frames=241):
     from srf_tpu.models.srf import SequenceRouter
     from srf_tpu.train.optimizer import noam_schedule
@@ -88,8 +88,8 @@ def main():
         ("scan_chunk16", dict(time_chunk=16)),
         ("scan_chunk32", dict(time_chunk=32)),
         ("scan_bf16", dict(bf16=True)),
-        ("scan_remat", dict(routing_remat=True)),
-        ("scan_remat_bf16", dict(routing_remat=True, bf16=True)),
+        ("scan_noremat", dict(routing_remat=False)),
+        ("scan_remat_bf16", dict(bf16=True)),
         ("scan_chunk16_bf16", dict(time_chunk=16, bf16=True)),
         ("pallas_train", dict(routing_impl="pallas")),
     ]

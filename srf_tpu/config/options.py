@@ -296,7 +296,8 @@ class ParseOption:
         )
         tpu_group.add_argument(
             "--tpu-routing-kernel", default="auto",
-            help="auto | xla | pallas : implementation of the SDR scan step",
+            help="auto | xla | xla_pre | pallas : implementation of the SDR "
+                 "scan step (xla_pre precomputes u_hat as one batched einsum)",
         )
         tpu_group.add_argument(
             "--tpu-seed", type=int, default=1234,

@@ -113,7 +113,8 @@ def _sdr_step(u_hat_t, v_prev, num_iter, pad_mask):
 
 
 def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
-                       time_chunk=None, remat=False, unroll=1):
+                       time_chunk=None, remat=False, unroll=1,
+                       precompute=False):
     """SDR: scan over time, carrying the previous output capsules.
 
     ``u`` is [B, T, in_n, in_d]; the weight multiply runs inside the scan
@@ -138,6 +139,24 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     # dtype: u_hat accumulates in f32 (MXU preferred type) and the scan
     # carry must be dtype-stable
     v0 = jnp.zeros((batch, out_n, out_d), jnp.float32)
+
+    if precompute:
+        # "naive" memory plan the XLA way: one big MXU einsum for every
+        # timestep's prediction vectors, then a scan that only routes
+        # (reference: sequence_router_naive.py:154-159). Trades HBM traffic
+        # (u_hat is [B,T,in_n,out_n,out_d]) for a batched matmul.
+        u_hat_all = jnp.moveaxis(
+            predict_capsules(u, wgt, bias), 1, 0
+        )  # [T, B, in_n, out_n, out_d]
+
+        def route_body(v_prev, u_hat_t):
+            v = _sdr_step(u_hat_t, v_prev, num_iter, pad_mask)
+            return v, v
+
+        if remat:
+            route_body = jax.checkpoint(route_body)
+        _, vs = jax.lax.scan(route_body, v0, u_hat_all, unroll=unroll)
+        return jnp.moveaxis(vs, 0, 1).astype(in_dtype)
 
     if time_chunk is None or time_chunk <= 1:
         u_t_major = jnp.moveaxis(u, 1, 0)  # [T, B, in_n, in_d]
@@ -190,9 +209,11 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
                 time_chunk=None, impl="xla", remat=False, unroll=1):
     """One capsule layer: prediction + routing (DR or SDR).
 
-    ``impl``: "xla" (lax.scan) or "pallas" (fused kernel,
-    ops/routing_pallas.py) for the SDR path; DR is always plain XLA (fully
-    parallel over time, nothing to fuse beyond what XLA already does).
+    ``impl``: "xla" (lax.scan, weight multiply in the body — lowmemory
+    plan), "xla_pre" (u_hat precomputed as one batched einsum — naive
+    plan), or "pallas" (fused kernel, ops/routing_pallas.py) for the SDR
+    path; DR is always plain XLA (fully parallel over time, nothing to
+    fuse beyond what XLA already does).
     """
     if is_context:
         if impl == "pallas":
@@ -204,6 +225,7 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
         return sequential_routing(
             u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
             time_chunk=time_chunk, remat=remat, unroll=unroll,
+            precompute=(impl == "xla_pre"),
         )
     u_hat = predict_capsules(u, wgt, bias)
     out = dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last_layer)

@@ -134,6 +134,17 @@ def test_sdr_chunked_equals_plain():
     np.testing.assert_allclose(np.asarray(plain), np.asarray(chunked), atol=1e-5)
 
 
+def test_sdr_precompute_equals_plain():
+    u, W, b = _rand_problem(3, T=11)
+    plain = sequential_routing(jnp.asarray(u), jnp.asarray(W), jnp.asarray(b), 1, True)
+    for remat in (False, True):
+        pre = sequential_routing(
+            jnp.asarray(u), jnp.asarray(W), jnp.asarray(b), 1, True,
+            precompute=True, remat=remat,
+        )
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(pre), atol=1e-5)
+
+
 def test_window_stack_layout():
     # copy i of the (lpad, rpad)-padded sequence must appear at capsule
     # block i (reference concat order: sequence_router_naive.py:150-151)

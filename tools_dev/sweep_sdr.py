@@ -88,6 +88,8 @@ def main():
         ("scan_chunk16", dict(time_chunk=16)),
         ("scan_chunk32", dict(time_chunk=32)),
         ("scan_bf16", dict(bf16=True)),
+        ("scan_pre", dict(routing_impl="xla_pre")),
+        ("scan_pre_noremat", dict(routing_impl="xla_pre", routing_remat=False)),
         ("scan_noremat", dict(routing_remat=False)),
         ("scan_remat_bf16", dict(bf16=True)),
         ("scan_chunk16_bf16", dict(time_chunk=16, bf16=True)),

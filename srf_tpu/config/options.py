@@ -296,8 +296,10 @@ class ParseOption:
         )
         tpu_group.add_argument(
             "--tpu-routing-kernel", default="auto",
-            help="auto | xla | xla_pre | pallas : implementation of the SDR "
-                 "scan step (xla_pre precomputes u_hat as one batched einsum)",
+            help="auto | xla | xla_pre | wavefront | pallas : SDR "
+                 "implementation (xla_pre precomputes u_hat as one batched "
+                 "einsum; wavefront runs the whole capsule stack as one "
+                 "staggered scan over time)",
         )
         tpu_group.add_argument(
             "--tpu-seed", type=int, default=1234,

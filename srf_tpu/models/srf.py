@@ -42,7 +42,7 @@ from srf_tpu.models.initializers import get_init, routing_weight_init
 from srf_tpu.models.layers import ConvFrontEnd
 from srf_tpu.ops.masking import feat_mask
 from srf_tpu.ops.pos_enc import get_pos_enc
-from srf_tpu.ops.routing import route_layer, window_stack
+from srf_tpu.ops.routing import route_layer, wavefront_sdr_stack, window_stack
 from srf_tpu.ops.squash import capsule_length, squash
 
 
@@ -158,25 +158,47 @@ class SequenceRouter(nn.Module):
 
         shapes = self.layer_shapes()
         w_init = routing_weight_init()
-        for i, (in_n, out_n, out_d, in_d) in enumerate(shapes):
-            wgt = self.param("W%d" % i, w_init, (in_n, out_n, out_d, in_d))
-            bias = self.param("b%d" % i, w_init, (in_n, out_n, out_d))
-            emb = window_stack(emb, self.lpad, self.rpad)
-            assert emb.shape[2] == in_n and emb.shape[3] == in_d, (
-                emb.shape, (in_n, in_d),
-            )
-            emb = route_layer(
-                emb, wgt, bias, num_iter, self.is_context,
-                is_last_layer=(i == self.enc_num - 1),
-                time_chunk=self.time_chunk,
-                impl=self.routing_impl,
+        if self.is_context and self.routing_impl == "wavefront":
+            # whole capsule stack as ONE scan over time (see
+            # ops/routing.py wavefront_sdr_stack); the per-layer LayerNorm
+            # modules are declared here (identical param tree to the
+            # layered path) and applied inside the scan
+            layer_params, ln_params = [], []
+            for i, (in_n, out_n, out_d, in_d) in enumerate(shapes):
+                wgt = self.param("W%d" % i, w_init, (in_n, out_n, out_d, in_d))
+                bias = self.param("b%d" % i, w_init, (in_n, out_n, out_d))
+                layer_params.append((wgt, bias))
+                ln = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))
+                ln(jnp.zeros((1, out_n * out_d), jnp.float32))  # build params
+                lnp = self.get_variable("params", "ln_mid%d" % (i + 1))
+                ln_params.append((lnp["scale"], lnp["bias"]))
+            use_dropout = training and self.inn_dropout > 0.0
+            emb = wavefront_sdr_stack(
+                emb, layer_params, self.lpad, self.rpad, num_iter,
+                ln_params, dropout_rate=self.inn_dropout,
+                dropout_rng=self.make_rng("dropout") if use_dropout else None,
                 remat=self.routing_remat,
-                unroll=self.routing_unroll,
             )
-            flat = emb.reshape(batch, seq_len, -1)
-            flat = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))(flat)
-            emb = flat.reshape(batch, seq_len, out_n, out_d)
-            emb = nn.Dropout(rate=self.inn_dropout, deterministic=not training)(emb)
+        else:
+            for i, (in_n, out_n, out_d, in_d) in enumerate(shapes):
+                wgt = self.param("W%d" % i, w_init, (in_n, out_n, out_d, in_d))
+                bias = self.param("b%d" % i, w_init, (in_n, out_n, out_d))
+                emb = window_stack(emb, self.lpad, self.rpad)
+                assert emb.shape[2] == in_n and emb.shape[3] == in_d, (
+                    emb.shape, (in_n, in_d),
+                )
+                emb = route_layer(
+                    emb, wgt, bias, num_iter, self.is_context,
+                    is_last_layer=(i == self.enc_num - 1),
+                    time_chunk=self.time_chunk,
+                    impl=self.routing_impl,
+                    remat=self.routing_remat,
+                    unroll=self.routing_unroll,
+                )
+                flat = emb.reshape(batch, seq_len, -1)
+                flat = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))(flat)
+                emb = flat.reshape(batch, seq_len, out_n, out_d)
+                emb = nn.Dropout(rate=self.inn_dropout, deterministic=not training)(emb)
 
         eps = 1e-9 if self.caps_type == "einsum" else 1e-7
         logits = capsule_length(emb, axis=-1, epsilon=eps)

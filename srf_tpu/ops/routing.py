@@ -205,6 +205,116 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     return vs[:, :seq_len].astype(in_dtype)
 
 
+def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
+                        ln_params, ln_eps=1e-3, dropout_rate=0.0,
+                        dropout_rng=None, remat=True):
+    """Run the WHOLE capsule stack as ONE scan over time (wavefront).
+
+    The layered implementation runs ``L`` sequential scans of ``T`` steps
+    each (L*T sequential steps). But a capsule layer at time t only needs
+    the previous layer's outputs in the window [t-lpad, t+rpad], so layer i
+    can trail layer i-1 by ``rpad`` timesteps: one scan of ``T + L*rpad``
+    steps where every step advances all L layers at staggered times — the
+    sequential chain shrinks ~L-fold and each step's work is L× wider for
+    the VPU. Same math as the layered path (windowing zero-padding,
+    per-layer flattened LayerNorm + dropout, PAD-capsule mask at the last
+    layer — reference: sequence_router_naive.py:120-193); training-mode
+    dropout draws differ (per-step fold_in) but are identically distributed.
+
+    Args:
+        u: [B, T, n0, d0] primary capsules (post input-LN/dropout).
+        layer_params: list of (wgt [in_n,out_n,out_d,in_d], bias) per layer;
+            in_n = window * prev_out_n.
+        ln_params: list of (scale, bias) for the per-layer flattened
+            LayerNorm (out_n*out_d,).
+        dropout_rng: base PRNG key; None disables dropout (eval mode).
+    Returns [B, T, class_n, class_d].
+    """
+    batch, seq_len = u.shape[0], u.shape[1]
+    window = lpad + rpad + 1
+    n_layers = len(layer_params)
+    delay = rpad
+    total_steps = seq_len + n_layers * delay
+
+    # xs: input frames, time-major, zero-padded so layer 0 (which trails by
+    # `delay`) reads frame tau = t0 + rpad each step.
+    u_pad = jnp.pad(
+        u.astype(jnp.float32), ((0, 0), (0, total_steps - seq_len),
+                                (0, 0), (0, 0))
+    )
+    xs_frames = jnp.moveaxis(u_pad, 1, 0)  # [total, B, n0, d0]
+    xs_tau = jnp.arange(total_steps)
+
+    buf_len = lpad + rpad
+    bufs0, vs0 = [], []
+    prev_n, prev_d = u.shape[2], u.shape[3]
+    for wgt, _ in layer_params:
+        in_n, out_n, out_d, in_d = wgt.shape
+        assert in_n == window * prev_n and in_d == prev_d, (
+            wgt.shape, (window, prev_n, prev_d),
+        )
+        bufs0.append(jnp.zeros((buf_len, batch, prev_n, prev_d), jnp.float32))
+        vs0.append(jnp.zeros((batch, out_n, out_d), jnp.float32))
+        prev_n, prev_d = out_n, out_d
+
+    def body(carry, x):
+        bufs, vs = carry
+        frame, tau = x
+        fresh = frame  # newest frame for layer 0: time tau
+        new_bufs, new_vs = [], []
+        for i, (wgt, bias) in enumerate(layer_params):
+            t_i = tau - (i + 1) * delay  # the timestep layer i computes now
+            out_n, out_d = wgt.shape[1], wgt.shape[2]
+            if buf_len:
+                win = jnp.concatenate([bufs[i], fresh[None]], axis=0)
+                new_bufs.append(win[1:])
+            else:
+                win = fresh[None]
+                new_bufs.append(bufs[i])
+            # frame-major capsule concat (reference window_stack order)
+            u_t = jnp.moveaxis(win, 0, 1).reshape(batch, wgt.shape[0],
+                                                  wgt.shape[3])
+            u_hat_t = (
+                jnp.einsum("noij,bnj->bnoi", wgt, u_t,
+                           preferred_element_type=jnp.float32)
+                + bias[None]
+            )
+            pad_mask = (
+                _pad_capsule_mask(out_n, jnp.float32)
+                if i == n_layers - 1 else None
+            )
+            v = _sdr_step(u_hat_t, vs[i], num_iter, pad_mask)
+            valid = jnp.logical_and(t_i >= 0, t_i < seq_len)
+            # SDR carry: v_prev at the next (t_i+1) step; 0 before t=0
+            new_vs.append(jnp.where(valid, v, 0.0))
+            # inter-layer LN over flattened capsules + dropout, then zero
+            # outside [0, T) so the next layer's window padding is exact
+            flat = v.reshape(batch, out_n * out_d)
+            mean = jnp.mean(flat, axis=-1, keepdims=True)
+            var = jnp.var(flat, axis=-1, keepdims=True)
+            scale, ln_bias = ln_params[i]
+            flat = (flat - mean) * jax.lax.rsqrt(var + ln_eps)
+            flat = flat * scale + ln_bias
+            if dropout_rng is not None and dropout_rate > 0.0:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(dropout_rng, i), tau
+                )
+                keep = jax.random.bernoulli(
+                    key, 1.0 - dropout_rate, flat.shape
+                )
+                flat = jnp.where(keep, flat / (1.0 - dropout_rate), 0.0)
+            out = flat.reshape(batch, out_n, out_d)
+            fresh = jnp.where(valid, out, 0.0)
+        return (new_bufs, new_vs), fresh
+
+    if remat:
+        body = jax.checkpoint(body)
+    _, ys = jax.lax.scan(body, (bufs0, vs0), (xs_frames, xs_tau))
+    # last layer computes time t at tau = t + n_layers*delay
+    out = ys[n_layers * delay : n_layers * delay + seq_len]
+    return jnp.moveaxis(out, 0, 1)
+
+
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
                 time_chunk=None, impl="xla", remat=False, unroll=1):
     """One capsule layer: prediction + routing (DR or SDR).

@@ -161,3 +161,63 @@ def test_srf_padded_frames_do_not_affect_valid_logits(batch):
         np.asarray(out_short[:, :valid]), np.asarray(out_long[:, :valid]),
         atol=2e-5,
     )
+
+
+@pytest.mark.parametrize(
+    "caps_iter,lpad,rpad", [(1, 1, 1), (3, 2, 1), (1, 1, 0), (1, 0, 0)]
+)
+def test_srf_wavefront_equals_layered(batch, caps_iter, lpad, rpad):
+    """The wavefront (whole-stack single-scan) SDR must match the layered
+    per-layer scan: same param tree, same eval outputs, same gradients."""
+    feats, lens = batch
+    kw = dict(
+        feat_dim=123, class_n=63, enc_num=4, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4, caps_class_dim=4,
+        caps_iter=caps_iter, lpad=lpad, rpad=rpad, is_context=True,
+        conv_filter_num=8, caps_type="naive",
+    )
+    layered = SequenceRouter(**kw)
+    wavefront = SequenceRouter(**kw, routing_impl="wavefront")
+    variables = layered.init({"params": KEY, "dropout": KEY}, feats, lens, False)
+    v_wf = wavefront.init({"params": KEY, "dropout": KEY}, feats, lens, False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v_wf)
+
+    out_l = layered.apply(variables, feats, lens, False)
+    out_w = wavefront.apply(variables, feats, lens, False)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_w), atol=2e-5)
+
+    def loss(model):
+        def f(params):
+            out = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                feats, lens, False,
+            )
+            return jnp.sum(out * out)
+        return f
+
+    g_l = jax.grad(loss(layered))(variables["params"])
+    g_w = jax.grad(loss(wavefront))(variables["params"])
+    flat_l = jax.tree.leaves(g_l)
+    flat_w = jax.tree.leaves(g_w)
+    for a, b in zip(flat_l, flat_w):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=2e-4 + 1e-3 * float(jnp.max(jnp.abs(a))), rtol=0,
+        )
+
+
+def test_srf_wavefront_training_mode_runs(batch):
+    feats, lens = batch
+    model = SequenceRouter(
+        feat_dim=123, class_n=63, enc_num=3, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4, caps_class_dim=4,
+        caps_iter=1, lpad=1, rpad=1, is_context=True, conv_filter_num=8,
+        caps_type="naive", routing_impl="wavefront",
+    )
+    variables = model.init({"params": KEY, "dropout": KEY}, feats, lens, False)
+    out, mutated = model.apply(
+        variables, feats, lens, True, rngs={"dropout": KEY},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 10, 63)
+    assert np.isfinite(np.asarray(out)).all()

@@ -205,6 +205,80 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     return vs[:, :seq_len].astype(in_dtype)
 
 
+def _group_matrix(out_n, out_d, dtype=jnp.float32):
+    """[out_no, out_n] 0/1 matrix mapping flattened capsule lanes to their
+    capsule index; lets per-capsule reductions (routing logits, squared
+    norms) run as lane-friendly matmuls on [*, out_no] tensors."""
+    out_no = out_n * out_d
+    eye = jnp.eye(out_n, dtype=dtype)
+    return jnp.repeat(eye, out_d, axis=0)
+
+
+def _sdr_step_flat(u_hat, v_prev, num_iter, pad_row, g, gt):
+    """One SDR timestep in the flat (lane-major) layout.
+
+    u_hat [B, in_n, out_no], v_prev [B, out_no] -> v [B, out_no]. Same math
+    as _sdr_step but every tensor keeps out_no (= out_n*out_d, ~240) in the
+    lane dimension instead of out_d (= 8): VPU ops use ~full 128-lane rows
+    rather than 8/128, and the scan carry/stack tensors avoid the 17x
+    (8,128)-tile padding that [*, out_n, out_d] layouts suffer.
+    """
+    b_acc = jnp.zeros((u_hat.shape[0], u_hat.shape[1], g.shape[1]),
+                      jnp.float32)
+    v = v_prev
+    for _ in range(num_iter):
+        b_acc = b_acc + jnp.einsum(
+            "bnk,ko->bno", u_hat * v[:, None, :], g,
+            preferred_element_type=jnp.float32,
+        )
+        if pad_row is not None:
+            b_acc = b_acc + pad_row
+        c = jax.nn.softmax(b_acc, axis=2)
+        ce = jnp.einsum("bno,ok->bnk", c, gt,
+                        preferred_element_type=jnp.float32)
+        s = jnp.sum(u_hat * ce, axis=1)  # [B, out_no]
+        sq = jnp.einsum("bk,ko->bo", s * s, g,
+                        preferred_element_type=jnp.float32)
+        factor = (sq / (1.0 + sq)) / jnp.sqrt(sq + 1e-7)
+        v = s * jnp.einsum("bo,ok->bk", factor, gt,
+                           preferred_element_type=jnp.float32)
+    return v
+
+
+def _sequential_routing_flat(u, wgt, bias, num_iter, mask_pad_capsule,
+                             remat=False, unroll=1):
+    """SDR scan with the flat lane-major layout (see _sdr_step_flat)."""
+    batch, seq_len, in_n, in_d = u.shape
+    _, out_n, out_d, _ = wgt.shape
+    out_no = out_n * out_d
+    in_dtype = u.dtype
+    # [in_d, in_n, out_no]: the prediction multiply unrolls over in_d (~8)
+    # as wide VPU multiply-adds on [B, in_n, out_no]
+    w_flat = jnp.transpose(wgt, (3, 0, 1, 2)).reshape(in_d, in_n, out_no)
+    b_flat = bias.reshape(in_n, out_no)
+    g = _group_matrix(out_n, out_d)
+    gt = jnp.transpose(g)
+    pad_row = (
+        jnp.where(jnp.arange(out_n) == 0, NEG_INF, 0.0)[None, None]
+        if mask_pad_capsule else None
+    )
+    v0 = jnp.zeros((batch, out_no), jnp.float32)
+    xs = jnp.moveaxis(u.astype(jnp.float32), 1, 0)  # [T, B, in_n, in_d]
+
+    def body(v_prev, u_t):
+        u_hat = b_flat[None]
+        for i in range(in_d):
+            u_hat = u_hat + u_t[:, :, i][..., None] * w_flat[i][None]
+        v = _sdr_step_flat(u_hat, v_prev, num_iter, pad_row, g, gt)
+        return v, v
+
+    if remat:
+        body = jax.checkpoint(body)
+    _, vs = jax.lax.scan(body, v0, xs, unroll=unroll)
+    vs = jnp.moveaxis(vs, 0, 1).reshape(batch, seq_len, out_n, out_d)
+    return vs.astype(in_dtype)
+
+
 def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
                         ln_params, ln_eps=1e-3, dropout_rate=0.0,
                         dropout_rng=None, remat=True):
@@ -331,6 +405,11 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
 
             return sequential_routing_pallas(
                 u, wgt, bias, num_iter, is_last_layer
+            )
+        if impl == "xla_flat":
+            return _sequential_routing_flat(
+                u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
+                remat=remat, unroll=unroll,
             )
         return sequential_routing(
             u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,

@@ -145,6 +145,25 @@ def test_sdr_precompute_equals_plain():
         np.testing.assert_allclose(np.asarray(plain), np.asarray(pre), atol=1e-5)
 
 
+def test_sdr_flat_layout_equals_plain():
+    # lane-major (flat) layout: same math, different f32 op order; the
+    # squash near |s|~0 conditions the comparison to ~1e-3 (both impls sit
+    # within that of a float64 oracle)
+    from srf_tpu.ops.routing import _sequential_routing_flat
+
+    u, W, b = _rand_problem(3, T=11)
+    for num_iter, mask_last in [(1, True), (2, False)]:
+        plain = sequential_routing(
+            jnp.asarray(u), jnp.asarray(W), jnp.asarray(b), num_iter, mask_last
+        )
+        flat = _sequential_routing_flat(
+            jnp.asarray(u), jnp.asarray(W), jnp.asarray(b), num_iter, mask_last
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(flat), atol=3e-3
+        )
+
+
 def test_window_stack_layout():
     # copy i of the (lpad, rpad)-padded sequence must appear at capsule
     # block i (reference concat order: sequence_router_naive.py:150-151)

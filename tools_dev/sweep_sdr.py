@@ -90,6 +90,9 @@ def main():
         ("scan_bf16", dict(bf16=True)),
         ("scan_pre", dict(routing_impl="xla_pre")),
         ("scan_pre_noremat", dict(routing_impl="xla_pre", routing_remat=False)),
+        ("scan_flat", dict(routing_impl="xla_flat")),
+        ("scan_flat_noremat", dict(routing_impl="xla_flat", routing_remat=False)),
+        ("scan_flat_bf16", dict(routing_impl="xla_flat", bf16=True)),
         ("wavefront", dict(routing_impl="wavefront")),
         ("wavefront_noremat", dict(routing_impl="wavefront", routing_remat=False)),
         ("wavefront_bf16", dict(routing_impl="wavefront", bf16=True)),

@@ -70,6 +70,7 @@ class SequenceRouter(nn.Module):
     routing_impl: str = "xla"  # xla | pallas (--tpu-routing-kernel)
     routing_remat: bool = True  # checkpoint the SDR scan body (1.5x faster bwd, see BENCH_NOTES)
     routing_unroll: int = 1  # scan body unroll factor (measured: >1 hurts on v5e)
+    routing_bf16: bool = False  # bf16 prediction/products inside the SDR body
 
     @classmethod
     def from_config(cls, config, class_n, **overrides):
@@ -194,6 +195,7 @@ class SequenceRouter(nn.Module):
                     impl=self.routing_impl,
                     remat=self.routing_remat,
                     unroll=self.routing_unroll,
+                    compute_dtype=jnp.bfloat16 if self.routing_bf16 else None,
                 )
                 flat = emb.reshape(batch, seq_len, -1)
                 flat = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))(flat)

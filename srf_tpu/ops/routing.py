@@ -99,22 +99,29 @@ def _sdr_step(u_hat_t, v_prev, num_iter, pad_mask):
     Routing logits accumulate agreement with v across the (unrolled)
     iterations; the first agreement term uses the *previous timestep's*
     output capsules (reference: sequence_router_naive.py:222-227).
+
+    ``u_hat_t`` may be bfloat16 (deep mixed precision): the big products
+    then run in bf16 while logits, softmax, squash and the carried v stay
+    float32.
     """
-    b = jnp.zeros(u_hat_t.shape[:3], u_hat_t.dtype)  # [B, in_n, out_n]
+    cd = u_hat_t.dtype
+    b = jnp.zeros(u_hat_t.shape[:3], jnp.float32)  # [B, in_n, out_n]
     v = v_prev
     for _ in range(num_iter):
-        b = b + jnp.einsum("bnoi,boi->bno", u_hat_t, v)
+        b = b + jnp.einsum("bnoi,boi->bno", u_hat_t, v.astype(cd),
+                           preferred_element_type=jnp.float32)
         if pad_mask is not None:
             b = b + pad_mask
         c = jax.nn.softmax(b, axis=2)
-        s = jnp.einsum("bno,bnoi->boi", c, u_hat_t)
+        s = jnp.einsum("bno,bnoi->boi", c.astype(cd), u_hat_t,
+                       preferred_element_type=jnp.float32)
         v = squash(s, axis=-1)
     return v
 
 
 def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
                        time_chunk=None, remat=False, unroll=1,
-                       precompute=False):
+                       precompute=False, compute_dtype=None):
     """SDR: scan over time, carrying the previous output capsules.
 
     ``u`` is [B, T, in_n, in_d]; the weight multiply runs inside the scan
@@ -127,6 +134,10 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     ``remat``: checkpoint the scan body — the backward pass recomputes the
     per-step routing chain instead of reading saved residuals from HBM
     (trades VPU flops for HBM bandwidth on the sequential hot path).
+
+    ``compute_dtype``: if set (e.g. jnp.bfloat16), the prediction vectors
+    and routing products inside the scan body run in this dtype; the scan
+    carry, softmax and squash stay float32 for recurrence stability.
     """
     out_n = wgt.shape[1]
     out_d = wgt.shape[2]
@@ -160,12 +171,15 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
     if time_chunk is None or time_chunk <= 1:
         u_t_major = jnp.moveaxis(u, 1, 0)  # [T, B, in_n, in_d]
+        cd = compute_dtype or jnp.float32
+        wgt_c = wgt.astype(cd)
+        bias_c = bias.astype(cd)
 
         def body(v_prev, u_t):
             u_hat_t = (
-                jnp.einsum("noij,bnj->bnoi", wgt, u_t,
-                           preferred_element_type=jnp.float32)
-                + bias[None]
+                jnp.einsum("noij,bnj->bnoi", wgt_c, u_t.astype(cd),
+                           preferred_element_type=cd)
+                + bias_c[None]
             )
             v = _sdr_step(u_hat_t, v_prev, num_iter, pad_mask)
             return v, v
@@ -390,7 +404,8 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
 
 
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
-                time_chunk=None, impl="xla", remat=False, unroll=1):
+                time_chunk=None, impl="xla", remat=False, unroll=1,
+                compute_dtype=None):
     """One capsule layer: prediction + routing (DR or SDR).
 
     ``impl``: "xla" (lax.scan, weight multiply in the body — lowmemory
@@ -414,7 +429,7 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
         return sequential_routing(
             u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
             time_chunk=time_chunk, remat=remat, unroll=unroll,
-            precompute=(impl == "xla_pre"),
+            precompute=(impl == "xla_pre"), compute_dtype=compute_dtype,
         )
     u_hat = predict_capsules(u, wgt, bias)
     out = dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last_layer)

@@ -90,6 +90,7 @@ def main():
         ("scan_bf16", dict(bf16=True)),
         ("scan_pre", dict(routing_impl="xla_pre")),
         ("scan_pre_noremat", dict(routing_impl="xla_pre", routing_remat=False)),
+        ("scan_deepbf16", dict(routing_bf16=True)),
         ("scan_flat", dict(routing_impl="xla_flat")),
         ("scan_flat_noremat", dict(routing_impl="xla_flat", routing_remat=False)),
         ("scan_flat_bf16", dict(routing_impl="xla_flat", bf16=True)),

@@ -2,26 +2,28 @@
 
 The SDR time recurrence is the throughput bottleneck of the SRF model
 (SURVEY.md §3.2: the reference runs it as a tf.while_loop + TensorArray,
-sequence_router_lowmemory.py:172-177). This kernel runs the recurrence for
-one capsule layer as a Pallas program with grid (batch, time): time is the
-innermost (sequential) grid dimension, per-timestep input/output blocks are
-delivered by the BlockSpec machinery (double-buffered DMA, **no in-kernel
-dynamic indexing** — dynamic slicing of large VMEM blocks stalls the Mosaic
-compiler), and the carried output capsules live in a VMEM scratch that
-persists across grid steps (reset at t == 0).
+sequence_router_lowmemory.py:172-177). Measured on v5e, the XLA ``lax.scan``
+formulation is latency-bound: ~13 of ~19 µs/step are fixed per-step costs
+(thunk dispatch, relayouts, carry DMA), not compute — see BENCH_NOTES.md.
+
+This kernel (v5) removes that overhead: ONE grid step per timestep
+(grid = (T,)) processes the ENTIRE batch, with the per-utterance routing
+chain statically unrolled in-kernel over batch rows. Block DMA is
+double-buffered by the BlockSpec machinery; the carried output capsules
+live in a VMEM scratch [B_pad, out_no] that persists across grid steps
+(reset at t == 0). An earlier version (v4, in git history) used grid
+(batch, time) — 1769 tiny invocations; the per-invocation latency ate the
+fusion win.
 
 Mosaic-friendly layout (everything 2-D, lanes = out_n*out_d = "out_no"):
-    u_t     [in_n, in_d]       block per (b, t); in_d statically unrolled
-    u_hat   [in_n, out_no]     rank-1 accumulated prediction vectors
-    G       [out_no, out_n]    static 0/1 capsule-group matrix
+    u       [T, B_pad*in_n, in_d]  batch-major rows; in_d statically
+                                   unrolled on the VPU
+    u_hat   [in_n, out_no]         per-row prediction vectors
+    G       [out_no, out_n]        static 0/1 capsule-group matrix
     agreement  b += (u_hat * v_row) @ G        -> [in_n, out_n]   (MXU)
     coupling   c = softmax(b, lanes)
     s = sum_n(u_hat * (c @ G^T))               -> [1, out_no]
     squash via group norms: (s*s) @ G, factor spread back with G^T
-
-The output array carries a padded sublane dim of 8 ((B, T, 8, out_no),
-sliced to [..., 0, :] outside) because Mosaic requires block shapes whose
-last two dims are (multiples of 8, 128) or equal to the array dims.
 
 Backward: a fused reverse-time kernel for num_iter == 1 (the canonical SRF
 configs) that recomputes the cheap per-step chain from ``u`` and the saved
@@ -77,25 +79,42 @@ def _pad_mask_row(out_n):
 
 
 def _sdr_fwd_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, v_ref, *,
-                    num_iter, mask_pad, in_d, out_n, out_no):
-    """Grid (batch, t): u [1, 1, in_n, in_d] -> out [1, 1, 8, out_no]."""
-    t = pl.program_id(1)
-    in_n = u_ref.shape[2]
+                    num_iter, mask_pad, in_d, in_n, out_n, out_no, batch):
+    """Grid (T,): u [1, B*in_n, in_d] -> out [1, B_pad, out_no]."""
+    t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         v_ref[:] = jnp.zeros_like(v_ref)
 
-    u_t = u_ref[0, 0]  # [in_n, in_d]
-    u_hat = b_ref[:]
-    for j in range(in_d):  # in_d is small (8-20): static unroll on the VPU
-        u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
-
     pad_mask = _pad_mask_row(out_n) if mask_pad else None
-    v = _routing_iters(u_hat, v_ref[:], g_ref[:], gt_ref[:], pad_mask,
-                       num_iter, in_n, out_n)
-    v_ref[:] = v
-    out_ref[0, 0] = jnp.broadcast_to(v, (8, out_no))
+    g = g_ref[:]
+    gt = gt_ref[:]
+    bias = b_ref[:]
+    for b in range(batch):  # static unroll: independent per-row chains
+        u_b = u_ref[0, b * in_n:(b + 1) * in_n, :]  # [in_n, in_d]
+        u_hat = bias
+        for j in range(in_d):  # in_d is small (8-20): unroll on the VPU
+            u_hat = u_hat + u_b[:, j][:, None] * w_ref[j]
+        v = _routing_iters(u_hat, v_ref[b:b + 1, :], g, gt, pad_mask,
+                           num_iter, in_n, out_n)
+        v_ref[b:b + 1, :] = v
+        out_ref[0, b:b + 1, :] = v
+
+
+def _prep_inputs(u, wgt, bias):
+    """u [B,T,in_n,in_d] -> [T, B_pad*in_n, in_d] batch-major rows; flat W."""
+    batch, seq_len, in_n, in_d = u.shape
+    b_pad = -batch % 8
+    u_rows = jnp.moveaxis(u.astype(jnp.float32), 1, 0)
+    if b_pad:
+        u_rows = jnp.pad(u_rows, ((0, 0), (0, b_pad), (0, 0), (0, 0)))
+    u_rows = u_rows.reshape(seq_len, (batch + b_pad) * in_n, in_d)
+    w_flat = jnp.transpose(wgt, (3, 0, 1, 2)).reshape(
+        in_d, in_n, wgt.shape[1] * wgt.shape[2]
+    )
+    b_flat = bias.reshape(in_n, -1)
+    return u_rows, w_flat, b_flat, batch + b_pad
 
 
 def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
@@ -105,108 +124,107 @@ def _pallas_sdr(u, wgt, bias, num_iter, mask_pad_capsule, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
 
-    # [in_d, in_n, out_no] so the unrolled j-loop indexes the leading dim
-    w_flat = jnp.transpose(wgt, (3, 0, 1, 2)).reshape(in_d, in_n, out_no)
-    b_flat = bias.reshape(in_n, out_no)
+    u_rows, w_flat, b_flat, b_pad = _prep_inputs(u, wgt, bias)
     g = _group_matrix(out_n, out_d)
 
     kernel = functools.partial(
         _sdr_fwd_kernel, num_iter=num_iter, mask_pad=mask_pad_capsule,
-        in_d=in_d, out_n=out_n, out_no=out_no,
+        in_d=in_d, in_n=in_n, out_n=out_n, out_no=out_no, batch=b_pad,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(batch, seq_len),
+        grid=(seq_len,),
         in_specs=[
-            pl.BlockSpec((1, 1, in_n, in_d), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, b_pad * in_n, in_d), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda b, t: (0, 0),
+            pl.BlockSpec((in_n, out_no), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_no, out_n), lambda b, t: (0, 0),
+            pl.BlockSpec((out_no, out_n), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_n, out_no), lambda b, t: (0, 0),
+            pl.BlockSpec((out_n, out_no), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 8, out_no), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, b_pad, out_no), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, seq_len, 8, out_no),
-                                       jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, out_no), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((seq_len, b_pad, out_no), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, out_no), jnp.float32)],
         interpret=interpret,
-    )(u.astype(jnp.float32), w_flat, b_flat, g, jnp.transpose(g))
-    return out[:, :, 0, :].reshape(batch, seq_len, out_n, out_d)
+    )(u_rows, w_flat, b_flat, g, jnp.transpose(g))
+    out = jnp.moveaxis(out[:, :batch], 0, 1)
+    return out.reshape(batch, seq_len, out_n, out_d)
 
 
 def _sdr_bwd_kernel(u_ref, vprev_ref, dvs_ref, w_ref, b_ref, g_ref, gt_ref,
-                    du_ref, dw_ref, db_ref, dv_ref, *, mask_pad, in_d, out_n,
-                    out_no, seq_len):
-    """Grid (batch, k) with k walking time BACKWARDS via the index maps.
+                    du_ref, dw_ref, db_ref, dv_ref, *, mask_pad, in_d, in_n,
+                    out_n, out_no, seq_len, batch):
+    """Grid (k,) with k walking time BACKWARDS via the index maps.
 
     Recomputes the per-step forward chain (num_iter == 1) and accumulates
     dW/dbias across the whole grid; the carried gradient into v_{t-1} lives
     in VMEM scratch, reset at k == 0 (i.e. t == T-1).
     """
-    b_idx = pl.program_id(0)
-    k = pl.program_id(1)
-    in_n = u_ref.shape[2]
+    k = pl.program_id(0)
     g = g_ref[:]
     gt = gt_ref[:]
 
-    @pl.when(jnp.logical_and(b_idx == 0, k == 0))
+    @pl.when(k == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
-
-    @pl.when(k == 0)
-    def _():
         dv_ref[:] = jnp.zeros_like(dv_ref)
 
     t_is_zero = k == seq_len - 1
-    u_t = u_ref[0, 0]  # [in_n, in_d]
-    v_prev = jnp.where(t_is_zero, jnp.zeros((1, out_no), jnp.float32),
-                       vprev_ref[0, 0, 0:1])
+    pad_mask = _pad_mask_row(out_n) if mask_pad else None
+    for b in range(batch):
+        u_b = u_ref[0, b * in_n:(b + 1) * in_n, :]  # [in_n, in_d]
+        v_prev = jnp.where(
+            t_is_zero, jnp.zeros((1, out_no), jnp.float32),
+            vprev_ref[0, b:b + 1, :],
+        )
 
-    # ---- recompute the forward chain ----
-    u_hat = b_ref[:]
-    for j in range(in_d):
-        u_hat = u_hat + u_t[:, j][:, None] * w_ref[j]
-    a = jnp.dot(u_hat * v_prev, g, preferred_element_type=jnp.float32)
-    if mask_pad:
-        a = a + _pad_mask_row(out_n)
-    c = jax.nn.softmax(a, axis=1)
-    ce = jnp.dot(c, gt, preferred_element_type=jnp.float32)
-    s = jnp.sum(u_hat * ce, axis=0, keepdims=True)
-    q = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
-    inv_sqrt = 1.0 / jnp.sqrt(q + 1e-7)
-    f = (q / (1.0 + q)) * inv_sqrt
-    fe = jnp.dot(f, gt, preferred_element_type=jnp.float32)
+        # ---- recompute the forward chain ----
+        u_hat = b_ref[:]
+        for j in range(in_d):
+            u_hat = u_hat + u_b[:, j][:, None] * w_ref[j]
+        a = jnp.dot(u_hat * v_prev, g, preferred_element_type=jnp.float32)
+        if pad_mask is not None:
+            a = a + pad_mask
+        c = jax.nn.softmax(a, axis=1)
+        ce = jnp.dot(c, gt, preferred_element_type=jnp.float32)
+        s = jnp.sum(u_hat * ce, axis=0, keepdims=True)
+        q = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
+        inv_sqrt = 1.0 / jnp.sqrt(q + 1e-7)
+        f = (q / (1.0 + q)) * inv_sqrt
+        fe = jnp.dot(f, gt, preferred_element_type=jnp.float32)
 
-    # ---- backward ----
-    dv = dvs_ref[0, 0, 0:1] + dv_ref[:]  # [1, out_no]
-    ds = dv * fe
-    df = jnp.dot(dv * s, g, preferred_element_type=jnp.float32)
-    dfdq = inv_sqrt / ((1.0 + q) * (1.0 + q)) - 0.5 * (q / (1.0 + q)) * (
-        inv_sqrt / (q + 1e-7)
-    )
-    dq = df * dfdq
-    ds = ds + 2.0 * s * jnp.dot(dq, gt, preferred_element_type=jnp.float32)
-    du_hat = ce * ds
-    dce = u_hat * ds
-    dc = jnp.dot(dce, g, preferred_element_type=jnp.float32)
-    da = c * (dc - jnp.sum(dc * c, axis=1, keepdims=True))
-    dag = jnp.dot(da, gt, preferred_element_type=jnp.float32)
-    du_hat = du_hat + dag * v_prev
-    dv_prev = jnp.sum(dag * u_hat, axis=0, keepdims=True)
+        # ---- backward ----
+        dv = dvs_ref[0, b:b + 1, :] + dv_ref[b:b + 1, :]  # [1, out_no]
+        ds = dv * fe
+        df = jnp.dot(dv * s, g, preferred_element_type=jnp.float32)
+        dfdq = inv_sqrt / ((1.0 + q) * (1.0 + q)) - 0.5 * (q / (1.0 + q)) * (
+            inv_sqrt / (q + 1e-7)
+        )
+        dq = df * dfdq
+        ds = ds + 2.0 * s * jnp.dot(dq, gt,
+                                    preferred_element_type=jnp.float32)
+        du_hat = ce * ds
+        dce = u_hat * ds
+        dc = jnp.dot(dce, g, preferred_element_type=jnp.float32)
+        da = c * (dc - jnp.sum(dc * c, axis=1, keepdims=True))
+        dag = jnp.dot(da, gt, preferred_element_type=jnp.float32)
+        du_hat = du_hat + dag * v_prev
+        dv_prev = jnp.sum(dag * u_hat, axis=0, keepdims=True)
 
-    db_ref[:] += du_hat
-    du_cols = []
-    for j in range(in_d):
-        dw_ref[j] += du_hat * u_t[:, j][:, None]
-        du_cols.append(jnp.sum(du_hat * w_ref[j], axis=1, keepdims=True))
-    du_ref[0, 0] = jnp.concatenate(du_cols, axis=1)
-    dv_ref[:] = dv_prev
+        db_ref[:] += du_hat
+        du_cols = []
+        for j in range(in_d):
+            dw_ref[j] += du_hat * u_b[:, j][:, None]
+            du_cols.append(jnp.sum(du_hat * w_ref[j], axis=1, keepdims=True))
+        du_ref[0, b * in_n:(b + 1) * in_n, :] = jnp.concatenate(du_cols,
+                                                                axis=1)
+        dv_ref[b:b + 1, :] = dv_prev
 
 
 def _pallas_sdr_bwd(u, wgt, bias, vs, dvs, mask_pad_capsule, interpret=None):
@@ -216,64 +234,68 @@ def _pallas_sdr_bwd(u, wgt, bias, vs, dvs, mask_pad_capsule, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
 
-    w_flat = jnp.transpose(wgt, (3, 0, 1, 2)).reshape(in_d, in_n, out_no)
-    b_flat = bias.reshape(in_n, out_no)
+    u_rows, w_flat, b_flat, b_pad = _prep_inputs(u, wgt, bias)
     g = _group_matrix(out_n, out_d)
-    # pad the lane-grouped sequences with a sublane dim of 8 for the block
-    # constraint; vs is shifted so block (b, k) holds v_{t-1} for t = T-1-k
-    vs_flat = vs.reshape(batch, seq_len, 1, out_no)
-    vs_flat = jnp.broadcast_to(vs_flat, (batch, seq_len, 8, out_no))
-    dvs_flat = dvs.reshape(batch, seq_len, 1, out_no)
-    dvs_flat = jnp.broadcast_to(dvs_flat, (batch, seq_len, 8, out_no))
+    # [T, B_pad, out_no] lane-grouped forward outputs / cotangents; vs is
+    # indexed at t-1 via the block index map (value for t==0 overridden
+    # in-kernel)
+    def _rows(x):
+        x = jnp.moveaxis(x.reshape(batch, seq_len, out_no), 1, 0)
+        if b_pad != batch:
+            x = jnp.pad(x, ((0, 0), (0, b_pad - batch), (0, 0)))
+        return x
+
+    vs_rows = _rows(vs)
+    dvs_rows = _rows(dvs)
 
     kernel = functools.partial(
-        _sdr_bwd_kernel, mask_pad=mask_pad_capsule, in_d=in_d, out_n=out_n,
-        out_no=out_no, seq_len=seq_len,
+        _sdr_bwd_kernel, mask_pad=mask_pad_capsule, in_d=in_d, in_n=in_n,
+        out_n=out_n, out_no=out_no, seq_len=seq_len, batch=b_pad,
     )
     du, dw, db = pl.pallas_call(
         kernel,
-        grid=(batch, seq_len),
+        grid=(seq_len,),
         in_specs=[
             # t = T-1-k
-            pl.BlockSpec((1, 1, in_n, in_d),
-                         lambda b, k: (b, seq_len - 1 - k, 0, 0),
+            pl.BlockSpec((1, b_pad * in_n, in_d),
+                         lambda k: (seq_len - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM),
-            # v_{t-1} = vs[t-1]; clamped at t==0 (value overridden in-kernel)
+            # v_{t-1} = vs[t-1]; clamped at t==0 (overridden in-kernel)
             pl.BlockSpec(
-                (1, 1, 8, out_no),
-                lambda b, k: (b, jnp.maximum(seq_len - 2 - k, 0), 0, 0),
+                (1, b_pad, out_no),
+                lambda k: (jnp.maximum(seq_len - 2 - k, 0), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1, 8, out_no),
-                         lambda b, k: (b, seq_len - 1 - k, 0, 0),
+            pl.BlockSpec((1, b_pad, out_no),
+                         lambda k: (seq_len - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda b, k: (0, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda b, k: (0, 0),
+            pl.BlockSpec((in_n, out_no), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_no, out_n), lambda b, k: (0, 0),
+            pl.BlockSpec((out_no, out_n), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_n, out_no), lambda b, k: (0, 0),
+            pl.BlockSpec((out_n, out_no), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, in_n, in_d),
-                         lambda b, k: (b, seq_len - 1 - k, 0, 0),
+            pl.BlockSpec((1, b_pad * in_n, in_d),
+                         lambda k: (seq_len - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_d, in_n, out_no), lambda b, k: (0, 0, 0),
+            pl.BlockSpec((in_d, in_n, out_no), lambda k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_n, out_no), lambda b, k: (0, 0),
+            pl.BlockSpec((in_n, out_no), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, seq_len, in_n, in_d), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, b_pad * in_n, in_d), jnp.float32),
             jax.ShapeDtypeStruct((in_d, in_n, out_no), jnp.float32),
             jax.ShapeDtypeStruct((in_n, out_no), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((1, out_no), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_pad, out_no), jnp.float32)],
         interpret=interpret,
-    )(u.astype(jnp.float32), vs_flat, dvs_flat, w_flat, b_flat, g,
-      jnp.transpose(g))
+    )(u_rows, vs_rows, dvs_rows, w_flat, b_flat, g, jnp.transpose(g))
+    du = jnp.moveaxis(du.reshape(seq_len, b_pad, in_n, in_d), 0, 1)[:batch]
     dwgt = jnp.transpose(dw.reshape(in_d, in_n, out_n, out_d), (1, 2, 3, 0))
     return du, dwgt, db.reshape(in_n, out_n, out_d)
 

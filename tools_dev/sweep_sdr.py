@@ -24,7 +24,7 @@ def sync(x):
 
 
 def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=True, routing_unroll=1,
-          batch=29, frames=241):
+          batch=29, frames=241, **model_kw):
     from srf_tpu.models.srf import SequenceRouter
     from srf_tpu.train.optimizer import noam_schedule
     from srf_tpu.train.state import TrainState
@@ -37,6 +37,7 @@ def build(time_chunk=None, routing_impl="xla", bf16=False, routing_remat=True, r
         conv_layer_num=2, conv_filter_num=64, caps_type="naive",
         time_chunk=time_chunk, routing_impl=routing_impl,
         routing_remat=routing_remat, routing_unroll=routing_unroll,
+        **model_kw,
     )
     rng = jax.random.PRNGKey(0)
     host = np.random.RandomState(0)
@@ -91,6 +92,7 @@ def main():
         ("scan_pre", dict(routing_impl="xla_pre")),
         ("scan_pre_noremat", dict(routing_impl="xla_pre", routing_remat=False)),
         ("scan_deepbf16", dict(routing_bf16=True)),
+        ("scan_allbf16", dict(routing_bf16=True, bf16=True)),
         ("scan_flat", dict(routing_impl="xla_flat")),
         ("scan_flat_noremat", dict(routing_impl="xla_flat", routing_remat=False)),
         ("scan_flat_bf16", dict(routing_impl="xla_flat", bf16=True)),

@@ -302,6 +302,11 @@ class ParseOption:
                  "staggered scan over time)",
         )
         tpu_group.add_argument(
+            "--tpu-fsdp", type=ParseOption.str2bool, default="False",
+            help="fully-shard params + optimizer state over the data axis "
+                 "(ZeRO-style); XLA inserts the gathers/scatters",
+        )
+        tpu_group.add_argument(
             "--tpu-seed", type=int, default=1234,
             help="PRNG seed (the reference leaves dropout unseeded)",
         )

@@ -23,6 +23,33 @@ def srf_rules():
     ]
 
 
+def fsdp_sharding(tree, mesh, axis="data", min_size=1024):
+    """ZeRO/FSDP-style fully-sharded layout over the data axis.
+
+    Each float leaf's largest axis-divisible dimension shards over
+    ``axis``; small or indivisible leaves stay replicated. Apply to a whole
+    TrainState pytree so the Adam moments shard exactly like their
+    parameters. XLA SPMD inserts the all-gathers at use sites and
+    reduce-scatters for the gradient/update — the reference has no analog
+    (its params are mirrored per GPU, SURVEY.md §2.10); this is the
+    idiomatic TPU upgrade for memory-bound configs.
+    """
+    n = mesh.shape.get(axis, 1)
+
+    def leaf(x):
+        if (n == 1 or not hasattr(x, "shape") or x.ndim == 0
+                or x.size < min_size):
+            return NamedSharding(mesh, P())
+        for i in sorted(range(x.ndim), key=lambda i: -x.shape[i]):
+            if x.shape[i] % n == 0:
+                spec = [None] * x.ndim
+                spec[i] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf, tree)
+
+
 def apply_rules(params, mesh, rules=None, only_last_layer=True):
     """Build a sharding pytree: replicated except where a rule matches.
 

@@ -116,7 +116,7 @@ def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True,
     )
 
 
-def make_valid_step(apply_fn, in_len_div, mesh=None):
+def make_valid_step(apply_fn, in_len_div, mesh=None, state_sharding=None):
     def valid_step(state, batch):
         logits, _ = apply_fn(state.params, state.batch_stats, batch, False, None)
         pe_loss = ctc_loss_from_frames(
@@ -135,8 +135,10 @@ def make_valid_step(apply_fn, in_len_div, mesh=None):
     batch_shardings = {
         "feats": data, "labels": data, "inp_len": data, "tar_len": data,
     }
+    state_in = state_sharding if state_sharding is not None else repl
     return jax.jit(
-        valid_step, in_shardings=(repl, batch_shardings), out_shardings=repl
+        valid_step, in_shardings=(state_in, batch_shardings),
+        out_shardings=repl,
     )
 
 

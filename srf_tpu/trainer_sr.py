@@ -178,10 +178,20 @@ def main(argv=None):
     train_loader, valid_loader = build_loaders(
         config, logger, num_replicas, seed=config.tpu_seed
     )
+    state_sharding = None
+    if getattr(config, "tpu_fsdp", False):
+        from srf_tpu.parallel.sharding_rules import fsdp_sharding
+
+        state_sharding = fsdp_sharding(state, mesh)
+        state = jax.device_put(state, state_sharding)
+        logger.info("FSDP: params + optimizer state sharded over 'data'")
     train_step = make_train_step(
-        apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate
+        apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,
+        state_sharding=state_sharding,
     )
-    valid_step = make_valid_step(apply_fn, in_len_div, mesh=mesh)
+    valid_step = make_valid_step(
+        apply_fn, in_len_div, mesh=mesh, state_sharding=state_sharding
+    )
 
     metrics_path = (
         os.path.join(config.path_ckpt, "metrics.jsonl") if config.path_ckpt else None

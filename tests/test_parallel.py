@@ -88,3 +88,47 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fsdp_matches_replicated():
+    """ZeRO-style sharding of params+opt state over 'data' must be a pure
+    layout change: identical losses/params to replicated DP."""
+    from srf_tpu.parallel.sharding_rules import fsdp_sharding
+
+    model, tx, state0, batch, rng = _tiny_setup()
+    apply_fn = make_apply_fn(model)
+    mesh = make_mesh(num_data=8)
+    sharded_batch = shard_batch(mesh, batch)
+
+    # replicated reference
+    step_repl = make_train_step(apply_fn, tx, 4, mesh=mesh, donate=False)
+    state_r = jax.device_put(
+        state0, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    for _ in range(3):
+        state_r, metrics_r = step_repl(state_r, sharded_batch, rng)
+
+    # FSDP (min_size=0 so even the tiny test params shard)
+    sharding = fsdp_sharding(state0, mesh, min_size=0)
+    state_f = jax.device_put(state0, sharding)
+    step_fsdp = make_train_step(
+        apply_fn, tx, 4, mesh=mesh, donate=False, state_sharding=sharding
+    )
+    for _ in range(3):
+        state_f, metrics_f = step_fsdp(state_f, sharded_batch, rng)
+
+    # at least one parameter leaf must actually be sharded over 'data'
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree.leaves(state_f.params)
+    )
+    np.testing.assert_allclose(
+        float(metrics_f["loss_sum"]), float(metrics_r["loss_sum"]), rtol=1e-4
+    )
+    leaves_r = jax.tree.leaves(state_r.params)
+    leaves_f = jax.tree.leaves(state_f.params)
+    for a, b in zip(leaves_r, leaves_f):
+        np.testing.assert_allclose(
+            jax.device_get(a), jax.device_get(b), rtol=1e-3, atol=1e-6
+        )

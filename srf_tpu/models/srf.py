@@ -112,64 +112,144 @@ class SequenceRouter(nn.Module):
         shapes.append((ch * window, self.class_n, vd, cd))
         return shapes
 
-    @nn.compact
-    def __call__(self, feats, input_lengths, training: bool):
-        window = self.lpad + self.rpad + 1
-        num_iter = 1 if self.caps_type == "lowmemory" else self.caps_iter
-
-        conv_out = ConvFrontEnd(
+    def setup(self):
+        # Explicit attribute names reproduce the compact-era param tree
+        # (conv_feat, flatten, encaps1/2, ln_input, W%d/b%d, ln_mid%d,
+        # ln_output) so checkpoints and weight transplants are unaffected.
+        self.conv_feat = ConvFrontEnd(
             cnn_n=self.conv_layer_num,
             nfilt=self.conv_filter_num,
             stride=self.stride,
             init_name=self.init_name,
-            name="conv_feat",
-        )(feats, input_lengths, training)
+        )
+        self.flatten = nn.Dense(
+            self.caps_primary_num, kernel_init=get_init(self.init_name)
+        )
+        self.encaps1 = nn.Conv(
+            features=self.caps_primary_dim, kernel_size=(3, 3),
+            strides=(1, 1), padding="SAME",
+            kernel_init=get_init(self.init_name),
+        )
+        self.encaps2 = nn.Conv(
+            features=self.caps_primary_dim, kernel_size=(3, 3),
+            strides=(1, 1), padding="SAME",
+            kernel_init=get_init(self.init_name),
+        )
+        self.ln_input = nn.LayerNorm(epsilon=1e-3)
+        w_init = routing_weight_init()
+        weights, biases = [], []
+        for i, (in_n, out_n, out_d, in_d) in enumerate(self.layer_shapes()):
+            weights.append(
+                self.param("W%d" % i, w_init, (in_n, out_n, out_d, in_d))
+            )
+            biases.append(self.param("b%d" % i, w_init, (in_n, out_n, out_d)))
+            setattr(self, "ln_mid%d" % (i + 1), nn.LayerNorm(epsilon=1e-3))
+        self.routing_weights = weights
+        self.routing_biases = biases
+        self.ln_output = nn.LayerNorm(epsilon=1e-3)
+        self.drop_encaps = nn.Dropout(rate=0.2)
+        self.drop_inp = nn.Dropout(rate=self.inp_dropout)
+        self.drop_inn = nn.Dropout(rate=self.inn_dropout)
+
+    def _capsulate(self, feats, input_lengths, training: bool,
+                   pos_enc_override=None):
+        """Front-end through primary capsules: [B,T,feat] -> [B,T',PH,PD].
+
+        ``pos_enc_override`` (einsum flavor only): positional-encoding slice
+        for windows that do not start at t=0 (streaming).
+        """
+        conv_out = self.conv_feat(feats, input_lengths, training)
         batch, seq_len = conv_out.shape[0], conv_out.shape[1]
 
         emb = conv_out.reshape(batch, seq_len, -1)
-        emb = nn.Dense(
-            self.caps_primary_num, kernel_init=get_init(self.init_name), name="flatten"
-        )(emb)
+        emb = self.flatten(emb)
         if self.caps_type == "einsum":
             emb = emb * jnp.sqrt(float(self.caps_primary_num))
-            emb = emb + get_pos_enc(seq_len, self.caps_primary_num)
+            pos = (
+                pos_enc_override if pos_enc_override is not None
+                else get_pos_enc(seq_len, self.caps_primary_num)
+            )
+            emb = emb + pos
         emb = emb[..., None]  # [B, T', PH, 1]
 
-        branches = []
-        for i in range(2):
-            conv = nn.Conv(
-                features=self.caps_primary_dim,
-                kernel_size=(3, 3),
-                strides=(1, 1),
-                padding="SAME",
-                kernel_init=get_init(self.init_name),
-                name="encaps%d" % (i + 1),
-            )(emb)
-            conv = nn.Dropout(rate=0.2, deterministic=not training)(conv)
-            branches.append(conv)
+        deterministic = not training
+        branches = [
+            self.drop_encaps(self.encaps1(emb), deterministic=deterministic),
+            self.drop_encaps(self.encaps2(emb), deterministic=deterministic),
+        ]
         emb = jnp.maximum(branches[0], branches[1])
         emb = feat_mask(emb, input_lengths, self.stride**2)
 
         emb = emb.reshape(batch, seq_len, self.caps_primary_num, self.caps_primary_dim)
         emb = squash(emb, axis=-1)
         flat = emb.reshape(batch, seq_len, -1)
-        flat = nn.LayerNorm(epsilon=1e-3, name="ln_input")(flat)
+        flat = self.ln_input(flat)
         emb = flat.reshape(batch, seq_len, self.caps_primary_num, self.caps_primary_dim)
-        emb = nn.Dropout(rate=self.inp_dropout, deterministic=not training)(emb)
+        return self.drop_inp(emb, deterministic=deterministic)
+
+    def route_block(self, u_ctx, layer_idx, v_init=None, step_valid=None):
+        """One capsule layer on a streaming block (eval mode, no dropout).
+
+        ``u_ctx`` [B, lpad+K+rpad, n, d] carries the window context
+        explicitly (no zero padding); returns (out [B, K, out_n, out_d],
+        v_last [B, out_n, out_d]). ``step_valid`` [K] zeroes warm-up frames
+        (t < 0) in both the emitted block and the SDR carry, matching the
+        batch implementation's window zero padding.
+        """
+        from srf_tpu.ops.routing import (
+            dynamic_routing, predict_capsules, sequential_routing,
+            window_slide,
+        )
+
+        num_iter = 1 if self.caps_type == "lowmemory" else self.caps_iter
+        wgt = self.routing_weights[layer_idx]
+        bias = self.routing_biases[layer_idx]
+        u_win = window_slide(u_ctx, self.lpad, self.rpad)
+        is_last = layer_idx == self.enc_num - 1
+        if self.is_context:
+            out = sequential_routing(
+                u_win, wgt, bias, num_iter, mask_pad_capsule=is_last,
+                v_init=v_init, step_valid=step_valid,
+            )
+        else:
+            u_hat = predict_capsules(u_win, wgt, bias)
+            out = dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last)
+            if step_valid is not None:
+                out = jnp.where(step_valid[None, :, None, None], out, 0.0)
+        v_last = out[:, -1]
+        batch, k = out.shape[0], out.shape[1]
+        out_n, out_d = out.shape[2], out.shape[3]
+        flat = out.reshape(batch, k, -1)
+        flat = getattr(self, "ln_mid%d" % (layer_idx + 1))(flat)
+        out = flat.reshape(batch, k, out_n, out_d)
+        if step_valid is not None:
+            out = jnp.where(step_valid[None, :, None, None], out, 0.0)
+        return out, v_last
+
+    def output_block(self, emb):
+        """Class capsules -> CTC logits (the model's output head)."""
+        eps = 1e-9 if self.caps_type == "einsum" else 1e-7
+        logits = capsule_length(emb, axis=-1, epsilon=eps)
+        return self.ln_output(logits)
+
+    def __call__(self, feats, input_lengths, training: bool):
+        num_iter = 1 if self.caps_type == "lowmemory" else self.caps_iter
+
+        emb = self._capsulate(feats, input_lengths, training)
+        batch, seq_len = emb.shape[0], emb.shape[1]
 
         shapes = self.layer_shapes()
-        w_init = routing_weight_init()
         if self.is_context and self.routing_impl == "wavefront":
             # whole capsule stack as ONE scan over time (see
             # ops/routing.py wavefront_sdr_stack); the per-layer LayerNorm
-            # modules are declared here (identical param tree to the
-            # layered path) and applied inside the scan
+            # params are materialized by a dummy call and applied manually
+            # inside the scan
             layer_params, ln_params = [], []
             for i, (in_n, out_n, out_d, in_d) in enumerate(shapes):
-                wgt = self.param("W%d" % i, w_init, (in_n, out_n, out_d, in_d))
-                bias = self.param("b%d" % i, w_init, (in_n, out_n, out_d))
-                layer_params.append((wgt, bias))
-                ln = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))
+                layer_params.append(
+                    (self.routing_weights[i], self.routing_biases[i])
+                )
+                ln = getattr(self, "ln_mid%d" % (i + 1))
                 ln(jnp.zeros((1, out_n * out_d), jnp.float32))  # build params
                 lnp = self.get_variable("params", "ln_mid%d" % (i + 1))
                 ln_params.append((lnp["scale"], lnp["bias"]))
@@ -182,14 +262,13 @@ class SequenceRouter(nn.Module):
             )
         else:
             for i, (in_n, out_n, out_d, in_d) in enumerate(shapes):
-                wgt = self.param("W%d" % i, w_init, (in_n, out_n, out_d, in_d))
-                bias = self.param("b%d" % i, w_init, (in_n, out_n, out_d))
                 emb = window_stack(emb, self.lpad, self.rpad)
                 assert emb.shape[2] == in_n and emb.shape[3] == in_d, (
                     emb.shape, (in_n, in_d),
                 )
                 emb = route_layer(
-                    emb, wgt, bias, num_iter, self.is_context,
+                    emb, self.routing_weights[i], self.routing_biases[i],
+                    num_iter, self.is_context,
                     is_last_layer=(i == self.enc_num - 1),
                     time_chunk=self.time_chunk,
                     impl=self.routing_impl,
@@ -198,10 +277,8 @@ class SequenceRouter(nn.Module):
                     compute_dtype=jnp.bfloat16 if self.routing_bf16 else None,
                 )
                 flat = emb.reshape(batch, seq_len, -1)
-                flat = nn.LayerNorm(epsilon=1e-3, name="ln_mid%d" % (i + 1))(flat)
+                flat = getattr(self, "ln_mid%d" % (i + 1))(flat)
                 emb = flat.reshape(batch, seq_len, out_n, out_d)
-                emb = nn.Dropout(rate=self.inn_dropout, deterministic=not training)(emb)
+                emb = self.drop_inn(emb, deterministic=not training)
 
-        eps = 1e-9 if self.caps_type == "einsum" else 1e-7
-        logits = capsule_length(emb, axis=-1, epsilon=eps)
-        return nn.LayerNorm(epsilon=1e-3, name="ln_output")(logits)
+        return self.output_block(emb)

@@ -119,9 +119,23 @@ def _sdr_step(u_hat_t, v_prev, num_iter, pad_mask):
     return v
 
 
+def window_slide(u, lpad, rpad):
+    """Sliding windows WITHOUT edge padding: [B, T, n, d] ->
+    [B, T-lpad-rpad, (lpad+rpad+1)*n, d] (same frame-major capsule order as
+    window_stack). Used by streaming, where the context frames come from
+    carried buffers instead of zero padding."""
+    window = lpad + rpad + 1
+    if window == 1:
+        return u
+    out_len = u.shape[1] - lpad - rpad
+    shifted = [u[:, i : i + out_len] for i in range(window)]
+    return jnp.concatenate(shifted, axis=2)
+
+
 def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
                        time_chunk=None, remat=False, unroll=1,
-                       precompute=False, compute_dtype=None):
+                       precompute=False, compute_dtype=None,
+                       v_init=None, step_valid=None):
     """SDR: scan over time, carrying the previous output capsules.
 
     ``u`` is [B, T, in_n, in_d]; the weight multiply runs inside the scan
@@ -138,6 +152,14 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     ``compute_dtype``: if set (e.g. jnp.bfloat16), the prediction vectors
     and routing products inside the scan body run in this dtype; the scan
     carry, softmax and squash stay float32 for recurrence stability.
+
+    ``v_init``: initial carry [B, out_n, out_d] (streaming: the previous
+    chunk's last output capsules); defaults to zeros (reference: v0 = 0,
+    sequence_router_lowmemory.py:169).
+
+    ``step_valid``: optional [T] bool; invalid steps contribute zero output
+    AND a zero carry (streaming warm-up frames before t=0, which the
+    batch implementation realizes as window zero padding).
     """
     out_n = wgt.shape[1]
     out_d = wgt.shape[2]
@@ -149,7 +171,15 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     # the routing recurrence itself runs in f32 regardless of the compute
     # dtype: u_hat accumulates in f32 (MXU preferred type) and the scan
     # carry must be dtype-stable
-    v0 = jnp.zeros((batch, out_n, out_d), jnp.float32)
+    if v_init is None:
+        v0 = jnp.zeros((batch, out_n, out_d), jnp.float32)
+    else:
+        v0 = v_init.astype(jnp.float32)
+    if (v_init is not None or step_valid is not None) and (
+            precompute or (time_chunk is not None and time_chunk > 1)):
+        raise NotImplementedError(
+            "v_init/step_valid require the plain scan path"
+        )
 
     if precompute:
         # "naive" memory plan the XLA way: one big MXU einsum for every
@@ -175,18 +205,22 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
         wgt_c = wgt.astype(cd)
         bias_c = bias.astype(cd)
 
-        def body(v_prev, u_t):
+        def body(v_prev, x):
+            u_t = x[0] if step_valid is not None else x
             u_hat_t = (
                 jnp.einsum("noij,bnj->bnoi", wgt_c, u_t.astype(cd),
                            preferred_element_type=cd)
                 + bias_c[None]
             )
             v = _sdr_step(u_hat_t, v_prev, num_iter, pad_mask)
+            if step_valid is not None:
+                v = jnp.where(x[1], v, 0.0)
             return v, v
 
         if remat:
             body = jax.checkpoint(body)
-        _, vs = jax.lax.scan(body, v0, u_t_major, unroll=unroll)
+        xs = (u_t_major, step_valid) if step_valid is not None else u_t_major
+        _, vs = jax.lax.scan(body, v0, xs, unroll=unroll)
         return jnp.moveaxis(vs, 0, 1).astype(in_dtype)
 
     # chunked: precompute u_hat for `time_chunk` steps at once (MXU batch),

@@ -69,6 +69,21 @@ class Recognizer:
             variables["batch_stats"] = self.state.batch_stats
         return self.model.apply(variables, feats, lengths, False)
 
+    def streaming_session(self, chunk=8):
+        """Chunked low-latency inference (SRF models; greedy decode).
+
+        Returns a srf_tpu.streaming.StreamingTranscriber bound to the
+        loaded checkpoint: feed features with push(), finish with flush().
+        """
+        from srf_tpu.streaming import StreamingTranscriber
+
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return StreamingTranscriber(
+            self.model, variables, self.blank_id, chunk=chunk
+        )
+
     def transcribe(self, feats, beam_width=None, pad_multiple=128,
                    corpus="timit"):
         """feats: [T, feat_dim] numpy -> (ids, text)."""
@@ -98,6 +113,7 @@ def main(argv=None):
     argv = list(argv or sys.argv)
     feats_paths = []
     corpus = "timit"
+    stream = False
     filtered = []
     it = iter(argv)
     for arg in it:
@@ -107,16 +123,32 @@ def main(argv=None):
             feats_paths.append(arg.split("=", 1)[1])
         elif arg.startswith("--corpus="):
             corpus = arg.split("=", 1)[1]
+        elif arg == "--stream":
+            stream = True
         else:
             filtered.append(arg)
     config = ParseOption(filtered, logger, is_print_opts=False).args
     recognizer = Recognizer(config, logger)
     for path in feats_paths:
         feats = np.load(path)
-        ids, text = recognizer.transcribe(
-            feats, beam_width=config.decoding_beam_width, corpus=corpus
-        )
-        print("%s (%s)" % (text, path))
+        if stream:
+            session = recognizer.streaming_session()
+            raw_vocab = [
+                t if t != " " else "<SPACE>" for t in recognizer.vocab
+            ]
+            ids = []
+            for start in range(0, feats.shape[0], 50):  # 0.5 s at a time
+                new = session.push(feats[start : start + 50])
+                if new:
+                    print("partial: %s" % ids_to_utt(new, raw_vocab, corpus))
+                ids += new
+            ids += session.flush()
+            print("%s (%s)" % (ids_to_utt(ids, raw_vocab, corpus), path))
+        else:
+            ids, text = recognizer.transcribe(
+                feats, beam_width=config.decoding_beam_width, corpus=corpus
+            )
+            print("%s (%s)" % (text, path))
 
 
 if __name__ == "__main__":

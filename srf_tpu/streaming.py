@@ -1,0 +1,228 @@
+"""Streaming SRF inference: chunked forward with carried recurrence state.
+
+The paper's headline property — SDR needs ONE routing iteration per
+timestep, so inference is "non-iterative" (reference: README.md:8-9) — makes
+the SRF model naturally streamable: the only unbounded state is each capsule
+layer's previous output capsules ``v_prev`` (the SDR carry) plus bounded
+window context. The reference has no streaming path (its decode mode is
+whole-utterance, tfsr/trainer_sr.py:96-117); this module is a TPU-native
+extension built on the same trained parameters.
+
+Exactness contract: for a full utterance fed through ``push``/``flush``,
+the emitted logits equal the batch model's logits on every valid frame
+(tests/test_streaming.py), because each stage only ever reads:
+
+- the conv front-end: a raw-frame window with enough margin to cover its
+  receptive field (overlap-and-discard; stride alignment keeps the SAME-
+  padding conv grids of window and full utterance identical),
+- each capsule layer: its previous layer's outputs in [t-lpad, t+rpad]
+  (carried ring context) and its own ``v_prev`` (carried),
+- warm-up frames (t < 0) are zeroed via ``step_valid``, reproducing the
+  batch implementation's window zero padding; the utterance tail
+  reproduces the batch model's masked-front-end frames by processing
+  zero-padded raw frames with the true length's ceil masks at flush.
+
+Algorithmic latency: ``(2*div + L*rpad*div)`` raw frames — the front-end
+lookahead plus ``rpad`` post-frames per capsule layer (e.g. canonical
+SRF-TIMIT: 8 + 7*1*4 = 36 frames = 360 ms).
+
+Only greedy decoding streams (beam search needs the full lattice; run the
+offline decoders on the accumulated logits if a final rescore is wanted).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srf_tpu.models.srf import SequenceRouter
+from srf_tpu.ops.pos_enc import get_pos_enc
+
+
+class StreamingTranscriber:
+    """Chunked inference session over a trained SequenceRouter.
+
+    Args:
+        model: the SequenceRouter (eval hyper-parameters; SDR or DR).
+        variables: trained {'params': ..., 'batch_stats': ...}.
+        blank_id: CTC blank (= vocab size; blank-last).
+        chunk: emission granularity in post-subsample frames (chunk*div raw
+            frames arrive per compute step; one compile per layer).
+    """
+
+    def __init__(self, model, variables, blank_id, chunk=8):
+        if not isinstance(model, SequenceRouter):
+            raise TypeError("streaming supports the SRF SequenceRouter")
+        if model.stride != 2 or model.conv_layer_num != 2:
+            # the reference masks capsulation output with a hardcoded
+            # stride**2 divisor regardless of conv_layer_num (reference:
+            # sequence_router_naive.py:134) — for conv_layer_num != 2 that
+            # mask boundary depends on the global length in a way windowed
+            # processing cannot reproduce mid-stream (and such configs are
+            # degenerate in the reference anyway: most frames get zeroed)
+            raise NotImplementedError(
+                "streaming supports the reference front-end geometry "
+                "(2 conv layers, stride 2)"
+            )
+        self.model = model
+        self.variables = variables
+        self.blank_id = blank_id
+        self.div = model.stride**model.conv_layer_num
+        self.K = chunk
+        # raw window for post-frames [t0, t0+K): [div*t0 - lmargin,
+        # div*(t0+K) + rmargin); margins cover the conv+encaps receptive
+        # field (right: raw 4x+10 < W -> 12; left: generous, div-aligned)
+        if chunk < 3:
+            raise ValueError("chunk must be >= 3 post frames")
+        self.lmargin = 3 * self.div
+        self.rmargin = 3 * self.div
+        self.win = self.div * self.K + self.lmargin + self.rmargin
+
+        self._fe = jax.jit(
+            lambda v, win, length, pos: model.apply(
+                v, win, length, False, pos_enc_override=pos,
+                method="_capsulate",
+            )
+        )
+        self._route = [
+            jax.jit(
+                lambda v, u, vi, sv, _i=i: model.apply(
+                    v, u, _i, vi, sv, method="route_block"
+                )
+            )
+            for i in range(model.enc_num)
+        ]
+        self._head = jax.jit(
+            lambda v, emb: model.apply(v, emb, method="output_block")
+        )
+        self.reset()
+
+    def reset(self):
+        self._raw = np.zeros((0, self.model.feat_dim), np.float32)
+        self._pushed = 0
+        self._fe_blocks = 0  # next front-end block index
+        shapes = self.model.layer_shapes()
+        window_ctx = self.model.lpad + self.model.rpad
+        self._bufs, self._vprev = [], []
+        prev_n, prev_d = self.model.caps_primary_num, self.model.caps_primary_dim
+        for _, out_n, out_d, _ in shapes:
+            self._bufs.append(
+                jnp.zeros((1, window_ctx, prev_n, prev_d), jnp.float32)
+            )
+            self._vprev.append(jnp.zeros((1, out_n, out_d), jnp.float32))
+            prev_n, prev_d = out_n, out_d
+        self._logit_frames = 0  # emitted final-layer frames (valid, >= 0)
+        self._logits = []
+        self._prev_id = self.blank_id
+        self._decoded_frames = 0
+        self._tokens = []
+
+    # ------------------------------------------------------------------ io
+
+    def push(self, frames):
+        """Feed raw feature frames [n, feat_dim]; returns newly decoded ids."""
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim != 2 or frames.shape[1] != self.model.feat_dim:
+            raise ValueError("expected [n, %d] features" % self.model.feat_dim)
+        self._raw = np.concatenate([self._raw, frames], axis=0)
+        self._pushed += frames.shape[0]
+        start = len(self._tokens)
+        while self._fe_ready(true_len=None):
+            self._advance(true_len=None)
+        self._decode_available(limit=None)
+        return self._tokens[start:]
+
+    def flush(self):
+        """End of utterance: drain the cascade, return the remaining ids."""
+        start = len(self._tokens)
+        t_true = self._pushed
+        t_ceil = -(-t_true // self.div)
+        # the last layer needs front-end frames up to t_ceil-1 + L*rpad
+        need_fe = t_ceil + self.model.enc_num * self.model.rpad
+        while self._fe_blocks * self.K < need_fe:
+            self._advance(true_len=t_true)
+        self._decode_available(limit=t_true // self.div)
+        return self._tokens[start:]
+
+    @property
+    def logits(self):
+        """Accumulated final logits [frames, class_n] (valid frames only)."""
+        if not self._logits:
+            return np.zeros((0, self.model.class_n), np.float32)
+        return np.concatenate(self._logits, axis=0)
+
+    # ------------------------------------------------------------- internal
+
+    def _win_start(self, t0):
+        # early blocks pin the window to raw 0 so the conv SAME zero
+        # padding at the true utterance start is reproduced exactly
+        return max(0, self.div * t0 - self.lmargin)
+
+    def _fe_ready(self, true_len):
+        return self._pushed >= self._win_start(self._fe_blocks * self.K) + self.win
+
+    def _raw_window(self, t0):
+        s = self._win_start(t0)
+        out = np.zeros((self.win, self.model.feat_dim), np.float32)
+        hi = min(s + self.win, self._raw.shape[0])
+        if hi > s:
+            out[: hi - s] = self._raw[s:hi]
+        return out[None], s
+
+    def _advance(self, true_len):
+        """Compute one front-end block and cascade it through the layers."""
+        t0 = self._fe_blocks * self.K
+        window, s = self._raw_window(t0)
+        if true_len is None:
+            length = np.int32(self.win)
+        else:
+            length = np.int32(min(max(true_len - s, 0), self.win))
+        pos = None
+        if self.model.caps_type == "einsum":
+            post0 = s // self.div
+            full = get_pos_enc(
+                post0 + self.win // self.div, self.model.caps_primary_num
+            )
+            pos = full[post0:]
+        lpost = t0 - s // self.div
+        block = self._fe(
+            self.variables, jnp.asarray(window),
+            jnp.asarray([length]), pos,
+        )[:, lpost : lpost + self.K]
+        self._fe_blocks += 1
+
+        for i in range(self.model.enc_num):
+            offset = t0 - (i + 1) * self.model.rpad
+            u_ctx = jnp.concatenate([self._bufs[i], block], axis=1)
+            step_valid = jnp.asarray(np.arange(offset, offset + self.K) >= 0)
+            out, v_last = self._route[i](
+                self.variables, u_ctx, self._vprev[i], step_valid
+            )
+            ctx = self.model.lpad + self.model.rpad
+            if ctx:
+                self._bufs[i] = u_ctx[:, -ctx:]
+            self._vprev[i] = v_last
+            block = out
+
+        # final-layer block covers global frames [offset, offset+K)
+        offset = t0 - self.model.enc_num * self.model.rpad
+        logits = np.asarray(self._head(self.variables, block))[0]
+        lo = max(0, -offset)  # skip warm-up frames
+        if lo < self.K:
+            self._logits.append(logits[lo:])
+            self._logit_frames += self.K - lo
+
+    def _decode_available(self, limit):
+        total = self._logit_frames if limit is None else min(
+            self._logit_frames, limit
+        )
+        if total <= self._decoded_frames:
+            return
+        logits = self.logits[self._decoded_frames : total]
+        ids = np.argmax(logits, axis=-1)
+        for frame_id in ids:
+            frame_id = int(frame_id)
+            if frame_id != self.blank_id and frame_id != self._prev_id:
+                self._tokens.append(frame_id)
+            self._prev_id = frame_id
+        self._decoded_frames = total

@@ -1,0 +1,122 @@
+"""Streaming inference must reproduce the batch model exactly.
+
+The contract (srf_tpu/streaming.py): for any chunking of the input, the
+streamed logits equal the batch model's logits on every valid frame, and
+the streamed greedy tokens equal the offline greedy decode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srf_tpu.models.srf import SequenceRouter
+from srf_tpu.ops.ctc_decode import greedy_decode
+from srf_tpu.streaming import StreamingTranscriber
+
+KEY = jax.random.PRNGKey(7)
+FEAT = 10
+VOCAB = 6  # class_n = VOCAB + 1 with blank appended
+
+
+def _build(caps_type="naive", is_context=True, caps_iter=1, lpad=1, rpad=1,
+           conv_layer_num=2):
+    model = SequenceRouter(
+        feat_dim=FEAT, class_n=VOCAB + 1, enc_num=3, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4,
+        caps_class_dim=4, caps_iter=caps_iter, lpad=lpad, rpad=rpad,
+        is_context=is_context, conv_layer_num=conv_layer_num,
+        conv_filter_num=8, caps_type=caps_type,
+    )
+    feats = jax.random.normal(KEY, (1, 24, FEAT))
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, feats, jnp.array([24]), False
+    )
+    return model, variables
+
+
+def _full_logits(model, variables, raw, t_true):
+    # generous zero padding so the valid frames are array-end independent;
+    # padded length must be a multiple of div (= 4) so the SAME-conv grid
+    # alignment matches streaming (serve.Recognizer pads to 128-multiples)
+    pad = np.zeros((1, -(-(t_true + 64) // 4) * 4, FEAT), np.float32)
+    pad[0, :t_true] = raw
+    out = model.apply(variables, jnp.asarray(pad),
+                      jnp.asarray([t_true]), False)
+    return np.asarray(out)[0]
+
+
+@pytest.mark.parametrize("chunk", [4, 8])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),                                   # canonical SDR naive
+        dict(caps_iter=2, lpad=2, rpad=1),        # multi-iter, asym window
+        dict(is_context=False),                   # DR
+        dict(caps_type="einsum"),                 # pos-enc flavor
+    ],
+)
+def test_streaming_matches_batch(chunk, kw):
+    model, variables = _build(**kw)
+    rng = np.random.RandomState(3)
+    t_true = 53
+    div = model.stride**model.conv_layer_num
+    raw = rng.randn(t_true, FEAT).astype(np.float32)
+    full = _full_logits(model, variables, raw, t_true)
+    t_ceil = -(-t_true // div)
+
+    s = StreamingTranscriber(model, variables, blank_id=VOCAB + 1, chunk=chunk)
+    # irregular pushes exercise the ring buffer
+    for start in range(0, t_true, 7):
+        s.push(raw[start : start + 7])
+    s.flush()
+
+    got = s.logits
+    assert got.shape[0] >= t_ceil
+    np.testing.assert_allclose(got[:t_ceil], full[:t_ceil], atol=3e-5)
+
+
+def test_streaming_tokens_match_offline_greedy():
+    model, variables = _build()
+    rng = np.random.RandomState(5)
+    t_true = 61
+    raw = rng.randn(t_true, FEAT).astype(np.float32)
+    full = _full_logits(model, variables, raw, t_true)
+    t_dec = t_true // 4
+    out, lens = greedy_decode(
+        jnp.asarray(full[None]), jnp.asarray([t_dec]), VOCAB + 1
+    )
+    want = [int(x) for x in np.asarray(out)[0, : int(lens[0])]]
+
+    s = StreamingTranscriber(model, variables, blank_id=VOCAB + 1, chunk=8)
+    tokens = []
+    for start in range(0, t_true, 11):
+        tokens += s.push(raw[start : start + 11])
+    mid_count = len(tokens)  # some tokens must stream before flush
+    tokens += s.flush()
+    assert tokens == want
+    assert mid_count > 0 or len(want) == 0
+
+
+def test_streaming_chunk_invariance():
+    model, variables = _build()
+    rng = np.random.RandomState(9)
+    raw = rng.randn(47, FEAT).astype(np.float32)
+    outs = []
+    for chunk in (4, 5, 16):
+        s = StreamingTranscriber(model, variables, blank_id=VOCAB + 1,
+                                 chunk=chunk)
+        s.push(raw)
+        s.flush()
+        outs.append(s.logits[: -(-47 // 4)])
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+    np.testing.assert_allclose(outs[0], outs[2], atol=2e-5)
+
+
+def test_streaming_rejects_nonreference_frontend():
+    # conv_layer_num != 2 cannot stream exactly (the reference's hardcoded
+    # stride**2 capsulation mask is global-length dependent)
+    model, variables = _build(conv_layer_num=1)
+    with pytest.raises(NotImplementedError):
+        StreamingTranscriber(model, variables, blank_id=VOCAB + 1)

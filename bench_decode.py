@@ -75,6 +75,35 @@ def main():
     run("beam_host",
         lambda l=logits: beam_search_batch(l, [dec_len], args.beam))
 
+    # streaming: chunked inference latency (greedy, 320 ms chunks)
+    from srf_tpu.streaming import StreamingTranscriber
+
+    session = StreamingTranscriber(model, variables, blank_id=62, chunk=8)
+    raw = np.asarray(feats[0])
+    chunk_raw = 8 * 4
+    session.push(raw[:chunk_raw]); session.flush()  # warm compiles
+    session.reset()
+    start = time.perf_counter()
+    lat_max = 0.0
+    for lo in range(0, args.frames, chunk_raw):
+        t0 = time.perf_counter()
+        session.push(raw[lo : lo + chunk_raw])
+        lat_max = max(lat_max, time.perf_counter() - t0)
+    session.flush()
+    elapsed = time.perf_counter() - start
+    print(json.dumps({
+        "metric": "srf_timit_stream_rtf_greedy",
+        "value": round(audio_secs / elapsed, 2),
+        "unit": "x_realtime",
+        "vs_baseline": 1.0,
+    }), flush=True)
+    print(json.dumps({
+        "metric": "srf_timit_stream_chunk_latency",
+        "value": round(lat_max * 1e3, 2),
+        "unit": "ms_per_320ms_chunk",
+        "vs_baseline": 1.0,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -232,6 +232,38 @@ class SequenceRouter(nn.Module):
         logits = capsule_length(emb, axis=-1, epsilon=eps)
         return self.ln_output(logits)
 
+    def stream_step(self, window, length, lpost, bufs, vprevs, offsets,
+                    pos_enc_override=None):
+        """One fused streaming step: raw window -> logits block + carries.
+
+        Runs the front-end and the WHOLE capsule cascade in a single jitted
+        call (one host dispatch per chunk — the per-layer dispatch latency
+        dominates otherwise). ``lpost`` (traced) selects the emitted K
+        post-frames inside the window; ``offsets`` [L] are each layer's
+        global index of its block's first output frame (for warm-up
+        masking). Returns (logits [1, K, class_n], new_bufs, new_vprevs).
+        """
+        import jax
+
+        caps = self._capsulate(
+            window, jnp.reshape(length, (1,)), False,
+            pos_enc_override=pos_enc_override,
+        )
+        ctx = self.lpad + self.rpad
+        # K is static: window posts minus the margins
+        k = caps.shape[1] - 6  # lmargin+rmargin = 6*div raw = 6 post frames
+        block = jax.lax.dynamic_slice_in_dim(caps, lpost, k, axis=1)
+        new_bufs, new_vprevs = [], []
+        for i in range(self.enc_num):
+            u_ctx = jnp.concatenate([bufs[i], block], axis=1)
+            step_valid = offsets[i] + jnp.arange(k) >= 0
+            out, v_last = self.route_block(u_ctx, i, vprevs[i], step_valid)
+            new_bufs.append(u_ctx[:, u_ctx.shape[1] - ctx:] if ctx
+                            else bufs[i])
+            new_vprevs.append(v_last)
+            block = out
+        return self.output_block(block), new_bufs, new_vprevs
+
     def __call__(self, feats, input_lengths, training: bool):
         num_iter = 1 if self.caps_type == "lowmemory" else self.caps_iter
 

@@ -78,22 +78,14 @@ class StreamingTranscriber:
         self.rmargin = 3 * self.div
         self.win = self.div * self.K + self.lmargin + self.rmargin
 
-        self._fe = jax.jit(
-            lambda v, win, length, pos: model.apply(
-                v, win, length, False, pos_enc_override=pos,
-                method="_capsulate",
+        # the whole per-chunk cascade is ONE jitted dispatch (front-end +
+        # every capsule layer + output head): per-layer dispatch latency
+        # dominates otherwise (measured 152 -> ~30 ms/chunk on v5e)
+        self._step = jax.jit(
+            lambda v, win, length, lpost, bufs, vprevs, offs, pos: model.apply(
+                v, win, length, lpost, bufs, vprevs, offs,
+                pos_enc_override=pos, method="stream_step",
             )
-        )
-        self._route = [
-            jax.jit(
-                lambda v, u, vi, sv, _i=i: model.apply(
-                    v, u, _i, vi, sv, method="route_block"
-                )
-            )
-            for i in range(model.enc_num)
-        ]
-        self._head = jax.jit(
-            lambda v, emb: model.apply(v, emb, method="output_block")
         )
         self.reset()
 
@@ -185,28 +177,20 @@ class StreamingTranscriber:
             )
             pos = full[post0:]
         lpost = t0 - s // self.div
-        block = self._fe(
-            self.variables, jnp.asarray(window),
-            jnp.asarray([length]), pos,
-        )[:, lpost : lpost + self.K]
+        offsets = jnp.asarray(
+            [t0 - (i + 1) * self.model.rpad
+             for i in range(self.model.enc_num)], jnp.int32
+        )
+        logits, self._bufs, self._vprev = self._step(
+            self.variables, jnp.asarray(window), jnp.asarray(length),
+            jnp.asarray(lpost, jnp.int32), self._bufs, self._vprev,
+            offsets, pos,
+        )
         self._fe_blocks += 1
-
-        for i in range(self.model.enc_num):
-            offset = t0 - (i + 1) * self.model.rpad
-            u_ctx = jnp.concatenate([self._bufs[i], block], axis=1)
-            step_valid = jnp.asarray(np.arange(offset, offset + self.K) >= 0)
-            out, v_last = self._route[i](
-                self.variables, u_ctx, self._vprev[i], step_valid
-            )
-            ctx = self.model.lpad + self.model.rpad
-            if ctx:
-                self._bufs[i] = u_ctx[:, -ctx:]
-            self._vprev[i] = v_last
-            block = out
 
         # final-layer block covers global frames [offset, offset+K)
         offset = t0 - self.model.enc_num * self.model.rpad
-        logits = np.asarray(self._head(self.variables, block))[0]
+        logits = np.asarray(logits)[0]
         lo = max(0, -offset)  # skip warm-up frames
         if lo < self.K:
             self._logits.append(logits[lo:])

@@ -120,3 +120,18 @@ def test_streaming_rejects_nonreference_frontend():
     model, variables = _build(conv_layer_num=1)
     with pytest.raises(NotImplementedError):
         StreamingTranscriber(model, variables, blank_id=VOCAB + 1)
+
+
+def test_streaming_short_utterance_all_in_flush():
+    # shorter than one chunk: everything happens at flush
+    model, variables = _build()
+    rng = np.random.RandomState(11)
+    t_true = 9
+    raw = rng.randn(t_true, FEAT).astype(np.float32)
+    full = _full_logits(model, variables, raw, t_true)
+    t_ceil = -(-t_true // 4)
+
+    s = StreamingTranscriber(model, variables, blank_id=VOCAB + 1, chunk=8)
+    assert s.push(raw) == []  # not enough frames to emit anything yet
+    s.flush()
+    np.testing.assert_allclose(s.logits[:t_ceil], full[:t_ceil], atol=3e-5)

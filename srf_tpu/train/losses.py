@@ -10,13 +10,38 @@ exposed for API completeness):
   n-best hypotheses (Prabhavalkar ICASSP'18)
   (reference: train_helper.py:192-267),
 - :func:`ppl` — masked accumulated log-probability
-  (reference: train_helper.py:171-189).
+  (reference: train_helper.py:171-189),
+- :func:`loss_function_w2v` — weighted binary CE for word2vec-style
+  pretraining (reference: train_helper.py:149-157),
+- :func:`shuffle_data` — epoch-boundary text shuffle
+  (reference: train_helper.py:160-169).
 """
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from srf_tpu.config.constants import Constants
+
+
+def loss_function_w2v(real, pred, weights, smoothing=0.0):
+    """Weighted binary cross-entropy (from logits), summed."""
+    real = real.astype(jnp.float32)
+    if smoothing:
+        real = real * (1.0 - smoothing) + 0.5 * smoothing
+    per_elem = (
+        jnp.maximum(pred, 0.0) - pred * real + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    )
+    per_example = jnp.mean(per_elem, axis=-1) * weights
+    return jnp.sum(per_example)
+
+
+def shuffle_data(texts, seed=None):
+    """Permute a text list (epoch boundary shuffle)."""
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    perm = rng.permutation(len(texts))
+    return [texts[i] for i in perm]
 
 
 def _loss_sm_neighbor(labels, logits, confidence, output_dim):

@@ -93,3 +93,30 @@ def test_ppl_masked():
     half = float(ppl(labels, logits, jnp.array([2])))
     np.testing.assert_allclose(full, 4 * np.log(3), rtol=1e-5)
     np.testing.assert_allclose(half, 2 * np.log(3), rtol=1e-5)
+
+
+def test_loss_function_w2v_matches_bce():
+    import numpy as np
+    import jax.numpy as jnp
+    from srf_tpu.train.losses import loss_function_w2v
+
+    rng = np.random.RandomState(0)
+    real = (rng.rand(3, 5) > 0.5).astype(np.float32)
+    pred = rng.randn(3, 5).astype(np.float32)
+    weights = rng.rand(3).astype(np.float32)
+    got = float(loss_function_w2v(jnp.asarray(real), jnp.asarray(pred),
+                                  jnp.asarray(weights)))
+    # independent numpy BCE-from-logits oracle
+    p = 1.0 / (1.0 + np.exp(-pred))
+    bce = -(real * np.log(p + 1e-12) + (1 - real) * np.log(1 - p + 1e-12))
+    want = float(np.sum(np.mean(bce, axis=-1) * weights))
+    assert abs(got - want) < 1e-4
+
+
+def test_shuffle_data_permutes():
+    from srf_tpu.train.losses import shuffle_data
+
+    texts = ["a", "b", "c", "d", "e"]
+    out = shuffle_data(texts, seed=3)
+    assert sorted(out) == sorted(texts)
+    assert shuffle_data(texts, seed=3) == out

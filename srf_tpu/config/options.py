@@ -302,6 +302,11 @@ class ParseOption:
                  "staggered scan over time)",
         )
         tpu_group.add_argument(
+            "--tpu-profile-dir", default=None,
+            help="write a jax.profiler trace of the first trained epoch "
+                 "here (TensorBoard-loadable)",
+        )
+        tpu_group.add_argument(
             "--tpu-fsdp", type=ParseOption.str2bool, default="False",
             help="fully-shard params + optimizer state over the data axis "
                  "(ZeRO-style); XLA inserts the gathers/scatters",

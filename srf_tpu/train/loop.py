@@ -60,6 +60,7 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
     num_feats = MeanMetric()
     train_samples = SumMetric()
 
+    profile_dir = getattr(config, "tpu_profile_dir", None)
     pre_loss = 1e9
     tolerance = 0
     for epoch in range(epoch_offset, config.train_max_epoch):
@@ -71,6 +72,14 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         prev = time.time()
         index = 0
         pending = []  # device metrics, fetched lazily so steps pipeline
+        tracing = bool(profile_dir) and epoch == epoch_offset
+        if tracing:
+            # profile the first trained epoch (TensorBoard-loadable)
+            from srf_tpu.utils.profiler import trace as profiler_trace
+
+            trace_cm = profiler_trace(profile_dir)
+            trace_cm.__enter__()
+            logger.info("Profiler trace -> %s", profile_dir)
         for batch in device_prefetch(iter(train_loader), batch_sharding):
             state, metrics = train_step(state, batch, rng)
             pending.append(metrics)
@@ -99,6 +108,8 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             train_loss.update(fetched["loss_sum"], fetched["samples"])
             train_samples.update(fetched["samples"])
             num_feats.update(fetched["frames"])
+        if tracing:
+            trace_cm.__exit__(None, None, None)
         train_secs = time.time() - prev
         step_i = int(jax.device_get(state.step))
         logger.info(

@@ -142,7 +142,13 @@ def main(argv=None):
                 if new:
                     print("partial: %s" % ids_to_utt(new, raw_vocab, corpus))
                 ids += new
-            ids += session.flush()
+            beam = config.decoding_beam_width
+            if beam and beam > 1:
+                # greedy partials stream; the flush rescores the whole
+                # utterance with the beam decoder
+                ids = list(session.flush(beam_width=beam))
+            else:
+                ids += session.flush()
             print("%s (%s)" % (ids_to_utt(ids, raw_vocab, corpus), path))
         else:
             ids, text = recognizer.transcribe(

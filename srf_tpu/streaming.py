@@ -124,8 +124,14 @@ class StreamingTranscriber:
         self._decode_available(limit=None)
         return self._tokens[start:]
 
-    def flush(self):
-        """End of utterance: drain the cascade, return the remaining ids."""
+    def flush(self, beam_width=None):
+        """End of utterance: drain the cascade, return the remaining ids.
+
+        ``beam_width`` > 1: rescore the WHOLE utterance with CTC prefix
+        beam search over the accumulated logits and return the full beam
+        hypothesis instead (streamed partials stay greedy; the flush pays
+        for beam quality once).
+        """
         start = len(self._tokens)
         t_true = self._pushed
         t_ceil = -(-t_true // self.div)
@@ -133,7 +139,15 @@ class StreamingTranscriber:
         need_fe = t_ceil + self.model.enc_num * self.model.rpad
         while self._fe_blocks * self.K < need_fe:
             self._advance(true_len=t_true)
-        self._decode_available(limit=t_true // self.div)
+        t_dec = t_true // self.div
+        if beam_width and beam_width > 1:
+            from srf_tpu.ops.ctc_decode import beam_search_batch
+
+            self._decode_available(limit=t_dec)  # keep greedy state coherent
+            return beam_search_batch(
+                self.logits[None], [t_dec], beam_width, self.blank_id
+            )[0]
+        self._decode_available(limit=t_dec)
         return self._tokens[start:]
 
     @property

@@ -135,3 +135,20 @@ def test_streaming_short_utterance_all_in_flush():
     assert s.push(raw) == []  # not enough frames to emit anything yet
     s.flush()
     np.testing.assert_allclose(s.logits[:t_ceil], full[:t_ceil], atol=3e-5)
+
+
+def test_streaming_flush_beam_matches_offline_beam():
+    from srf_tpu.ops.ctc_decode import beam_search_batch
+
+    model, variables = _build()
+    rng = np.random.RandomState(13)
+    t_true = 61
+    raw = rng.randn(t_true, FEAT).astype(np.float32)
+    full = _full_logits(model, variables, raw, t_true)
+    t_dec = t_true // 4
+    want = beam_search_batch(full[None], [t_dec], 8, VOCAB + 1)[0]
+
+    s = StreamingTranscriber(model, variables, blank_id=VOCAB + 1, chunk=8)
+    s.push(raw)
+    got = s.flush(beam_width=8)
+    assert list(got) == list(want)

@@ -1,0 +1,147 @@
+"""Dev harness: end-to-end learning check on the real chip.
+
+Generates a learnable synthetic corpus (each 'phoneme' has a
+characteristic feature direction), then drives the REAL pipeline:
+save_tfrecord CLI -> trainer_sr CLI (canonical SRF architecture) ->
+decode mode -> log2utt -> built-in PER scorer. Prints the final PER.
+
+Run: python tools_dev/convergence_run.py [--epochs 40] [--utts 64]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123):
+    rng = np.random.RandomState(0)
+    tokens = ["<PADDING_SYMBOL>"] + ["p%02d" % i for i in range(1, vocab_size)] + ["$", "@"]
+    with open(os.path.join(base, "synth.vocab"), "w") as f:
+        f.write("\n".join(tokens) + "\n")
+    # each phone: a random unit direction in feature space
+    protos = rng.randn(vocab_size + 2, feat_dim).astype(np.float32) * 2.0
+
+    def gen(n, tag):
+        specs = []
+        for i in range(n):
+            key = "%s%03d" % (tag, i)
+            n_ph = frames // 10
+            phones = rng.randint(1, vocab_size, size=n_ph)
+            feats = np.repeat(protos[phones], 10, axis=0)
+            feats += rng.randn(*feats.shape).astype(np.float32) * 0.3
+            np.save(os.path.join(base, key + ".None.npy"),
+                    feats.astype(np.float32))
+            text = " ".join("p%02d" % p for p in phones)
+            specs.append({"key": key + ".None.npy",
+                          "duration": frames / 100.0, "text": text})
+        return specs
+
+    for split, n in [("train", utts), ("valid", 16), ("test", 16)]:
+        with open(os.path.join(base, split + ".json"), "w") as f:
+            for spec in gen(n, split):
+                f.write(json.dumps(spec) + "\n")
+
+
+def run(args_list, log=None):
+    print("+", " ".join(args_list[:6]), "...", flush=True)
+    # keep the existing PYTHONPATH: /root/.axon_site's sitecustomize is how
+    # the remote-TPU (axon) backend registers
+    merged = os.pathsep.join(
+        p for p in [REPO, os.environ.get("PYTHONPATH", "")] if p
+    )
+    env = dict(os.environ, PYTHONPATH=merged)
+    out = subprocess.run(args_list, capture_output=True, text=True, env=env)
+    if log:
+        with open(log, "w") as f:
+            f.write(out.stdout + "\n==== STDERR ====\n" + out.stderr)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-3000:])
+        raise SystemExit("command failed")
+    return out.stdout
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("--utts", type=int, default=64)
+    parser.add_argument("--base", default="/tmp/srf_convergence")
+    parser.add_argument("--keep", action="store_true")
+    args = parser.parse_args()
+
+    base = args.base
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    make_corpus(base, args.utts)
+
+    common = [
+        "--path-base=%s" % base, "--path-vocab=synth.vocab",
+        "--feat-dim=123", "--feat-type=None", "--prep-data-unit=bpe",
+        "--path-train-ptrn=tfrecord/synth-train-None-123-*-of-*",
+        "--path-valid-ptrn=tfrecord/synth-valid-None-123-*-of-*",
+        "--path-test-ptrn=tfrecord/synth-test-None-123-*-of-*",
+        "--path-ckpt=%s/ckpt" % base,
+        # canonical SRF-TIMIT architecture (train_srf_timit.sh)
+        "--model-type=srf", "--model-caps-type=naive",
+        "--model-caps-context=True", "--model-encoder-num=7",
+        "--model-caps-primary-num=60", "--model-caps-primary-dim=8",
+        "--model-caps-convolution-num=30", "--model-caps-convolution-dim=8",
+        "--model-caps-class-dim=8", "--model-caps-iter=1",
+        "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=64",
+        "--train-batch-dynamic=False", "--train-batch-size=16",
+        "--prep-data-num-train=%d" % args.utts,
+        "--prep-data-num-valid=16", "--prep-data-num-test=16",
+        "--decoding-beam-width=4",
+    ]
+    run([sys.executable, "-m", "srf_tpu.tools.save_tfrecord",
+         "--path-base=%s" % base, "--path-vocab=synth.vocab",
+         "--feat-dim=123", "--feat-type=None", "--prep-data-name=synth",
+         "--prep-data-shard=2",
+         "--path-train-json=train.json", "--path-valid-json=valid.json",
+         "--path-test-json=test.json", "--path-wrt-tfrecord=tfrecord",
+         "--decoding-from-npy=True", "--prep-data-unit=bpe"],
+        log=os.path.join(base, "tfr.log"))
+
+    run([sys.executable, "-m", "srf_tpu.trainer_sr"] + common + [
+        "--train-opti-type=adam", "--train-lr-param-k=0.002",
+        "--train-max-epoch=%d" % args.epochs, "--train-es-tolerance=1000",
+    ], log=os.path.join(base, "train.log"))
+    for line in open(os.path.join(base, "train.log")):
+        if "Train Loss" in line and ("001 " in line or
+                                     "%03d " % args.epochs in line):
+            print(line.strip(), flush=True)
+
+    decode_log = os.path.join(base, "decode.log")
+    run([sys.executable, "-m", "srf_tpu.trainer_sr"] + common + [
+        "--train-opti-type=adam", "--train-lr-param-k=0.001",
+        "--train-max-epoch=0",
+    ], log=decode_log)
+
+    # scrape hypotheses and score (timit-style: space-joined tokens; the
+    # 61->39 map passes unknown tokens through)
+    hyp = run([sys.executable, "-m", "srf_tpu.utils.log2utt", decode_log,
+               os.path.join(base, "synth.vocab"), "--corpus", "timit"])
+    with open(os.path.join(base, "hyp.utt"), "w") as f:
+        f.write(hyp)
+    ref = run([sys.executable, "-m", "srf_tpu.tools.make_ref",
+               os.path.join(base, "tfrecord/synth-test-None-123-*"),
+               os.path.join(base, "synth.vocab"), "--corpus", "timit"])
+    with open(os.path.join(base, "ref.utt"), "w") as f:
+        f.write(ref)
+    score = run([sys.executable, "-m", "srf_tpu.utils.score",
+                 os.path.join(base, "ref.utt"), os.path.join(base, "hyp.utt")])
+    print(score.strip(), flush=True)
+    if not args.keep:
+        pass  # leave artifacts for inspection
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,7 @@ def main():
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--utts", type=int, default=64)
     parser.add_argument("--base", default="/tmp/srf_convergence")
+    parser.add_argument("--model", default="srf", choices=["srf", "stf"])
     parser.add_argument("--keep", action="store_true")
     args = parser.parse_args()
 
@@ -88,19 +89,34 @@ def main():
         "--path-valid-ptrn=tfrecord/synth-valid-None-123-*-of-*",
         "--path-test-ptrn=tfrecord/synth-test-None-123-*-of-*",
         "--path-ckpt=%s/ckpt" % base,
-        # canonical SRF-TIMIT architecture (train_srf_timit.sh)
-        "--model-type=srf", "--model-caps-type=naive",
-        "--model-caps-context=True", "--model-encoder-num=7",
-        "--model-caps-primary-num=60", "--model-caps-primary-dim=8",
-        "--model-caps-convolution-num=30", "--model-caps-convolution-dim=8",
-        "--model-caps-class-dim=8", "--model-caps-iter=1",
-        "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
-        "--model-conv-layer-num=2", "--model-conv-filter-num=64",
         "--train-batch-dynamic=False", "--train-batch-size=16",
         "--prep-data-num-train=%d" % args.utts,
         "--prep-data-num-valid=16", "--prep-data-num-test=16",
         "--decoding-beam-width=4",
     ]
+    if args.model == "srf":
+        # canonical SRF-TIMIT architecture (train_srf_timit.sh)
+        common += [
+            "--model-type=srf", "--model-caps-type=naive",
+            "--model-caps-context=True", "--model-encoder-num=7",
+            "--model-caps-primary-num=60", "--model-caps-primary-dim=8",
+            "--model-caps-convolution-num=30",
+            "--model-caps-convolution-dim=8",
+            "--model-caps-class-dim=8", "--model-caps-iter=1",
+            "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
+            "--model-conv-layer-num=2", "--model-conv-filter-num=64",
+        ]
+    else:
+        # compact Speech-Transformer (train_stf_timit.sh shape, fewer
+        # layers so the check stays quick)
+        common += [
+            "--model-type=stf", "--model-encoder-num=6",
+            "--model-dimension=128", "--model-inner-num=512",
+            "--model-att-head-num=4",
+            "--model-conv-layer-num=2", "--model-conv-filter-num=64",
+        ]
+    trainer = ("srf_tpu.trainer_sr" if args.model == "srf"
+               else "srf_tpu.trainer_tf")
     run([sys.executable, "-m", "srf_tpu.tools.save_tfrecord",
          "--path-base=%s" % base, "--path-vocab=synth.vocab",
          "--feat-dim=123", "--feat-type=None", "--prep-data-name=synth",
@@ -110,7 +126,7 @@ def main():
          "--decoding-from-npy=True", "--prep-data-unit=bpe"],
         log=os.path.join(base, "tfr.log"))
 
-    run([sys.executable, "-m", "srf_tpu.trainer_sr"] + common + [
+    run([sys.executable, "-m", trainer] + common + [
         "--train-opti-type=adam", "--train-lr-param-k=0.002",
         "--train-max-epoch=%d" % args.epochs, "--train-es-tolerance=1000",
     ], log=os.path.join(base, "train.log"))
@@ -120,7 +136,7 @@ def main():
             print(line.strip(), flush=True)
 
     decode_log = os.path.join(base, "decode.log")
-    run([sys.executable, "-m", "srf_tpu.trainer_sr"] + common + [
+    run([sys.executable, "-m", trainer] + common + [
         "--train-opti-type=adam", "--train-lr-param-k=0.001",
         "--train-max-epoch=0",
     ], log=decode_log)

@@ -35,6 +35,7 @@ ops/routing.py docstring).
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -243,8 +244,6 @@ class SequenceRouter(nn.Module):
         global index of its block's first output frame (for warm-up
         masking). Returns (logits [1, K, class_n], new_bufs, new_vprevs).
         """
-        import jax
-
         caps = self._capsulate(
             window, jnp.reshape(length, (1,)), False,
             pos_enc_override=pos_enc_override,

@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--batch", type=int, default=40)
     parser.add_argument("--frames", type=int, default=600)
+    parser.add_argument("--impl", default="xla")
     args = parser.parse_args()
 
     from srf_tpu.models.srf import SequenceRouter
@@ -40,6 +41,7 @@ def main():
         caps_primary_dim=20, caps_conv_num=30, caps_conv_dim=20,
         caps_class_dim=20, caps_iter=1, lpad=2, rpad=2, is_context=True,
         conv_layer_num=2, conv_filter_num=64, caps_type="lowmemory",
+        routing_impl=args.impl,
     )
     rng = jax.random.PRNGKey(0)
     host = np.random.RandomState(0)
@@ -71,8 +73,9 @@ def main():
         state, metrics = train_step(state, data, rng)
     sync(metrics)
     dt = (time.perf_counter() - start) / args.iters
-    print("SRF-WSJ canonical: %7.2f ms/step  (%6.1f utt/s/chip, batch %d x %d)"
-          % (dt * 1e3, batch / dt, batch, frames), flush=True)
+    print("SRF-WSJ canonical [%s]: %7.2f ms/step  (%6.1f utt/s/chip, "
+          "batch %d x %d)" % (args.impl, dt * 1e3, batch / dt, batch, frames),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,12 @@ designed TPU-first:
 - the sequential SDR routing recurrence is a `lax.scan` with an optional
   fused Pallas TPU kernel,
 - CTC loss/decode use blank-last semantics matching `tf.nn.ctc_loss`
-  (reference: tfsr/trainer_sr.py:64-66,133-134).
+  (reference: tfsr/trainer_sr.py:64-66,133-134),
+- serving: `srf_tpu.serve.Recognizer` (bucketed batch inference) and
+  `srf_tpu.streaming.StreamingTranscriber` (chunked low-latency inference
+  with carried SDR state; exact batch parity),
+- parallelism: data-parallel by default, `--tpu-fsdp` for ZeRO-style
+  param/optimizer sharding; a `model` mesh axis for wider layouts.
 """
 
 __version__ = "0.1.0"

@@ -68,3 +68,73 @@ def test_recognizer_transcribes(trained):
     # greedy path too
     ids2, _ = recognizer.transcribe(feats, beam_width=None, corpus="wsj")
     assert all(0 <= i < len(VOCAB_TOKENS) for i in ids2)
+
+
+@pytest.fixture(scope="module")
+def trained_srf(tmp_path_factory):
+    """Tiny SRF checkpoint (streaming requires the SRF front-end)."""
+    base = tmp_path_factory.mktemp("serve_srf")
+    rng = np.random.RandomState(5)
+    (base / "test.vocab").write_text("\n".join(VOCAB_TOKENS) + "\n")
+    utts = []
+    for i in range(4):
+        n = int(rng.randint(20, 40))
+        np.save(base / ("u%d.None.npy" % i),
+                rng.randn(n, FEAT_DIM).astype(np.float32))
+        utts.append({"key": "u%d" % i, "duration": n / 100.0, "text": "ab"})
+    for split in ("train", "valid", "test"):
+        with open(base / ("%s.json" % split), "w") as f:
+            for u in utts:
+                f.write(json.dumps(u) + "\n")
+    argv = [
+        "prog", "--path-base=%s" % base, "--path-vocab=test.vocab",
+        "--feat-dim=%d" % FEAT_DIM, "--feat-type=None",
+        "--prep-data-name=synth", "--prep-data-shard=1",
+        "--path-train-json=train.json", "--path-valid-json=valid.json",
+        "--path-test-json=test.json", "--path-wrt-tfrecord=tfr",
+        "--path-train-ptrn=tfr/synth-train-None-8-*-of-*",
+        "--path-valid-ptrn=tfr/synth-valid-None-8-*-of-*",
+        "--path-test-ptrn=tfr/synth-test-None-8-*-of-*",
+        "--path-ckpt=%s/ckpt" % base,
+        "--model-type=srf", "--model-caps-type=naive",
+        "--model-caps-context=True", "--model-encoder-num=2",
+        "--model-caps-primary-num=6", "--model-caps-primary-dim=4",
+        "--model-caps-convolution-num=5", "--model-caps-convolution-dim=4",
+        "--model-caps-class-dim=4", "--model-caps-iter=1",
+        "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=8",
+        "--train-opti-type=adam", "--train-lr-param-k=0.05",
+        "--train-batch-dynamic=False", "--train-batch-size=2",
+        "--train-es-tolerance=100", "--decoding-beam-width=4",
+    ]
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.config.constants import Tag
+    from srf_tpu.data.writer import convert_to_tfrecord
+    from srf_tpu import trainer_sr
+
+    logger = Logger(name="serve-srf", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    for tag in (Tag.TRAIN, Tag.VALID, Tag.TEST):
+        convert_to_tfrecord(logger, config, tag, None)
+    trainer_sr.main(argv + ["--train-max-epoch=1"])
+    return argv, base
+
+
+def test_streaming_session_matches_transcribe(trained_srf):
+    """Recognizer.streaming_session must reproduce the batch greedy ids."""
+    argv, base = trained_srf
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="serve-stream", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    recognizer = Recognizer(config, logger)
+    feats = np.load(base / "u0.None.npy")
+    want_ids, _ = recognizer.transcribe(feats, beam_width=None, corpus="wsj")
+
+    session = recognizer.streaming_session(chunk=4)
+    got = []
+    for start in range(0, feats.shape[0], 9):
+        got += session.push(feats[start : start + 9])
+    got += session.flush()
+    assert got == want_ids

@@ -296,10 +296,9 @@ class ParseOption:
         )
         tpu_group.add_argument(
             "--tpu-routing-kernel", default="auto",
-            help="auto | xla | xla_pre | wavefront | pallas : SDR "
-                 "implementation (xla_pre precomputes u_hat as one batched "
-                 "einsum; wavefront runs the whole capsule stack as one "
-                 "staggered scan over time)",
+            help="auto | xla | xla_pre | xla_flat | wavefront | pallas : "
+                 "SDR implementation (auto/xla = the measured optimum; the "
+                 "others are benchmarked alternatives, see BENCH_NOTES.md)",
         )
         tpu_group.add_argument(
             "--tpu-profile-dir", default=None,

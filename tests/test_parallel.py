@@ -90,6 +90,33 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(min(8, len(jax.devices())))
 
 
+def test_graft_dryrun_multichip_driver_env():
+    """Round-1 regression: the driver runs dryrun_multichip in a fresh
+    process WITHOUT the conftest platform override, where the default
+    backend can be the remote TPU (which died on a libtpu skew,
+    MULTICHIP_r01.json). The dryrun must pin itself to the virtual CPU
+    devices and never touch the default backend."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let sitecustomize pick the default
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        .replace("--xla_force_host_platform_device_count=8", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN_OK')"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_OK" in proc.stdout
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_fsdp_matches_replicated():
     """ZeRO-style sharding of params+opt state over 'data' must be a pure

@@ -36,14 +36,14 @@ class ParseOption:
             command_keys.add(command_key[2:end].replace("-", "_"))
 
         if len(argv) <= 1:
-            self.logger.critical("No options..")
+            self.logger.critical("no arguments given — pass --config and/or flags")
             sys.exit(ExitCode.INVALID_OPTION.value)
 
         command_args = parser.parse_args(argv[1:])
 
         if command_args.config is not None and not command_args.config.endswith(".conf"):
             self.logger.critical(
-                "The extension of configuration file must be conf, but %s",
+                "config file must use the .conf extension (got %s)",
                 command_args.config,
             )
             sys.exit(ExitCode.INVALID_NAME_OF_CONFIGURATION_FILE.value)
@@ -51,7 +51,7 @@ class ParseOption:
         command_dict = vars(command_args)
         if command_args.config:
             if "config" not in command_keys:
-                self.logger.critical('"config" is a required option for the command line.')
+                self.logger.critical('--config must be passed on the command line itself')
                 sys.exit(ExitCode.INVALID_OPTION.value)
             file_path = command_args.config
             if command_args.path_base and not os.path.exists(file_path):
@@ -91,39 +91,39 @@ class ParseOption:
     def sanity_check(self, args):
         if args.model_caps_type not in ["lowmemory", "einsum", "naive"]:
             self.logger.critical(
-                "model-caps-type must be lowmemory, einsum or naive but %s",
+                "unknown --model-caps-type %r (choices: lowmemory, einsum, naive)",
                 args.model_caps_type,
             )
             return False
 
         if not args.path_base:
-            self.logger.critical("the following arguments are required: path-base")
+            self.logger.critical("--path-base is required")
             return False
 
         if not os.path.isdir(args.path_base) or os.path.isfile(args.path_base):
             self.logger.critical(
-                "A data path must exist, please check the data path option : %s",
+                "--path-base %s is not an existing directory",
                 args.path_base,
             )
             return False
 
         if args.train_schedule_prob is not None and not 0 <= args.train_schedule_prob < 2:
             self.logger.critical(
-                "Prob. for scheduled sampling must be within [0, 2) but %f",
+                "--train-schedule-prob %f is outside [0, 2)",
                 args.train_schedule_prob,
             )
             return False
 
         if args.train_smoothing_type not in (Constants.SM_LABEL, Constants.SM_NEIGHBOR):
             self.logger.critical(
-                "Please check smoothing type %s", args.train_smoothing_type
+                "unknown --train-smoothing-type %s", args.train_smoothing_type
             )
             return False
 
         if not args.train_is_mwer and (args.prep_max_inp > 0 or args.prep_max_tar > 0):
             self.logger.warning(
-                "Please do not set max length unless you use mwer, but "
-                "prep-max-inp %d, prep-max-tar %d",
+                "prep-max-inp %d / prep-max-tar %d are set without "
+                "--train-is-mwer; length filtering is meant for MWER runs",
                 args.prep_max_inp,
                 args.prep_max_tar,
             )

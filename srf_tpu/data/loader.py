@@ -128,15 +128,27 @@ class BucketedLoader:
             rng.shuffle(order)
         self._epoch += 1
         pools = [[] for _ in self.batch_sizes]
+        skipped = 0
         for idx in order:
             f = ds.feats[idx]
             b = self._bucket_of(f.shape[0])
             if ds.labels[idx].shape[0] > self.label_caps[b]:
-                continue  # pathological: label longer than static cap
+                skipped += 1  # pathological: label longer than static cap
+                continue
             pools[b].append(idx)
             if len(pools[b]) == self.batch_sizes[b]:
                 yield self._emit(pools[b], b)
                 pools[b] = []
+        if skipped:
+            # operator-visible: the reference pipeline pads to the batch
+            # max and would keep these, so a shrinking corpus must not be
+            # silent (ADVICE r1)
+            import logging
+
+            logging.getLogger("srf_tpu").warning(
+                "BucketedLoader: skipped %d example(s) whose label length "
+                "exceeds the bucket's static cap this epoch", skipped,
+            )
         if not self.drop_remainder:
             for b, pool in enumerate(pools):
                 if pool:

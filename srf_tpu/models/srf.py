@@ -98,6 +98,21 @@ class SequenceRouter(nn.Module):
         kwargs.update(overrides)
         return cls(**kwargs)
 
+    def stream_margin_posts(self):
+        """(left, right) streaming window margin in post-subsample frames.
+
+        The margins must cover the front-end receptive field so a windowed
+        forward reproduces the whole-utterance conv grid exactly: each of
+        the ``conv_layer_num`` 3x3 stride-``s`` layers extends the field by
+        s^(i-1) raw frames and the encaps 3x3 conv adds one post frame, so
+        the total is <= 2 post frames for s >= 2 (3 is generous); for
+        s == 1 the field is conv_layer_num + 1 raw (= post) frames.
+        streaming.StreamingTranscriber and stream_step must agree on these
+        numbers — this method is the single source of truth (ADVICE r1).
+        """
+        margin = 3 if self.stride > 1 else self.conv_layer_num + 2
+        return margin, margin
+
     def layer_shapes(self):
         """[(in_n, out_n, out_d, in_d)] per capsule layer
         (reference: sequence_router_naive.py:88-95)."""
@@ -179,7 +194,13 @@ class SequenceRouter(nn.Module):
             self.drop_encaps(self.encaps2(emb), deterministic=deterministic),
         ]
         emb = jnp.maximum(branches[0], branches[1])
-        emb = feat_mask(emb, input_lengths, self.stride**2)
+        # the reference hardcodes stride**2 here regardless of
+        # conv_layer_num (reference: sequence_router_naive.py:134) — wrong
+        # for any other geometry (masks a different rate than the conv
+        # stack produced). We use the true subsampling divisor: identical
+        # at the default (2 layers, stride 2), correct elsewhere, and it
+        # makes every geometry streamable (see PARITY.md).
+        emb = feat_mask(emb, input_lengths, self.stride**self.conv_layer_num)
 
         emb = emb.reshape(batch, seq_len, self.caps_primary_num, self.caps_primary_dim)
         emb = squash(emb, axis=-1)
@@ -249,8 +270,10 @@ class SequenceRouter(nn.Module):
             pos_enc_override=pos_enc_override,
         )
         ctx = self.lpad + self.rpad
-        # K is static: window posts minus the margins
-        k = caps.shape[1] - 6  # lmargin+rmargin = 6*div raw = 6 post frames
+        # K is static: window posts minus the margins (shared source of
+        # truth with StreamingTranscriber's window geometry)
+        lm, rm = self.stream_margin_posts()
+        k = caps.shape[1] - (lm + rm)
         block = jax.lax.dynamic_slice_in_dim(caps, lpost, k, axis=1)
         new_bufs, new_vprevs = [], []
         for i in range(self.enc_num):

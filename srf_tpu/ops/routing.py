@@ -327,21 +327,50 @@ def _sequential_routing_flat(u, wgt, bias, num_iter, mask_pad_capsule,
     return vs.astype(in_dtype)
 
 
+def _ln_drop(flat, scale, ln_bias, ln_eps, dropout_rate, key):
+    """Flattened-capsule LayerNorm + (optional) inverted dropout.
+
+    ``flat`` [..., out_n*out_d]; LN normalizes the trailing axis (matching
+    nn.LayerNorm on the flattened capsule tensor, reference:
+    sequence_router_naive.py:196-201)."""
+    mean = jnp.mean(flat, axis=-1, keepdims=True)
+    var = jnp.var(flat, axis=-1, keepdims=True)
+    flat = (flat - mean) * jax.lax.rsqrt(var + ln_eps)
+    flat = flat * scale + ln_bias
+    if key is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, flat.shape)
+        flat = jnp.where(keep, flat / (1.0 - dropout_rate), 0.0)
+    return flat
+
+
 def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
                         ln_params, ln_eps=1e-3, dropout_rate=0.0,
                         dropout_rng=None, remat=True):
-    """Run the WHOLE capsule stack as ONE scan over time (wavefront).
+    """Run the WHOLE capsule stack as ONE scan over time (true wavefront).
 
     The layered implementation runs ``L`` sequential scans of ``T`` steps
-    each (L*T sequential steps). But a capsule layer at time t only needs
-    the previous layer's outputs in the window [t-lpad, t+rpad], so layer i
-    can trail layer i-1 by ``rpad`` timesteps: one scan of ``T + L*rpad``
-    steps where every step advances all L layers at staggered times — the
-    sequential chain shrinks ~L-fold and each step's work is L× wider for
-    the VPU. Same math as the layered path (windowing zero-padding,
-    per-layer flattened LayerNorm + dropout, PAD-capsule mask at the last
-    layer — reference: sequence_router_naive.py:120-193); training-mode
-    dropout draws differ (per-step fold_in) but are identically distributed.
+    each — L*T sequential routing steps, each paying the scan's fixed
+    per-step cost on tiny operands. A capsule layer at time t only needs
+    the previous layer's outputs in the window [t-lpad, t+rpad], so with a
+    stagger of ``delay = rpad + 1`` timesteps per layer, layer i's work at
+    scan step tau (its timestep ``t_i = tau - i*delay``) depends ONLY on
+    buffers written at earlier steps — every layer's in-step work is
+    independent. (The first version of this kernel staggered by ``rpad``,
+    which made layer i consume layer i-1's same-step output: the critical
+    path stayed L ops deep and nothing was won. delay must exceed rpad.)
+
+    Two consequences the scheduler can cash in:
+    - ONE scan of ``T + (L-1)*delay`` steps instead of L*T — the fixed
+      per-step cost amortizes ~L-fold;
+    - the (enc_num-2) middle layers share geometry (reference:
+      sequence_router_naive.py:88-95), so their prediction einsums, routing
+      and LayerNorms run STACKED over a leading layer axis — one batched
+      einsum/VPU op over l*B instead of L-2 sequential small ops.
+
+    Same math as the layered path (windowing zero-padding, per-layer
+    flattened LayerNorm + dropout, PAD-capsule mask at the last layer —
+    reference: sequence_router_naive.py:120-193); training-mode dropout
+    draws differ (per-step fold_in) but are identically distributed.
 
     Args:
         u: [B, T, n0, d0] primary capsules (post input-LN/dropout).
@@ -355,86 +384,173 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
     batch, seq_len = u.shape[0], u.shape[1]
     window = lpad + rpad + 1
     n_layers = len(layer_params)
-    delay = rpad
-    total_steps = seq_len + n_layers * delay
+    delay = rpad + 1
+    total_steps = seq_len + (n_layers - 1) * delay
 
-    # xs: input frames, time-major, zero-padded so layer 0 (which trails by
-    # `delay`) reads frame tau = t0 + rpad each step.
-    u_pad = jnp.pad(
-        u.astype(jnp.float32), ((0, 0), (0, total_steps - seq_len),
-                                (0, 0), (0, 0))
-    )
-    xs_frames = jnp.moveaxis(u_pad, 1, 0)  # [total, B, n0, d0]
-    xs_tau = jnp.arange(total_steps)
-
-    buf_len = lpad + rpad
-    bufs0, vs0 = [], []
     prev_n, prev_d = u.shape[2], u.shape[3]
     for wgt, _ in layer_params:
         in_n, out_n, out_d, in_d = wgt.shape
         assert in_n == window * prev_n and in_d == prev_d, (
             wgt.shape, (window, prev_n, prev_d),
         )
-        bufs0.append(jnp.zeros((buf_len, batch, prev_n, prev_d), jnp.float32))
-        vs0.append(jnp.zeros((batch, out_n, out_d), jnp.float32))
         prev_n, prev_d = out_n, out_d
 
+    # Layer 0 reads pre-windowed input directly (no buffer): window_stack
+    # already realizes the zero padding; pad time out to total_steps.
+    u_win = window_stack(u.astype(jnp.float32), lpad, rpad)
+    u_win = jnp.pad(
+        u_win, ((0, 0), (0, total_steps - seq_len), (0, 0), (0, 0))
+    )
+    xs_frames = jnp.moveaxis(u_win, 1, 0)  # [total, B, window*n0, d0]
+    xs_tau = jnp.arange(total_steps)
+
+    # Single-layer stack degenerates to the plain scan
+    if n_layers == 1:
+        wgt, bias = layer_params[0]
+        out = sequential_routing(
+            window_stack(u, lpad, rpad), wgt, bias, num_iter,
+            mask_pad_capsule=True, remat=remat,
+        )
+        flat = _ln_drop(
+            out.reshape(batch, seq_len, -1), ln_params[0][0],
+            ln_params[0][1], ln_eps, dropout_rate,
+            dropout_rng,
+        )
+        return flat.reshape(batch, seq_len, out.shape[2], out.shape[3])
+
+    # Layers 0..L-2 all output [B, ch, cd]; their recent `window` outputs
+    # feed layers 1..L-1 through ONE stacked ring buffer
+    # buf[j, k] = layer j's output at step tau-window+k (time-ordered).
+    ch, cd = layer_params[0][0].shape[1], layer_params[0][0].shape[2]
+    class_n, class_d = layer_params[-1][0].shape[1], layer_params[-1][0].shape[2]
+    n_mid = n_layers - 2
+    w0, b0 = layer_params[0]
+    w_last, b_last = layer_params[-1]
+    if n_mid:
+        w_mid = jnp.stack([layer_params[i][0] for i in range(1, n_layers - 1)])
+        b_mid = jnp.stack([layer_params[i][1] for i in range(1, n_layers - 1)])
+        ln_mid_scale = jnp.stack(
+            [ln_params[i][0] for i in range(1, n_layers - 1)]
+        )[:, None]  # [n_mid, 1, ch*cd]
+        ln_mid_bias = jnp.stack(
+            [ln_params[i][1] for i in range(1, n_layers - 1)]
+        )[:, None]
+    pad_mask = _pad_capsule_mask(class_n, jnp.float32)
+
+    buf0 = jnp.zeros((n_layers - 1, window, batch, ch, cd), jnp.float32)
+    v0_first = jnp.zeros((batch, ch, cd), jnp.float32)
+    v0_mid = jnp.zeros((n_mid, batch, ch, cd), jnp.float32)
+    v0_last = jnp.zeros((batch, class_n, class_d), jnp.float32)
+
+    def _window_of(buf_rows):
+        # [..., window, B, n, d] -> frame-major capsule concat
+        # [..., B, window*n, d] (reference window_stack order)
+        moved = jnp.moveaxis(buf_rows, -4, -3)  # [..., B, window, n, d]
+        shape = moved.shape[:-3] + (window * moved.shape[-2], moved.shape[-1])
+        return moved.reshape(shape)
+
     def body(carry, x):
-        bufs, vs = carry
+        buf, v_first, v_mid, v_last = carry
         frame, tau = x
-        fresh = frame  # newest frame for layer 0: time tau
-        new_bufs, new_vs = [], []
-        for i, (wgt, bias) in enumerate(layer_params):
-            t_i = tau - (i + 1) * delay  # the timestep layer i computes now
-            out_n, out_d = wgt.shape[1], wgt.shape[2]
-            if buf_len:
-                win = jnp.concatenate([bufs[i], fresh[None]], axis=0)
-                new_bufs.append(win[1:])
-            else:
-                win = fresh[None]
-                new_bufs.append(bufs[i])
-            # frame-major capsule concat (reference window_stack order)
-            u_t = jnp.moveaxis(win, 0, 1).reshape(batch, wgt.shape[0],
-                                                  wgt.shape[3])
-            u_hat_t = (
-                jnp.einsum("noij,bnj->bnoi", wgt, u_t,
+
+        # ---- layer 0: time tau, input = pre-windowed frame
+        u_hat0 = (
+            jnp.einsum("noij,bnj->bnoi", w0, frame,
+                       preferred_element_type=jnp.float32)
+            + b0[None]
+        )
+        v0 = _sdr_step(u_hat0, v_first, num_iter, None)
+        valid0 = tau < seq_len
+        key0 = (
+            jax.random.fold_in(jax.random.fold_in(dropout_rng, 0), tau)
+            if dropout_rng is not None else None
+        )
+        out0 = _ln_drop(
+            v0.reshape(batch, ch * cd), ln_params[0][0], ln_params[0][1],
+            ln_eps, dropout_rate, key0,
+        ).reshape(batch, ch, cd)
+        out0 = jnp.where(valid0, out0, 0.0)
+        new_v_first = jnp.where(valid0, v0, 0.0)
+
+        # ---- middle layers (stacked): layer i = m+1 at t = tau-(m+1)*delay
+        if n_mid:
+            u_mid = _window_of(buf[:n_mid])  # [n_mid, B, window*ch, cd]
+            u_hat_m = (
+                jnp.einsum("lnoij,lbnj->lbnoi", w_mid, u_mid,
                            preferred_element_type=jnp.float32)
-                + bias[None]
+                + b_mid[:, None]
             )
-            pad_mask = (
-                _pad_capsule_mask(out_n, jnp.float32)
-                if i == n_layers - 1 else None
-            )
-            v = _sdr_step(u_hat_t, vs[i], num_iter, pad_mask)
-            valid = jnp.logical_and(t_i >= 0, t_i < seq_len)
-            # SDR carry: v_prev at the next (t_i+1) step; 0 before t=0
-            new_vs.append(jnp.where(valid, v, 0.0))
-            # inter-layer LN over flattened capsules + dropout, then zero
-            # outside [0, T) so the next layer's window padding is exact
-            flat = v.reshape(batch, out_n * out_d)
-            mean = jnp.mean(flat, axis=-1, keepdims=True)
-            var = jnp.var(flat, axis=-1, keepdims=True)
-            scale, ln_bias = ln_params[i]
-            flat = (flat - mean) * jax.lax.rsqrt(var + ln_eps)
-            flat = flat * scale + ln_bias
+            vm = jax.vmap(
+                lambda uh, vp: _sdr_step(uh, vp, num_iter, None)
+            )(u_hat_m, v_mid)
+            t_mid = tau - (jnp.arange(1, n_mid + 1)) * delay
+            valid_m = jnp.logical_and(t_mid >= 0, t_mid < seq_len)[
+                :, None, None, None
+            ]
+            if dropout_rng is not None:
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(
+                        jax.random.fold_in(dropout_rng, i), tau
+                    )
+                )(jnp.arange(1, n_mid + 1))
+                keep = jax.vmap(
+                    lambda k: jax.random.bernoulli(
+                        k, 1.0 - dropout_rate, (batch, ch * cd)
+                    )
+                )(keys) if dropout_rate > 0.0 else None
+            flat_m = vm.reshape(n_mid, batch, ch * cd)
+            mean = jnp.mean(flat_m, axis=-1, keepdims=True)
+            var = jnp.var(flat_m, axis=-1, keepdims=True)
+            flat_m = (flat_m - mean) * jax.lax.rsqrt(var + ln_eps)
+            flat_m = flat_m * ln_mid_scale + ln_mid_bias
             if dropout_rng is not None and dropout_rate > 0.0:
-                key = jax.random.fold_in(
-                    jax.random.fold_in(dropout_rng, i), tau
+                flat_m = jnp.where(
+                    keep, flat_m / (1.0 - dropout_rate), 0.0
                 )
-                keep = jax.random.bernoulli(
-                    key, 1.0 - dropout_rate, flat.shape
-                )
-                flat = jnp.where(keep, flat / (1.0 - dropout_rate), 0.0)
-            out = flat.reshape(batch, out_n, out_d)
-            fresh = jnp.where(valid, out, 0.0)
-        return (new_bufs, new_vs), fresh
+            out_m = jnp.where(
+                valid_m, flat_m.reshape(n_mid, batch, ch, cd), 0.0
+            )
+            new_v_mid = jnp.where(valid_m, vm, 0.0)
+        else:
+            out_m = v_mid  # empty [0, ...]
+            new_v_mid = v_mid
+
+        # ---- last layer: t = tau-(L-1)*delay, PAD-capsule mask
+        u_last = _window_of(buf[n_layers - 2])  # [B, window*ch, cd]
+        u_hat_l = (
+            jnp.einsum("noij,bnj->bnoi", w_last, u_last,
+                       preferred_element_type=jnp.float32)
+            + b_last[None]
+        )
+        vl = _sdr_step(u_hat_l, v_last, num_iter, pad_mask)
+        t_last = tau - (n_layers - 1) * delay
+        valid_l = jnp.logical_and(t_last >= 0, t_last < seq_len)
+        key_l = (
+            jax.random.fold_in(
+                jax.random.fold_in(dropout_rng, n_layers - 1), tau
+            )
+            if dropout_rng is not None else None
+        )
+        out_l = _ln_drop(
+            vl.reshape(batch, class_n * class_d), ln_params[-1][0],
+            ln_params[-1][1], ln_eps, dropout_rate, key_l,
+        ).reshape(batch, class_n, class_d)
+        out_l = jnp.where(valid_l, out_l, 0.0)
+        new_v_last = jnp.where(valid_l, vl, 0.0)
+
+        # ---- push every producing layer's output into its ring slot
+        push = jnp.concatenate([out0[None], out_m], axis=0)
+        new_buf = jnp.concatenate([buf[:, 1:], push[:, None]], axis=1)
+        return (new_buf, new_v_first, new_v_mid, new_v_last), out_l
 
     if remat:
         body = jax.checkpoint(body)
-    _, ys = jax.lax.scan(body, (bufs0, vs0), (xs_frames, xs_tau))
-    # last layer computes time t at tau = t + n_layers*delay
-    out = ys[n_layers * delay : n_layers * delay + seq_len]
-    return jnp.moveaxis(out, 0, 1)
+    _, ys = jax.lax.scan(
+        body, (buf0, v0_first, v0_mid, v0_last), (xs_frames, xs_tau)
+    )
+    # last layer computes time t at step tau = t + (L-1)*delay
+    out = ys[(n_layers - 1) * delay : (n_layers - 1) * delay + seq_len]
+    return jnp.moveaxis(out, 0, 1).astype(u.dtype)
 
 
 def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,

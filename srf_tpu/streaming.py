@@ -53,29 +53,22 @@ class StreamingTranscriber:
     def __init__(self, model, variables, blank_id, chunk=8):
         if not isinstance(model, SequenceRouter):
             raise TypeError("streaming supports the SRF SequenceRouter")
-        if model.stride != 2 or model.conv_layer_num != 2:
-            # the reference masks capsulation output with a hardcoded
-            # stride**2 divisor regardless of conv_layer_num (reference:
-            # sequence_router_naive.py:134) — for conv_layer_num != 2 that
-            # mask boundary depends on the global length in a way windowed
-            # processing cannot reproduce mid-stream (and such configs are
-            # degenerate in the reference anyway: most frames get zeroed)
-            raise NotImplementedError(
-                "streaming supports the reference front-end geometry "
-                "(2 conv layers, stride 2)"
-            )
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
         self.div = model.stride**model.conv_layer_num
         self.K = chunk
         # raw window for post-frames [t0, t0+K): [div*t0 - lmargin,
-        # div*(t0+K) + rmargin); margins cover the conv+encaps receptive
-        # field (right: raw 4x+10 < W -> 12; left: generous, div-aligned)
+        # div*(t0+K) + rmargin); the margins cover the conv+encaps
+        # receptive field for ANY front-end geometry — the post-frame
+        # counts come from the model (single source of truth with
+        # stream_step), window starts stay div-aligned so the SAME-padding
+        # conv grids match the whole-utterance forward exactly
         if chunk < 3:
             raise ValueError("chunk must be >= 3 post frames")
-        self.lmargin = 3 * self.div
-        self.rmargin = 3 * self.div
+        lm_posts, rm_posts = model.stream_margin_posts()
+        self.lmargin = lm_posts * self.div
+        self.rmargin = rm_posts * self.div
         self.win = self.div * self.K + self.lmargin + self.rmargin
 
         # the whole per-chunk cascade is ONE jitted dispatch (front-end +

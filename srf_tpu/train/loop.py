@@ -145,7 +145,12 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         )
         pre_loss = valid_loss.result()
 
-        stop = 0 < config.train_es_tolerance <= tolerance
+        # early stop BEFORE saving: the regressed final epoch gets no
+        # checkpoint, so checkpoint averaging sees the same last-N set as
+        # the reference (reference: tfsr/trainer_sr.py:277-288)
+        if 0 < config.train_es_tolerance <= tolerance:
+            logger.info("early stopped!")
+            break
         if config.train_ckpt_saving_per > 0:
             to_save = state_to_save(state) if state_to_save else state
             path = ckpt_manager.save(epoch + 1, to_save)
@@ -156,9 +161,6 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 "bigger than 0 if you want save checkpoints",
                 config.train_ckpt_saving_per,
             )
-        if stop:
-            logger.info("early stopped!")
-            break
 
     writer.close()
     return state

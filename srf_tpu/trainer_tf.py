@@ -85,9 +85,9 @@ def main(argv=None):
     )
 
     att_pen = create_attention_penalty(config, logger)
-    # reference quirk: layer_num ** stride, not stride ** layer_num
-    # (trainer_tf.py:302); both are 4 with the default 2,2
-    in_len_div = config.model_conv_layer_num**config.model_conv_stride
+    from srf_tpu.models.registry import stf_in_len_div
+
+    in_len_div = stf_in_len_div(config, logger)
     model = ConvEncoder.from_config(config, dec_out_dim)
     tx, schedule = get_optimizer(config)
 

@@ -81,3 +81,28 @@ def test_reference_conf_files_parse(logger, tmp_path):
         ).args
         assert args.feat_dim == 123
         assert args.decoding_beam_width == 100
+
+
+def test_stf_in_len_div_agrees_across_entry_paths(logger):
+    """The STF subsampling divisor must be the front-end's true
+    subsampling (stride ** layer_num) on BOTH dispatch paths, and warn
+    when the reference's transposed formula (tfsr/trainer_tf.py:302,
+    layer_num ** stride) would disagree (VERDICT r1 item 6)."""
+    from types import SimpleNamespace
+
+    from srf_tpu.models.registry import stf_in_len_div
+
+    # defaults: both formulas = 4, no warning expected
+    cfg = SimpleNamespace(model_conv_layer_num=2, model_conv_stride=2)
+    assert stf_in_len_div(cfg, None) == 4
+
+    # non-default geometry: true formula wins, warning fires
+    cfg = SimpleNamespace(model_conv_layer_num=3, model_conv_stride=2)
+    warned = []
+
+    class L:
+        def warning(self, *a):
+            warned.append(a)
+
+    assert stf_in_len_div(cfg, L()) == 8  # 2**3, not 3**2
+    assert warned

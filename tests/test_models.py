@@ -206,6 +206,25 @@ def test_srf_wavefront_equals_layered(batch, caps_iter, lpad, rpad):
         )
 
 
+@pytest.mark.parametrize("enc_num", [1, 2])
+def test_srf_wavefront_degenerate_stacks(batch, enc_num):
+    """enc_num=1 (single class layer) and enc_num=2 (no middle group) must
+    still match the layered path."""
+    feats, lens = batch
+    kw = dict(
+        feat_dim=123, class_n=63, enc_num=enc_num, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4, caps_class_dim=4,
+        caps_iter=1, lpad=1, rpad=1, is_context=True,
+        conv_filter_num=8, caps_type="naive",
+    )
+    layered = SequenceRouter(**kw)
+    wavefront = SequenceRouter(**kw, routing_impl="wavefront")
+    variables = layered.init({"params": KEY, "dropout": KEY}, feats, lens, False)
+    out_l = layered.apply(variables, feats, lens, False)
+    out_w = wavefront.apply(variables, feats, lens, False)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_w), atol=2e-5)
+
+
 def test_srf_wavefront_training_mode_runs(batch):
     feats, lens = batch
     model = SequenceRouter(

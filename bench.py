@@ -100,6 +100,19 @@ def main():
     utts_per_sec = batch_size * iters / elapsed
     per_chip = utts_per_sec / n_dev
 
+    # MFU: analytic model FLOPs (3x forward; remat recompute not credited)
+    # against the v5e bf16 matmul peak — see srf_tpu/utils/flops.py for the
+    # conventions and why XLA cost_analysis cannot be used (scan bodies
+    # counted once).
+    from srf_tpu.utils.flops import V5E_PEAK_BF16, srf_train_step_flops
+
+    step_seconds = elapsed / iters
+    flops_step = srf_train_step_flops(
+        batch=batch_size, frames=241, feat_dim=123, enc_num=7, ph=60, pd=8,
+        ch=30, cd=8, class_n=63, vd=8, lpad=1, rpad=1, num_iter=1,
+    )
+    mfu = flops_step / step_seconds / V5E_PEAK_BF16 / n_dev
+
     vs_baseline = 1.0
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -117,6 +130,9 @@ def main():
         "value": round(per_chip, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(vs_baseline, 3),
+        "mfu": round(mfu, 5),
+        "model_flops_per_step": flops_step,
+        "ms_per_step": round(step_seconds * 1e3, 3),
     }))
 
 

@@ -296,7 +296,8 @@ class ParseOption:
         )
         tpu_group.add_argument(
             "--tpu-routing-kernel", default="auto",
-            help="auto | xla | xla_pre | xla_flat | wavefront | pallas : "
+            help="auto | xla | xla_pre | xla_flat | xla_factored | "
+                 "wavefront | pallas : "
                  "SDR implementation (auto/xla = the measured optimum; the "
                  "others are benchmarked alternatives, see BENCH_NOTES.md)",
         )

@@ -70,10 +70,11 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
         if config.model_caps_type not in ("lowmemory", "einsum", "naive"):
             raise ValueError("unknown caps type %s" % config.model_caps_type)
         kernel = getattr(config, "tpu_routing_kernel", "auto")
-        if kernel not in ("auto", "xla", "xla_flat", "xla_pre", "wavefront",
-                          "pallas"):
+        if kernel not in ("auto", "xla", "xla_flat", "xla_pre", "xla_factored",
+                          "wavefront", "pallas"):
             raise ValueError("unknown --tpu-routing-kernel %r" % kernel)
-        if kernel in ("pallas", "xla_pre", "xla_flat", "wavefront"):
+        if kernel in ("pallas", "xla_pre", "xla_flat", "xla_factored",
+                      "wavefront"):
             overrides.setdefault("routing_impl", kernel)
         model = SequenceRouter.from_config(config, dec_out_dim, **overrides)
         if logger is not None:

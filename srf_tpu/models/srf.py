@@ -68,7 +68,7 @@ class SequenceRouter(nn.Module):
     caps_type: str = "lowmemory"  # lowmemory | naive | einsum
     stride: int = 2
     time_chunk: Optional[int] = None  # SDR u_hat chunking (MXU batching)
-    routing_impl: str = "xla"  # xla | pallas (--tpu-routing-kernel)
+    routing_impl: str = "auto"  # auto(factored) | xla | ... (--tpu-routing-kernel)
     routing_remat: bool = True  # checkpoint the SDR scan body (1.5x faster bwd, see BENCH_NOTES)
     routing_unroll: int = 1  # scan body unroll factor (measured: >1 hurts on v5e)
     routing_bf16: bool = False  # bf16 prediction/products inside the SDR body

@@ -119,6 +119,55 @@ def _sdr_step(u_hat_t, v_prev, num_iter, pad_mask):
     return v
 
 
+def _sdr_step_factored(u_t, wgt, bias, v_prev, num_iter, pad_mask):
+    """One SDR timestep WITHOUT materializing u_hat.
+
+    ``u_hat = W·u + b`` is [B, in_n, out_n, out_d] — the dominant per-step
+    temporary, and its trailing (out_n, out_d) dims suffer ~7x (8,128)
+    tile padding on TPU (e.g. (30,20) pads to (32,128)). But routing only
+    ever consumes u_hat through two contractions, so factor it away:
+
+        logits[b,n,o] = <u_hat, v>        = (W^T v)·u  + bias·v
+                        R[b,n,o,j] = sum_i W[n,o,i,j] v[b,o,i]   (MXU)
+                        logits     = sum_j R·u + sum_i bias·v    (VPU)
+        s[b,o,i]      = sum_n c·u_hat     = (c (x) u)·W + c·bias
+                        P[b,o,n,j] = c[b,n,o]*u[b,n,j]           (VPU)
+                        s          = sum_{nj} P·W + sum_n c·bias (MXU, K=n*j)
+
+    The largest live tensors drop to [B, in_n, out_n, in_d]-sized R/P
+    (flattenable), and the s-contraction runs on the MXU with a large
+    reduction dim (in_n*in_d, e.g. 3000 for canonical WSJ) instead of
+    per-timestep slivers. Exact same math as _sdr_step for every
+    num_iter (iterations re-derive R from the updated v).
+    """
+    b_acc = jnp.zeros(
+        (u_t.shape[0], u_t.shape[1], wgt.shape[1]), jnp.float32
+    )
+    v = v_prev
+    for _ in range(num_iter):
+        r = jnp.einsum("noij,boi->bnoj", wgt, v,
+                       preferred_element_type=jnp.float32)
+        b_acc = b_acc + (
+            jnp.einsum("bnoj,bnj->bno", r, u_t,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("noi,boi->bno", bias, v,
+                         preferred_element_type=jnp.float32)
+        )
+        if pad_mask is not None:
+            b_acc = b_acc + pad_mask
+        c = jax.nn.softmax(b_acc, axis=2)
+        p = jnp.einsum("bno,bnj->bonj", c, u_t,
+                       preferred_element_type=jnp.float32)
+        s = (
+            jnp.einsum("bonj,noij->boi", p, wgt,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bno,noi->boi", c, bias,
+                         preferred_element_type=jnp.float32)
+        )
+        v = squash(s, axis=-1)
+    return v
+
+
 def window_slide(u, lpad, rpad):
     """Sliding windows WITHOUT edge padding: [B, T, n, d] ->
     [B, T-lpad-rpad, (lpad+rpad+1)*n, d] (same frame-major capsule order as
@@ -135,7 +184,7 @@ def window_slide(u, lpad, rpad):
 def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
                        time_chunk=None, remat=False, unroll=1,
                        precompute=False, compute_dtype=None,
-                       v_init=None, step_valid=None):
+                       v_init=None, step_valid=None, factored=False):
     """SDR: scan over time, carrying the previous output capsules.
 
     ``u`` is [B, T, in_n, in_d]; the weight multiply runs inside the scan
@@ -207,12 +256,18 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
 
         def body(v_prev, x):
             u_t = x[0] if step_valid is not None else x
-            u_hat_t = (
-                jnp.einsum("noij,bnj->bnoi", wgt_c, u_t.astype(cd),
-                           preferred_element_type=cd)
-                + bias_c[None]
-            )
-            v = _sdr_step(u_hat_t, v_prev, num_iter, pad_mask)
+            if factored:
+                v = _sdr_step_factored(
+                    u_t.astype(cd), wgt_c, bias_c, v_prev, num_iter,
+                    pad_mask,
+                )
+            else:
+                u_hat_t = (
+                    jnp.einsum("noij,bnj->bnoi", wgt_c, u_t.astype(cd),
+                               preferred_element_type=cd)
+                    + bias_c[None]
+                )
+                v = _sdr_step(u_hat_t, v_prev, num_iter, pad_mask)
             if step_valid is not None:
                 v = jnp.where(x[1], v, 0.0)
             return v, v
@@ -345,7 +400,7 @@ def _ln_drop(flat, scale, ln_bias, ln_eps, dropout_rate, key):
 
 def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
                         ln_params, ln_eps=1e-3, dropout_rate=0.0,
-                        dropout_rng=None, remat=True):
+                        dropout_rng=None, remat=True, factored=True):
     """Run the WHOLE capsule stack as ONE scan over time (true wavefront).
 
     The layered implementation runs ``L`` sequential scans of ``T`` steps
@@ -454,12 +509,15 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
         frame, tau = x
 
         # ---- layer 0: time tau, input = pre-windowed frame
-        u_hat0 = (
-            jnp.einsum("noij,bnj->bnoi", w0, frame,
-                       preferred_element_type=jnp.float32)
-            + b0[None]
-        )
-        v0 = _sdr_step(u_hat0, v_first, num_iter, None)
+        if factored:
+            v0 = _sdr_step_factored(frame, w0, b0, v_first, num_iter, None)
+        else:
+            u_hat0 = (
+                jnp.einsum("noij,bnj->bnoi", w0, frame,
+                           preferred_element_type=jnp.float32)
+                + b0[None]
+            )
+            v0 = _sdr_step(u_hat0, v_first, num_iter, None)
         valid0 = tau < seq_len
         key0 = (
             jax.random.fold_in(jax.random.fold_in(dropout_rng, 0), tau)
@@ -475,14 +533,21 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
         # ---- middle layers (stacked): layer i = m+1 at t = tau-(m+1)*delay
         if n_mid:
             u_mid = _window_of(buf[:n_mid])  # [n_mid, B, window*ch, cd]
-            u_hat_m = (
-                jnp.einsum("lnoij,lbnj->lbnoi", w_mid, u_mid,
-                           preferred_element_type=jnp.float32)
-                + b_mid[:, None]
-            )
-            vm = jax.vmap(
-                lambda uh, vp: _sdr_step(uh, vp, num_iter, None)
-            )(u_hat_m, v_mid)
+            if factored:
+                vm = jax.vmap(
+                    lambda ut, w, b, vp: _sdr_step_factored(
+                        ut, w, b, vp, num_iter, None
+                    )
+                )(u_mid, w_mid, b_mid, v_mid)
+            else:
+                u_hat_m = (
+                    jnp.einsum("lnoij,lbnj->lbnoi", w_mid, u_mid,
+                               preferred_element_type=jnp.float32)
+                    + b_mid[:, None]
+                )
+                vm = jax.vmap(
+                    lambda uh, vp: _sdr_step(uh, vp, num_iter, None)
+                )(u_hat_m, v_mid)
             t_mid = tau - (jnp.arange(1, n_mid + 1)) * delay
             valid_m = jnp.logical_and(t_mid >= 0, t_mid < seq_len)[
                 :, None, None, None
@@ -517,12 +582,17 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
 
         # ---- last layer: t = tau-(L-1)*delay, PAD-capsule mask
         u_last = _window_of(buf[n_layers - 2])  # [B, window*ch, cd]
-        u_hat_l = (
-            jnp.einsum("noij,bnj->bnoi", w_last, u_last,
-                       preferred_element_type=jnp.float32)
-            + b_last[None]
-        )
-        vl = _sdr_step(u_hat_l, v_last, num_iter, pad_mask)
+        if factored:
+            vl = _sdr_step_factored(
+                u_last, w_last, b_last, v_last, num_iter, pad_mask
+            )
+        else:
+            u_hat_l = (
+                jnp.einsum("noij,bnj->bnoi", w_last, u_last,
+                           preferred_element_type=jnp.float32)
+                + b_last[None]
+            )
+            vl = _sdr_step(u_hat_l, v_last, num_iter, pad_mask)
         t_last = tau - (n_layers - 1) * delay
         valid_l = jnp.logical_and(t_last >= 0, t_last < seq_len)
         key_l = (
@@ -558,11 +628,13 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
                 compute_dtype=None):
     """One capsule layer: prediction + routing (DR or SDR).
 
-    ``impl``: "xla" (lax.scan, weight multiply in the body — lowmemory
-    plan), "xla_pre" (u_hat precomputed as one batched einsum — naive
-    plan), or "pallas" (fused kernel, ops/routing_pallas.py) for the SDR
-    path; DR is always plain XLA (fully parallel over time, nothing to
-    fuse beyond what XLA already does).
+    ``impl``: "auto"/"xla_factored" (lax.scan whose body never
+    materializes u_hat — see _sdr_step_factored; the measured default),
+    "xla" (scan with the materialized-u_hat body — lowmemory plan),
+    "xla_pre" (u_hat precomputed as one batched einsum — naive plan), or
+    "pallas" (fused kernel, ops/routing_pallas.py) for the SDR path; DR is
+    always plain XLA (fully parallel over time, nothing to fuse beyond
+    what XLA already does).
     """
     if is_context:
         if impl == "pallas":
@@ -580,6 +652,7 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
             u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
             time_chunk=time_chunk, remat=remat, unroll=unroll,
             precompute=(impl == "xla_pre"), compute_dtype=compute_dtype,
+            factored=(impl in ("auto", "xla_factored")),
         )
     u_hat = predict_capsules(u, wgt, bias)
     out = dynamic_routing(u_hat, num_iter, mask_pad_capsule=is_last_layer)

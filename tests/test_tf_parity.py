@@ -6,7 +6,8 @@ same inputs in eval mode. This is the strongest drift detector: it catches
 padding conventions, BN/LN epsilons, maxout orderings, routing math.
 
 Requires the legacy-Keras shim (the reference is Keras-2 code); skipped if
-unavailable.
+unavailable. The reference->flax layout maps live in tests/tf_transplant.py
+(shared with the gradient-parity suite).
 """
 
 import os
@@ -31,6 +32,8 @@ sys.path.insert(0, "/root/reference")
 
 import jax
 import jax.numpy as jnp
+
+from tests import tf_transplant as tp
 
 
 class _Log:
@@ -61,31 +64,13 @@ def _ref_config(**overrides):
     return types.SimpleNamespace(**base)
 
 
+# kept as aliases: test_tf_parity_more historically imports these names
 def _copy_convfe_weights(ref_conv, params, cnn_n):
-    """Reference CapsulationLayer weights -> our ConvFrontEnd params.
-
-    Reference call uses conv_layers[branch][layer]
-    (reference: sequence_router.py:76-77).
-    """
-    out = dict(params)
-    for layer in range(cnn_n):
-        for branch in range(2):
-            kr, br = ref_conv.conv_layers[branch][layer].get_weights()
-            name = "conv%d_%d" % (layer, branch)
-            out[name] = {"kernel": jnp.asarray(kr), "bias": jnp.asarray(br)}
-        gamma, beta, mean, var = ref_conv.bn_layers[layer].get_weights()
-        out["bn%d" % layer] = {"scale": jnp.asarray(gamma),
-                               "bias": jnp.asarray(beta)}
-    return out
+    return tp.convfe_params(ref_conv, params, cnn_n)
 
 
 def _convfe_batch_stats(ref_conv, cnn_n):
-    stats = {}
-    for layer in range(cnn_n):
-        _, _, mean, var = ref_conv.bn_layers[layer].get_weights()
-        stats["bn%d" % layer] = {"mean": jnp.asarray(mean),
-                                 "var": jnp.asarray(var)}
-    return stats
+    return tp.convfe_batch_stats(ref_conv, cnn_n)
 
 
 @pytest.mark.parametrize("is_context", [True, False])
@@ -116,34 +101,8 @@ def test_srf_forward_matches_reference(is_context):
         {"params": key, "dropout": key}, jnp.asarray(feats),
         jnp.asarray(inp_len, jnp.int32), False,
     )
-    params = dict(variables["params"])
-
-    # CNN front-end
-    params["conv_feat"] = _copy_convfe_weights(
-        ref.conv, params["conv_feat"], 2
-    )
-    batch_stats = {"conv_feat": _convfe_batch_stats(ref.conv, 2)}
-    # bottleneck + encaps
-    k, b = ref.proj_pe.get_weights()
-    params["flatten"] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
-    for i in range(2):
-        k, b = ref.ecs[i].get_weights()
-        params["encaps%d" % (i + 1)] = {
-            "kernel": jnp.asarray(k), "bias": jnp.asarray(b)
-        }
-    # layer norms
-    def _ln(ref_ln):
-        gamma, beta = ref_ln.get_weights()
-        return {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)}
-
-    params["ln_input"] = _ln(ref.ln_i)
-    for i in range(3):
-        params["ln_mid%d" % (i + 1)] = _ln(ref.ln_m[i])
-    params["ln_output"] = _ln(ref.ln_o)
-    # routing weights: (1,1,in_n,out_n,out_d,in_d) -> (in_n,out_n,out_d,in_d)
-    for i in range(3):
-        params["W%d" % i] = jnp.asarray(ref.wgt[i].numpy()[0, 0])
-        params["b%d" % i] = jnp.asarray(ref.bias[i].numpy()[0, 0, :, :, :, 0])
+    params = tp.transplant_srf_naive(ref, variables["params"], enc_num=3)
+    batch_stats = {"conv_feat": tp.convfe_batch_stats(ref.conv, 2)}
 
     out = model.apply(
         {"params": params, "batch_stats": batch_stats},

@@ -5,3 +5,7 @@
 set -e
 cd "$(dirname "$0")/../.."
 python -m srf_tpu.tools.extract_features "$1" "$3" --spk2utt "$2" --cmvn-dir "$3/../cmvn"
+# Kaldi-protocol alternative (the published parity pipeline): run Kaldi's
+# compute-fbank-feats | add-deltas, per-speaker compute-cmvn-stats /
+# apply-cmvn, dump with copy-feats ark,t:normed_feats.txt, then:
+#   python -m srf_tpu.tools.ark_to_npy normed_feats.txt --outdir $3

@@ -45,3 +45,56 @@ def test_scorer_trn_files(tmp_path):
     wer = score(str(ref), str(hyp), out)
     np.testing.assert_allclose(wer, 100.0 / 5)  # 1 sub / 5 ref tokens
     assert "20.00%" in out.getvalue()
+
+
+def test_ark_to_npy_roundtrip_through_writer_and_loader(tmp_path):
+    """Kaldi text-ark -> npy (tools/ark_to_npy.py, the published feature
+    protocol's import path, reference: egs/script/parsing.py) must feed the
+    TFRecord writer CLI and come back unchanged through the loader."""
+    import json
+
+    from srf_tpu.data.loader import SpeechDataset
+    from srf_tpu.tools.ark_to_npy import convert, parse_ark
+    from srf_tpu.tools.save_tfrecord import main as save_main
+
+    rng = np.random.RandomState(0)
+    utts = {"spk1_utt1": rng.randn(7, 5), "spk2_utt2": rng.randn(4, 5)}
+    ark = tmp_path / "feats.txt"
+    with open(ark, "w") as fh:
+        for utt_id, feats in utts.items():
+            fh.write("%s  [\n" % utt_id)
+            for i, row in enumerate(feats):
+                tail = " ]" if i == len(feats) - 1 else ""
+                fh.write("  " + " ".join("%.7f" % v for v in row) + tail + "\n")
+    # parse: exact values, float32
+    parsed = dict(parse_ark(open(ark)))
+    assert set(parsed) == set(utts)
+    for utt_id in utts:
+        np.testing.assert_allclose(
+            parsed[utt_id], utts[utt_id].astype(np.float32), atol=1e-6
+        )
+    assert convert(str(ark), str(tmp_path)) == 2
+
+    manifest = tmp_path / "train.json"
+    with open(manifest, "w") as fh:
+        for utt_id, feats in utts.items():
+            fh.write(json.dumps({
+                "key": utt_id + ".npy", "duration": feats.shape[0] / 100.0,
+                "text": "a b",
+            }) + "\n")
+    (tmp_path / "v.vocab").write_text(
+        "<PADDING_SYMBOL>\na\nb\n<SPACE>\n$\n@\n"
+    )
+    save_main([
+        "save_tfrecord",
+        "--path-base=%s" % tmp_path, "--path-vocab=v.vocab",
+        "--feat-dim=5", "--feat-type=None", "--prep-data-name=synth",
+        "--prep-data-shard=1", "--path-train-json=train.json",
+        "--path-wrt-tfrecord=tfr", "--decoding-from-npy=True",
+    ])
+    ds = SpeechDataset(str(tmp_path / "tfr" / "*train*"), feat_dim=5)
+    assert len(ds) == 2
+    by_len = {f.shape[0]: f for f in ds.feats}
+    np.testing.assert_allclose(
+        by_len[7], utts["spk1_utt1"].astype(np.float32), atol=1e-6
+    )

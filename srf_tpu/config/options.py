@@ -302,6 +302,22 @@ class ParseOption:
                  "others are benchmarked alternatives, see BENCH_NOTES.md)",
         )
         tpu_group.add_argument(
+            "--tpu-mwer-nbest", type=int, default=4,
+            help="n-best list size for the MWER fine-tune mode "
+                 "(--train-is-mwer=True)",
+        )
+        tpu_group.add_argument(
+            "--tpu-mwer-lam-ctc", type=float, default=0.1,
+            help="CTC interpolation weight in the MWER loss",
+        )
+        tpu_group.add_argument(
+            "--tpu-attention-kernel", default="auto",
+            help="auto | plain | blockwise : STF attention. 'blockwise' is "
+                 "the flash-style O(T*block)-memory path with the closed-"
+                 "form distance penalty; 'auto' switches to it for long "
+                 "sequences (>= 1024 post-subsample frames)",
+        )
+        tpu_group.add_argument(
             "--tpu-profile-dir", default=None,
             help="write a jax.profiler trace of the first trained epoch "
                  "here (TensorBoard-loadable)",

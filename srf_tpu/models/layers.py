@@ -84,9 +84,20 @@ def scaled_dot_product_attention(query, key, value, mask, attention_dropout,
 
 
 class MultiHeadAttention(nn.Module):
+    """QKV projections + attention.
+
+    ``impl="plain"`` materializes the [B, H, T, T] weights (reference
+    semantics, returns the weights for plotting); ``impl="blockwise"``
+    runs the flash-style online-softmax path
+    (ops/blockwise_attention.py) with the closed-form distance penalty
+    ``penalty_params`` — O(T*block) memory, returns weights=None.
+    """
+
     d_model: int
     num_heads: int
     init_name: Optional[str] = None
+    impl: str = "plain"  # plain | blockwise
+    penalty_params: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, value, key, query, mask, attention_dropout, att_pen_mask,
@@ -109,13 +120,28 @@ class MultiHeadAttention(nn.Module):
         k = _split(_dense("wk", key, False))
         v = _split(_dense("wv", value, False))
 
-        drop = None
-        if attention_dropout > 0:
-            dropout = nn.Dropout(rate=attention_dropout, deterministic=not training)
-            drop = dropout
-        attended, weights = scaled_dot_product_attention(
-            q, k, v, mask, attention_dropout, att_pen_mask, drop
-        )
+        if self.impl == "blockwise":
+            from srf_tpu.ops.blockwise_attention import blockwise_attention
+
+            rng = (
+                self.make_rng("dropout")
+                if (training and attention_dropout > 0) else None
+            )
+            attended = blockwise_attention(
+                q, k, v, mask, penalty=self.penalty_params,
+                dropout_rate=attention_dropout if training else 0.0,
+                dropout_rng=rng,
+            )
+            weights = None
+        else:
+            drop = None
+            if attention_dropout > 0:
+                dropout = nn.Dropout(rate=attention_dropout,
+                                     deterministic=not training)
+                drop = dropout
+            attended, weights = scaled_dot_product_attention(
+                q, k, v, mask, attention_dropout, att_pen_mask, drop
+            )
         attended = jnp.transpose(attended, (0, 2, 1, 3)).reshape(
             batch, -1, self.d_model
         )
@@ -146,13 +172,16 @@ class EncoderBlock(nn.Module):
     residual_dropout: float
     attention_dropout: float
     init_name: Optional[str] = None
+    attention_impl: str = "plain"
+    penalty_params: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, inputs, mask, att_pen_mask, training: bool):
         emb = nn.LayerNorm(epsilon=1e-6, name="ln_cur")(inputs)
         att_drop = self.attention_dropout if training else 0.0
         attn_out, _ = MultiHeadAttention(
-            self.d_model, self.num_heads, self.init_name, name="mha"
+            self.d_model, self.num_heads, self.init_name, name="mha",
+            impl=self.attention_impl, penalty_params=self.penalty_params,
         )(emb, emb, emb, mask, att_drop, att_pen_mask, training)
         attn_out = nn.Dropout(
             rate=self.residual_dropout, deterministic=not training

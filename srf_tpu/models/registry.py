@@ -60,6 +60,9 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
             model = CNNStrideEncoder.from_config(config, dec_out_dim, **overrides)
     elif model_type == "stf":
         in_len_div = stf_in_len_div(config, logger)
+        att_kernel = getattr(config, "tpu_attention_kernel", "auto")
+        if att_kernel not in ("auto", "plain", "blockwise"):
+            raise ValueError("unknown --tpu-attention-kernel %r" % att_kernel)
         model = ConvEncoder.from_config(config, dec_out_dim, **overrides)
     else:
         in_len_div = config.model_conv_stride**config.model_conv_layer_num

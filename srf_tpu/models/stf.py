@@ -34,9 +34,38 @@ class ConvEncoder(nn.Module):
     cnn_n: int = 2
     init_name: Optional[str] = None
     stride: int = 2
+    # "auto" picks the attention path from measurements on v5e
+    # (BENCH_NOTES.md r2): plain wins train time up to the reference's
+    # frame-budget shapes, blockwise wins eval at T' >= ~2048 and is the
+    # only path that FITS when the [B, H, T, T] weights exceed ~600MB per
+    # layer (plain fails to compile at T'=2500, batch 8). "plain" always
+    # materializes the weights; "blockwise" always streams
+    # (ops/blockwise_attention.py).
+    attention_impl: str = "auto"
+    auto_blockwise_len: int = 2048
+    # closed-form distance-penalty params (zero_width, stripe_width,
+    # scale, n_stripes) used by the blockwise path in place of the dense
+    # attention_penalty_mask board
+    penalty_params: Optional[tuple] = None
 
     @classmethod
     def from_config(cls, config, vocab_n, **overrides):
+        penalty_params = None
+        if (
+            config.model_ap_encoder
+            and config.model_ap_width_zero and config.model_ap_width_zero > 0
+            and config.model_ap_width_stripe
+            and config.model_ap_width_stripe > 0
+            and config.model_ap_scale and config.model_ap_scale > 0.0
+        ):
+            from srf_tpu.ops.blockwise_attention import PenaltyParams
+
+            n_stripes = len(range(config.model_ap_width_zero - 1, 2500,
+                                  config.model_ap_width_stripe))
+            penalty_params = PenaltyParams(
+                config.model_ap_width_zero, config.model_ap_width_stripe,
+                config.model_ap_scale, n_stripes,
+            )
         kwargs = dict(
             num_layers=config.model_encoder_num,
             d_model=config.model_dimension,
@@ -51,6 +80,8 @@ class ConvEncoder(nn.Module):
             nfilt=config.model_conv_filter_num,
             cnn_n=config.model_conv_layer_num,
             init_name=config.model_initializer,
+            penalty_params=penalty_params,
+            attention_impl=getattr(config, "tpu_attention_kernel", "auto"),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -79,12 +110,27 @@ class ConvEncoder(nn.Module):
             rate=self.input_dropout, deterministic=not training
         )(embeddings)
 
+        impl = self.attention_impl
+        if impl == "auto":
+            att_weight_bytes = 4.0 * batch * self.num_heads * seq_len * seq_len
+            if training:
+                impl = "blockwise" if att_weight_bytes > 6e8 else "plain"
+            else:
+                impl = (
+                    "blockwise" if seq_len >= self.auto_blockwise_len
+                    else "plain"
+                )
+        if impl == "blockwise":
+            # the dense penalty board is the plain path's input; blockwise
+            # recomputes the same values per tile from penalty_params
+            attention_penalty_mask = None
         for i in range(self.num_layers):
             embeddings = EncoderBlock(
                 self.d_model, self.num_heads, self.dff,
                 self.inner_dropout, self.residual_dropout,
                 self.attention_dropout, self.init_name,
-                name="enc%d" % i,
+                name="enc%d" % i, attention_impl=impl,
+                penalty_params=self.penalty_params,
             )(embeddings, mask, attention_penalty_mask, training)
 
         embeddings = nn.LayerNorm(epsilon=1e-6, name="ln")(embeddings)

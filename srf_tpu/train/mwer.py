@@ -1,0 +1,153 @@
+"""MWER (minimum word-error-rate) fine-tuning — opt-in via --train-is-mwer.
+
+The reference ships ``loss_ewerr`` (expected word error over an n-best list,
+Prabhavalkar et al., ICASSP 2018; reference: tfsr/helper/train_helper.py:
+192-267) but never wires it into a trainer — the flag ``--train-is-mwer``
+only toggles a sanity-check warning. Here it becomes a working fine-tune
+mode (capability beyond parity):
+
+1. decode an n-best list per utterance with the merged-prefix CTC beam
+   (host, ops/ctc_decode.prefix_beam_search, top_paths=N),
+2. compute each hypothesis' token edit distance to the reference on host,
+3. inside a jitted step, score every hypothesis under the CURRENT model as
+   its CTC log-probability (-ctc_loss with the hypothesis as the label
+   sequence — fully differentiable), renormalize over the beam and take
+   the expected relative error (train/losses.loss_ewerr),
+4. interpolate with the standard CTC loss (``lam_ctc``) for stability, as
+   is standard for MWER fine-tuning.
+
+The returned callable matches the train loop's ``train_step(state, batch,
+rng)`` contract, so ``run_training`` (train/loop.py) drives MWER epochs
+unchanged (valid loss stays plain CTC for early stopping).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srf_tpu.ops.ctc import ctc_loss_from_frames
+from srf_tpu.train.losses import loss_ewerr
+from srf_tpu.utils.edit_distance import levenshtein
+
+
+def decode_nbest(logits, logit_lens, beam_width, n_best, blank_id,
+                 pad_to=None):
+    """Host n-best decode: returns (hyps [B,N,L], hyp_lens [B,N]) int32.
+
+    ``pad_to`` fixes the hypothesis-length axis (one static shape per
+    bucket so the jitted update never retraces); longer hypotheses are
+    truncated."""
+    from srf_tpu.ops.ctc_decode import prefix_beam_search
+
+    logits = np.asarray(logits)
+    batch = logits.shape[0]
+    all_hyps = []
+    max_len = 1
+    for b in range(batch):
+        nbest = prefix_beam_search(
+            logits[b], int(logit_lens[b]), beam_width=beam_width,
+            blank_id=blank_id, top_paths=n_best,
+        )
+        hyps = [ids for ids, _ in nbest]
+        while len(hyps) < n_best:  # thin beams: duplicate the best
+            hyps.append(list(hyps[0]) if hyps else [])
+        all_hyps.append(hyps)
+        max_len = max(max_len, *(len(h) for h in hyps))
+    width = pad_to if pad_to is not None else max_len
+    out = np.zeros((batch, n_best, width), np.int32)
+    lens = np.zeros((batch, n_best), np.int32)
+    for b, hyps in enumerate(all_hyps):
+        for n, h in enumerate(hyps):
+            h = h[:width]
+            out[b, n, : len(h)] = h
+            lens[b, n] = len(h)
+    return out, lens
+
+
+def hypothesis_errors(labels, tar_len, hyps, hyp_lens):
+    """[B, N] token edit distances of each hypothesis vs the reference."""
+    labels = np.asarray(labels)
+    tar_len = np.asarray(tar_len)
+    batch, n_best = hyps.shape[:2]
+    errors = np.zeros((batch, n_best), np.float32)
+    for b in range(batch):
+        ref = [int(x) for x in labels[b, : int(tar_len[b])]]
+        for n in range(n_best):
+            hyp = [int(x) for x in hyps[b, n, : int(hyp_lens[b, n])]]
+            errors[b, n] = levenshtein(ref, hyp)
+    return errors
+
+
+def make_mwer_train_step(apply_fn, logits_fn, tx, in_len_div, beam_width,
+                         n_best, blank_id, lam_ctc=0.1):
+    """Returns train_step(state, batch, rng) running one MWER update."""
+
+    @jax.jit
+    def _update(state, batch, hyps, hyp_lens, word_errors, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        global_batch = batch["feats"].shape[0]
+
+        def loss_fn(params):
+            logits, new_stats = apply_fn(
+                params, state.batch_stats, batch, True, step_rng
+            )
+
+            def hyp_loss(h, hl):
+                return ctc_loss_from_frames(
+                    logits, batch["inp_len"], in_len_div, h, hl
+                )
+
+            # [B, N] CTC -log p of each hypothesis under the current model
+            pe = jax.vmap(hyp_loss, in_axes=(1, 1), out_axes=1)(
+                hyps, hyp_lens
+            )
+            ew = loss_ewerr(word_errors, -pe)  # [B]
+            ctc_ref = ctc_loss_from_frames(
+                logits, batch["inp_len"], in_len_div,
+                batch["labels"], batch["tar_len"],
+            )
+            loss = (
+                jnp.sum(ew) / global_batch
+                + lam_ctc * jnp.sum(ctc_ref) / global_batch
+            )
+            return loss, (ew, ctc_ref, new_stats)
+
+        (_, (ew, ctc_ref, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            batch_stats=new_stats,
+        )
+        metrics = {
+            # loop reports loss_sum/samples: expected-error + interpolated CTC
+            "loss_sum": jnp.sum(ew) + lam_ctc * jnp.sum(ctc_ref),
+            "samples": jnp.asarray(global_batch, jnp.float32),
+            "frames": jnp.sum(batch["inp_len"]).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    def train_step(state, batch, rng):
+        # host round-trip: decode the n-best under the CURRENT parameters
+        logits = logits_fn(state, batch)
+        logit_lens = np.maximum(
+            1, -(-np.asarray(batch["inp_len"]) // in_len_div)
+        )
+        logit_lens = np.minimum(logit_lens, np.asarray(logits).shape[1])
+        # static hypothesis width per bucket: labels cap + slack
+        hyps, hyp_lens = decode_nbest(
+            logits, logit_lens, beam_width, n_best, blank_id,
+            pad_to=int(batch["labels"].shape[1]) + 8,
+        )
+        errors = hypothesis_errors(
+            batch["labels"], batch["tar_len"], hyps, hyp_lens
+        )
+        return _update(
+            state, batch, jnp.asarray(hyps), jnp.asarray(hyp_lens),
+            jnp.asarray(errors), rng,
+        )
+
+    return train_step

@@ -185,10 +185,28 @@ def main(argv=None):
         state_sharding = fsdp_sharding(state, mesh)
         state = jax.device_put(state, state_sharding)
         logger.info("FSDP: params + optimizer state sharded over 'data'")
-    train_step = make_train_step(
-        apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,
-        state_sharding=state_sharding,
-    )
+    if config.train_is_mwer:
+        # MWER fine-tune: expected word-error over an n-best list
+        # (train/mwer.py; the reference's loss_ewerr was never wired)
+        from srf_tpu.train.mwer import make_mwer_train_step
+
+        logits_fn = make_logits_fn(apply_fn)
+        train_step = make_mwer_train_step(
+            apply_fn, logits_fn, tx, in_len_div,
+            beam_width=config.decoding_beam_width,
+            n_best=config.tpu_mwer_nbest, blank_id=blank_idx,
+            lam_ctc=config.tpu_mwer_lam_ctc,
+        )
+        logger.info(
+            "MWER fine-tune: beam %d, n-best %d, lambda-CTC %.3f",
+            config.decoding_beam_width, config.tpu_mwer_nbest,
+            config.tpu_mwer_lam_ctc,
+        )
+    else:
+        train_step = make_train_step(
+            apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,
+            state_sharding=state_sharding,
+        )
     valid_step = make_valid_step(
         apply_fn, in_len_div, mesh=mesh, state_sharding=state_sharding
     )

@@ -175,3 +175,34 @@ def test_checkpoint_averaging(written_corpus):
         leaf(avg_state), (np.asarray(leaf(s2)) + np.asarray(leaf(s3))) / 2,
         rtol=1e-6,
     )
+
+
+def test_mwer_finetune_runs_and_stays_finite(written_corpus, capsys):
+    """--train-is-mwer=True fine-tunes from a CTC checkpoint: n-best beam
+    decode per batch, expected-WER + interpolated-CTC loss, finite and
+    checkpointable (train/mwer.py; the reference's loss_ewerr was dead
+    code, tfsr/helper/train_helper.py:192-267)."""
+    from srf_tpu import trainer_sr
+
+    ckpt = written_corpus / "ckpt_mwer"
+    # short CTC warm-up so the beam has something to rank
+    trainer_sr.main(_argv(written_corpus, ckpt, ["--train-max-epoch=2"]))
+    capsys.readouterr()
+    trainer_sr.main(_argv(written_corpus, ckpt, [
+        "--train-max-epoch=4", "--train-is-mwer=True",
+        "--tpu-mwer-nbest=3", "--tpu-mwer-lam-ctc=0.1",
+        "--train-lr-param-k=0.005",
+    ]))
+    capsys.readouterr()
+    # the metrics JSONL is the deterministic record (log capture is
+    # unreliable across repeated in-process trainer invocations)
+    metrics = [
+        json.loads(line)
+        for line in open(ckpt / "metrics.jsonl")
+        if line.strip()
+    ]
+    mwer_epochs = [
+        m for m in metrics if m["kind"] == "train_epoch" and m["epoch"] > 2
+    ]
+    assert len(mwer_epochs) >= 2
+    assert all(np.isfinite(m["loss"]) for m in mwer_epochs)

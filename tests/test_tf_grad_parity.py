@@ -317,3 +317,80 @@ def test_cnn_grad_parity():
         ref, grads, enc_num=6, proj_layers=3, get=tp.grads_of(grad_map)
     )
     _assert_tree_close(grads, ref_grads)
+
+
+def test_srf_training_curve_parity():
+    """FIVE full Adam steps in both frameworks on the same batch: the loss
+    trajectories must track (optimizer + loss + backward all agree over
+    time, not just at one point). Weights are transplanted BEFORE the TF
+    optimizer mutates them; plain Adam with matched (lr, b1, b2, eps)
+    isolates framework math from schedule details. Models run in eval mode
+    (see module docstring on unseeded reference dropout)."""
+    import optax
+    from tfsr.model.sequence_router_naive import SequenceRouter as RefSRF
+
+    from srf_tpu.models.srf import SequenceRouter
+
+    config = _ref_config()
+    ref = RefSRF(config, _Log(), class_n=8)
+    rng = np.random.RandomState(7)
+    feats, inp_len, labels, tar_len = _batch(rng)
+    ref.call(tf.constant(feats), input_lengths=tf.constant(inp_len, tf.float32),
+             training=False)
+
+    model = SequenceRouter(
+        feat_dim=12, class_n=8, enc_num=3, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4, caps_class_dim=4,
+        caps_iter=1, lpad=1, rpad=1, is_context=True,
+        conv_layer_num=2, conv_filter_num=4, caps_type="naive",
+        inp_dropout=0.0, inn_dropout=0.0, init_name="glorot_uniform",
+    )
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, jnp.asarray(feats),
+        jnp.asarray(inp_len), False,
+    )
+    params = tp.transplant_srf_naive(ref, variables["params"], enc_num=3)
+    batch_stats = {"conv_feat": tp.convfe_batch_stats(ref.conv, 2)}
+
+    lr, b1, b2, eps = 1e-3, 0.9, 0.98, 1e-9
+    tf_opt = tf_keras.optimizers.legacy.Adam(
+        learning_rate=lr, beta_1=b1, beta_2=b2, epsilon=eps
+    )
+    tf_losses = []
+    for _ in range(5):
+        with tf.GradientTape() as tape:
+            y = ref.call(tf.constant(feats),
+                         input_lengths=tf.constant(inp_len, tf.float32),
+                         training=False)
+            pe = tf.nn.ctc_loss(
+                tf.constant(labels), y, tf.constant(tar_len),
+                tf.math.ceil(tf.constant(inp_len, tf.float32) / 4),
+                logits_time_major=False, blank_index=7,
+            )
+            loss = tf.nn.compute_average_loss(pe, global_batch_size=2)
+        grads = tape.gradient(loss, ref.trainable_variables)
+        tf_opt.apply_gradients(zip(grads, ref.trainable_variables))
+        tf_losses.append(float(loss))
+
+    tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            jnp.asarray(feats), jnp.asarray(inp_len), False,
+        )
+        pe = ctc_loss_from_frames(
+            logits, jnp.asarray(inp_len), 4, jnp.asarray(labels),
+            jnp.asarray(tar_len),
+        )
+        return jnp.sum(pe) / 2.0
+
+    jax_losses = []
+    for _ in range(5):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, tf_losses, rtol=3e-3)

@@ -20,7 +20,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123):
+def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
+                noise=0.3):
     rng = np.random.RandomState(0)
     tokens = ["<PADDING_SYMBOL>"] + ["p%02d" % i for i in range(1, vocab_size)] + ["$", "@"]
     with open(os.path.join(base, "synth.vocab"), "w") as f:
@@ -35,7 +36,7 @@ def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123):
             n_ph = frames // 10
             phones = rng.randint(1, vocab_size, size=n_ph)
             feats = np.repeat(protos[phones], 10, axis=0)
-            feats += rng.randn(*feats.shape).astype(np.float32) * 0.3
+            feats += rng.randn(*feats.shape).astype(np.float32) * noise
             np.save(os.path.join(base, key + ".None.npy"),
                     feats.astype(np.float32))
             text = " ".join("p%02d" % p for p in phones)
@@ -74,13 +75,18 @@ def main():
     parser.add_argument("--base", default="/tmp/srf_convergence")
     parser.add_argument("--model", default="srf", choices=["srf", "stf"])
     parser.add_argument("--keep", action="store_true")
+    parser.add_argument("--noise", type=float, default=0.3,
+                        help="corpus feature noise (higher = harder)")
+    parser.add_argument("--mwer-epochs", type=int, default=0,
+                        help="> 0: after CTC training, score, MWER "
+                             "fine-tune this many epochs, score again")
     args = parser.parse_args()
 
     base = args.base
     if os.path.exists(base):
         shutil.rmtree(base)
     os.makedirs(base)
-    make_corpus(base, args.utts)
+    make_corpus(base, args.utts, noise=args.noise)
 
     common = [
         "--path-base=%s" % base, "--path-vocab=synth.vocab",
@@ -135,26 +141,39 @@ def main():
                                      "%03d " % args.epochs in line):
             print(line.strip(), flush=True)
 
-    decode_log = os.path.join(base, "decode.log")
-    run([sys.executable, "-m", trainer] + common + [
-        "--train-opti-type=adam", "--train-lr-param-k=0.001",
-        "--train-max-epoch=0",
-    ], log=decode_log)
+    def decode_and_score(tag):
+        decode_log = os.path.join(base, "decode%s.log" % tag)
+        run([sys.executable, "-m", trainer] + common + [
+            "--train-opti-type=adam", "--train-lr-param-k=0.001",
+            "--train-max-epoch=0",
+        ], log=decode_log)
+        # scrape hypotheses and score (timit-style: space-joined tokens;
+        # the 61->39 map passes unknown tokens through)
+        hyp = run([sys.executable, "-m", "srf_tpu.utils.log2utt", decode_log,
+                   os.path.join(base, "synth.vocab"), "--corpus", "timit"])
+        with open(os.path.join(base, "hyp%s.utt" % tag), "w") as f:
+            f.write(hyp)
+        ref = run([sys.executable, "-m", "srf_tpu.tools.make_ref",
+                   os.path.join(base, "tfrecord/synth-test-None-123-*"),
+                   os.path.join(base, "synth.vocab"), "--corpus", "timit"])
+        with open(os.path.join(base, "ref.utt"), "w") as f:
+            f.write(ref)
+        score = run([sys.executable, "-m", "srf_tpu.utils.score",
+                     os.path.join(base, "ref.utt"),
+                     os.path.join(base, "hyp%s.utt" % tag)])
+        print("%s %s" % (tag or "final", score.strip()), flush=True)
+        return score
 
-    # scrape hypotheses and score (timit-style: space-joined tokens; the
-    # 61->39 map passes unknown tokens through)
-    hyp = run([sys.executable, "-m", "srf_tpu.utils.log2utt", decode_log,
-               os.path.join(base, "synth.vocab"), "--corpus", "timit"])
-    with open(os.path.join(base, "hyp.utt"), "w") as f:
-        f.write(hyp)
-    ref = run([sys.executable, "-m", "srf_tpu.tools.make_ref",
-               os.path.join(base, "tfrecord/synth-test-None-123-*"),
-               os.path.join(base, "synth.vocab"), "--corpus", "timit"])
-    with open(os.path.join(base, "ref.utt"), "w") as f:
-        f.write(ref)
-    score = run([sys.executable, "-m", "srf_tpu.utils.score",
-                 os.path.join(base, "ref.utt"), os.path.join(base, "hyp.utt")])
-    print(score.strip(), flush=True)
+    decode_and_score("")
+    if args.mwer_epochs > 0:
+        # MWER fine-tune from the CTC checkpoint, then re-score
+        run([sys.executable, "-m", trainer] + common + [
+            "--train-opti-type=adam", "--train-lr-param-k=0.0003",
+            "--train-max-epoch=%d" % (args.epochs + args.mwer_epochs),
+            "--train-es-tolerance=1000", "--train-is-mwer=True",
+            "--tpu-mwer-nbest=4", "--tpu-mwer-lam-ctc=0.1",
+        ], log=os.path.join(base, "mwer.log"))
+        decode_and_score("_mwer")
     if not args.keep:
         pass  # leave artifacts for inspection
 

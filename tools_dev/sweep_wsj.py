@@ -21,7 +21,7 @@ import optax
 
 
 def build(impl="xla", enc_num=10, cd=20, lpad=2, rpad=2, remat=True,
-          batch=40, frames=600):
+          batch=40, frames=600, bf16=False):
     from srf_tpu.models.srf import SequenceRouter
     from srf_tpu.train.optimizer import noam_schedule
     from srf_tpu.train.state import TrainState
@@ -33,7 +33,7 @@ def build(impl="xla", enc_num=10, cd=20, lpad=2, rpad=2, remat=True,
         caps_primary_dim=cd, caps_conv_num=30, caps_conv_dim=cd,
         caps_class_dim=cd, caps_iter=1, lpad=lpad, rpad=rpad, is_context=True,
         conv_layer_num=2, conv_filter_num=64, caps_type="lowmemory",
-        routing_impl=impl, routing_remat=remat,
+        routing_impl=impl, routing_remat=remat, routing_bf16=bf16,
     )
     rng = jax.random.PRNGKey(0)
     host = np.random.RandomState(0)
@@ -83,6 +83,9 @@ VARIANTS = {
     "fac_b80":   dict(impl="xla_factored", batch=80),
     "wf_timit":  dict(impl="wavefront", enc_num=7, cd=8, lpad=1, rpad=1,
                       batch=29, frames=241),
+    "fac_bf16":  dict(impl="xla_factored", bf16=True),
+    "fac_bf16_timit": dict(impl="xla_factored", bf16=True, enc_num=7, cd=8,
+                           lpad=1, rpad=1, batch=29, frames=241),
 }
 
 

@@ -84,6 +84,9 @@ VARIANTS = {
     "wf_timit":  dict(impl="wavefront", enc_num=7, cd=8, lpad=1, rpad=1,
                       batch=29, frames=241),
     "fac_bf16":  dict(impl="xla_factored", bf16=True),
+    "fac_noremat": dict(impl="xla_factored", remat=False),
+    "fac_noremat_timit": dict(impl="xla_factored", remat=False, enc_num=7,
+                              cd=8, lpad=1, rpad=1, batch=29, frames=241),
     "fac_bf16_timit": dict(impl="xla_factored", bf16=True, enc_num=7, cd=8,
                            lpad=1, rpad=1, batch=29, frames=241),
 }

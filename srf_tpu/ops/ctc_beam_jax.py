@@ -163,17 +163,8 @@ def _beam_scan(logits, length, beam_width, blank_id):
     return parents, syms, p_tot
 
 
-def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None):
-    """Decode one utterance on device; returns (ids list, score)."""
-    logits = jnp.asarray(logits)
-    if blank_id is None:
-        blank_id = logits.shape[-1] - 1
-    parents, syms, scores = _beam_scan(
-        logits, jnp.asarray(logit_length, jnp.int32), beam_width, blank_id
-    )
-    parents = np.asarray(parents)
-    syms = np.asarray(syms)
-    scores = np.asarray(scores)
+def _backtrace(parents, syms, scores):
+    """Reverse-walk the recorded backpointers for the best final beam."""
     best = int(np.argmax(scores))
     seq = []
     beam = best
@@ -183,3 +174,49 @@ def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None):
         beam = int(parents[t, beam])
     seq.reverse()
     return seq, float(scores[best])
+
+
+def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None):
+    """Decode one utterance on device; returns (ids list, score)."""
+    logits = jnp.asarray(logits)
+    if blank_id is None:
+        blank_id = logits.shape[-1] - 1
+    parents, syms, scores = _beam_scan(
+        logits, jnp.asarray(logit_length, jnp.int32), beam_width, blank_id
+    )
+    return _backtrace(np.asarray(parents), np.asarray(syms),
+                      np.asarray(scores))
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
+def _beam_scan_batch(logits, lengths, beam_width, blank_id):
+    """vmapped beam scan: [B, T, V] -> (parents/syms [B, T, W], scores
+    [B, W]). The whole batch decodes in ONE device dispatch — the batched
+    serving analog of the reference's batch-1 protocol."""
+    return jax.vmap(
+        lambda l, n: _beam_scan(l, n, beam_width, blank_id)
+    )(logits, lengths)
+
+
+def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
+                              blank_id=None):
+    """Decode a batch of utterances on device in one dispatch.
+
+    logits [B, T, V], logit_lengths [B] -> list of (ids, score) per
+    utterance. Same merged-prefix semantics as ``ctc_beam_search_jax``
+    (per-utterance results are identical); only the dispatch is batched,
+    so device fixed costs amortize across the batch for serving.
+    """
+    logits = jnp.asarray(logits)
+    if blank_id is None:
+        blank_id = logits.shape[-1] - 1
+    parents, syms, scores = _beam_scan_batch(
+        logits, jnp.asarray(logit_lengths, jnp.int32), beam_width, blank_id
+    )
+    parents = np.asarray(parents)
+    syms = np.asarray(syms)
+    scores = np.asarray(scores)
+    return [
+        _backtrace(parents[b], syms[b], scores[b])
+        for b in range(logits.shape[0])
+    ]

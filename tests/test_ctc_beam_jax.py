@@ -3,7 +3,9 @@
 import numpy as np
 import pytest
 
-from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_jax
+from srf_tpu.ops.ctc_beam_jax import (
+    ctc_beam_search_batch_jax, ctc_beam_search_jax,
+)
 from srf_tpu.ops.ctc_decode import prefix_beam_search
 
 
@@ -36,3 +38,19 @@ def test_jax_beam_matches_tf_top1():
                 if x >= 0]
     got, _ = ctc_beam_search_jax(logits, 18, beam_width=25, blank_id=6)
     assert got == expected
+
+
+def test_batched_beam_matches_single():
+    """One batched dispatch == per-utterance decodes (ids AND scores),
+    including ragged lengths."""
+    rng = np.random.RandomState(5)
+    batch, maxlen, vocab = 5, 16, 7
+    logits = (rng.randn(batch, maxlen, vocab) * 2).astype(np.float32)
+    lens = np.array([16, 12, 9, 16, 3], np.int32)
+    got = ctc_beam_search_batch_jax(logits, lens, beam_width=20, blank_id=6)
+    for b in range(batch):
+        ids, score = ctc_beam_search_jax(
+            logits[b], int(lens[b]), beam_width=20, blank_id=6
+        )
+        assert got[b][0] == ids, (b, got[b][0], ids)
+        np.testing.assert_allclose(got[b][1], score, rtol=1e-6)

@@ -394,3 +394,174 @@ def test_srf_training_curve_parity():
         jax_losses.append(float(loss))
 
     np.testing.assert_allclose(jax_losses, tf_losses, rtol=3e-3)
+
+
+def _phone_corpus(rng, n_utt, frames, feat_dim, n_classes, span=8):
+    """Learnable synthetic corpus: each utterance is a sequence of phones,
+    each phone a characteristic random direction in feature space + noise.
+    Returns (feats [N,T,F], labels [N,L], tar_len [N])."""
+    dirs = rng.randn(n_classes + 1, feat_dim).astype(np.float32) * 2.0
+    n_phones = frames // span
+    feats = np.zeros((n_utt, frames, feat_dim), np.float32)
+    labels = np.zeros((n_utt, n_phones), np.int32)
+    for u in range(n_utt):
+        seq = rng.randint(1, n_classes + 1, size=n_phones)
+        labels[u] = seq
+        for p, cls in enumerate(seq):
+            feats[u, p * span:(p + 1) * span] = dirs[cls]
+    feats += rng.randn(*feats.shape).astype(np.float32) * 0.3
+    return feats, labels, np.full((n_utt,), n_phones, np.int32)
+
+
+def _greedy_collapse(logits, blank):
+    """Greedy CTC: argmax -> collapse repeats -> drop blanks."""
+    ids = np.argmax(logits, axis=-1)
+    out = []
+    for row in ids:
+        seq, prev = [], -1
+        for t in row:
+            if t != prev and t != blank:
+                seq.append(int(t))
+            prev = t
+        out.append(tuple(seq))
+    return out
+
+
+def test_srf_convergence_parity():
+    """LONG-HORIZON parity: both frameworks train the same tiny SRF from
+    identical (transplanted) weights on the same learnable multi-batch
+    corpus for 30 epochs (120 compiled Adam steps). The loss trajectories
+    must track while gradients are informative, both must reach the same
+    low-loss end state, and the end-state greedy decodes on held-out
+    utterances must agree utterance-for-utterance. This is the strongest
+    pre-real-data accuracy evidence available: it exercises loss, backward,
+    optimizer and data-order effects jointly over time, not at one point
+    (reference train step: tfsr/trainer_sr.py:41-75).
+
+    Per-step float drift compounds chaotically once the loss is tiny, so
+    late steps are compared through the end state (loss level + decodes),
+    not step-by-step values."""
+    import optax
+    from tfsr.model.sequence_router_naive import SequenceRouter as RefSRF
+
+    from srf_tpu.models.srf import SequenceRouter
+
+    n_classes, feat_dim, frames, batch = 6, 12, 24, 4
+    blank = 7  # class_n=8: PAD 0, phones 1..6, blank appended = 7
+    rng = np.random.RandomState(11)
+    feats, labels, tar_len = _phone_corpus(
+        rng, n_utt=16, frames=frames, feat_dim=feat_dim, n_classes=n_classes
+    )
+    train, held = slice(0, 12), slice(12, 16)
+    inp_len = np.full((batch,), frames, np.int32)
+    n_batches = 12 // batch
+    epochs = 30
+
+    config = _ref_config()
+    ref = RefSRF(config, _Log(), class_n=8)
+    ref.call(tf.constant(feats[:batch]),
+             input_lengths=tf.constant(inp_len, tf.float32), training=False)
+
+    model = SequenceRouter(
+        feat_dim=feat_dim, class_n=8, enc_num=3, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4,
+        caps_class_dim=4, caps_iter=1, lpad=1, rpad=1, is_context=True,
+        conv_layer_num=2, conv_filter_num=4, caps_type="naive",
+        inp_dropout=0.0, inn_dropout=0.0, init_name="glorot_uniform",
+    )
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, jnp.asarray(feats[:batch]),
+        jnp.asarray(inp_len), False,
+    )
+    params = tp.transplant_srf_naive(ref, variables["params"], enc_num=3)
+    batch_stats = {"conv_feat": tp.convfe_batch_stats(ref.conv, 2)}
+
+    lr, b1, b2, eps = 8e-3, 0.9, 0.98, 1e-9
+    tf_opt = tf_keras.optimizers.legacy.Adam(
+        learning_rate=lr, beta_1=b1, beta_2=b2, epsilon=eps
+    )
+    inp_len_tf = tf.constant(inp_len, tf.float32)
+
+    @tf.function
+    def tf_step(bf, bl, btl):
+        with tf.GradientTape() as tape:
+            y = ref.call(bf, input_lengths=inp_len_tf, training=False)
+            pe = tf.nn.ctc_loss(
+                bl, y, btl, tf.math.ceil(inp_len_tf / 4),
+                logits_time_major=False, blank_index=blank,
+            )
+            loss = tf.nn.compute_average_loss(pe, global_batch_size=batch)
+        grads = tape.gradient(loss, ref.trainable_variables)
+        tf_opt.apply_gradients(zip(grads, ref.trainable_variables))
+        return loss
+
+    tf_losses = []
+    for _ in range(epochs):
+        for b in range(n_batches):
+            sl = slice(train.start + b * batch, train.start + (b + 1) * batch)
+            tf_losses.append(float(tf_step(
+                tf.constant(feats[sl]), tf.constant(labels[sl]),
+                tf.constant(tar_len[sl]),
+            )))
+
+    tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bf, bl, btl):
+        logits = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            bf, jnp.asarray(inp_len), False,
+        )
+        pe = ctc_loss_from_frames(logits, jnp.asarray(inp_len), 4, bl, btl)
+        return jnp.sum(pe) / batch
+
+    @jax.jit
+    def jax_step(p, o, bf, bl, btl):
+        loss, grads = jax.value_and_grad(loss_fn)(p, bf, bl, btl)
+        updates, o = tx.update(grads, o, p)
+        return jax.tree.map(lambda a, u: a + u, p, updates), o, loss
+
+    jax_losses = []
+    for _ in range(epochs):
+        for b in range(n_batches):
+            sl = slice(train.start + b * batch, train.start + (b + 1) * batch)
+            params, opt_state, loss = jax_step(
+                params, opt_state, jnp.asarray(feats[sl]),
+                jnp.asarray(labels[sl]), jnp.asarray(tar_len[sl]),
+            )
+            jax_losses.append(float(loss))
+
+    # 1. trajectories track step-for-step while gradients are informative
+    np.testing.assert_allclose(jax_losses[:12], tf_losses[:12], rtol=2e-2)
+    # 2. same end state: final-epoch mean losses agree and are low
+    tf_final = float(np.mean(tf_losses[-n_batches:]))
+    jax_final = float(np.mean(jax_losses[-n_batches:]))
+    assert jax_final < 0.8 and tf_final < 0.8, (jax_final, tf_final)
+    assert abs(jax_final - tf_final) <= 0.1 + 0.25 * tf_final, (
+        jax_final, tf_final,
+    )
+
+    # 3. end-state greedy decodes AGREE BETWEEN FRAMEWORKS on held-out
+    # utterances (the tiny model need not generalize perfectly — the claim
+    # is that both frameworks land on the same function)
+    def _decode_both(sl):
+        fl = np.full((sl.stop - sl.start,), frames, np.float32)
+        ref_logits = ref.call(
+            tf.constant(feats[sl]), input_lengths=tf.constant(fl),
+            training=False,
+        ).numpy()
+        our_logits = np.asarray(model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(feats[sl]), jnp.asarray(fl.astype(np.int32)), False,
+        ))
+        return (_greedy_collapse(ref_logits, blank),
+                _greedy_collapse(our_logits, blank))
+
+    ref_dec, our_dec = _decode_both(held)
+    agree = sum(a == b for a, b in zip(ref_dec, our_dec))
+    assert agree >= 3, (ref_dec, our_dec)
+    # 4. both actually learned the task (train-set decodes correct)
+    ref_tr, our_tr = _decode_both(slice(0, 4))
+    truth = [tuple(map(int, row)) for row in labels[:4]]
+    assert sum(a == t for a, t in zip(our_tr, truth)) >= 3, (our_tr, truth)
+    assert sum(a == t for a, t in zip(ref_tr, truth)) >= 3, (ref_tr, truth)

@@ -46,27 +46,20 @@ _native = None
 
 
 def _load_native():
-    """Load the optional C++ accelerator (built by csrc/build.sh)."""
+    """Load the optional C++ accelerator (auto-built from csrc/ on first
+    use — see srf_tpu/utils/native.py)."""
     global _native
     if _native is not None:
         return _native
     import ctypes
 
-    lib_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "csrc",
-        "libsrf_io.so",
-    )
-    if os.path.exists(lib_path):
-        try:
-            lib = ctypes.CDLL(lib_path)
-            lib.srf_crc32c.restype = ctypes.c_uint32
-            lib.srf_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-            _native = lib
-        except OSError:
-            _native = False
-    else:
-        _native = False
+    from srf_tpu.utils.native import load_native_lib
+
+    lib = load_native_lib()
+    if lib:
+        lib.srf_crc32c.restype = ctypes.c_uint32
+        lib.srf_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    _native = lib
     return _native
 
 

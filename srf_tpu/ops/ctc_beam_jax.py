@@ -5,10 +5,14 @@ TPU-native replacement for ``tf.nn.ctc_beam_search_decoder``
 blank/non-blank probability split, expressed as a ``lax.scan`` over time so
 the whole decode runs on-chip.
 
-Prefix identity is a rolling hash (beams hold unique prefixes, so candidate
-merging is hash-equality grouping): at each step the beam×(K+1) candidate
-set (stay + extend) is sorted by hash, segment-wise log-sum-exp merges
-duplicate prefixes, and top-k keeps the beam. Backpointers
+Prefix identity is a rolling hash. Beams hold unique prefixes, which pins
+down the merge structure exactly: an extend candidate (beam i + symbol s)
+can only ever collide with a STAY candidate (p_i+s == p_j), never with
+another extend (p_i+s == p_i'+s' forces p_i == p_i'). So each step matches
+the beam×K extend hashes against the W stay hashes directly (a [W,K,W]
+compare on the VPU), folds matched extends into their stay's non-blank
+mass, and top-k's the survivors — no per-step sort (the bitonic argsort of
+all W*(K+1) candidates used to dominate the scan). Backpointers
 (parent beam, appended symbol) are recorded per step; the best path is
 reconstructed by a reverse walk (host-side, trivial).
 
@@ -25,17 +29,6 @@ import numpy as np
 
 NEG = -1e30
 _HASH_MUL = jnp.uint32(1000003)
-
-
-def _segment_logsumexp(values, seg_id, num_segments):
-    mx = jax.ops.segment_max(values, seg_id, num_segments=num_segments)
-    mx_safe = jnp.where(mx <= NEG, 0.0, mx)
-    sums = jax.ops.segment_sum(
-        jnp.where(values <= NEG, 0.0, jnp.exp(values - mx_safe[seg_id])),
-        seg_id, num_segments=num_segments,
-    )
-    out = jnp.where(sums > 0, jnp.log(jnp.maximum(sums, 1e-37)) + mx_safe, NEG)
-    return out
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
@@ -57,6 +50,15 @@ def _beam_scan(logits, length, beam_width, blank_id):
     syms_all = jnp.arange(K, dtype=jnp.int32)
 
     def step(state, inputs):
+        # Beams hold UNIQUE prefixes, so the only possible merges are
+        # extend->stay: prefix_i + s == prefix_j exactly when extending
+        # beam i with s reproduces beam j's prefix (extend-extend merges
+        # would need two distinct prefixes to extend into the same one with
+        # the same last symbol — impossible when prefixes are unique, since
+        # p_i+s == p_j+s implies p_i == p_j). So instead of sorting all
+        # W*(K+1) candidates by hash (a bitonic sort dominates the step),
+        # match the W*K extend hashes against the W stay hashes directly,
+        # fold matched extends into their stay, and top-k the rest.
         lp, t = inputs
         p_tot = jnp.logaddexp(
             jnp.maximum(state["pb"], NEG), jnp.maximum(state["pnb"], NEG)
@@ -73,11 +75,9 @@ def _beam_scan(logits, length, beam_width, blank_id):
         stay_pb = jnp.where(p_tot <= NEG, NEG, p_tot + lp_blank)
         stay_pnb = jnp.where(state["pnb"] <= NEG, NEG, state["pnb"] + lp_last)
         stay_hash = state["hash"]
-        stay_parent = jnp.arange(W, dtype=jnp.int32)
-        stay_sym = jnp.full((W,), -1, jnp.int32)
 
         # --- extend candidates (beam x K, blank column dead) ---
-        new_hash = (
+        ext_hash = (
             state["hash"][:, None] * _HASH_MUL
             + (syms_all[None, :].astype(jnp.uint32) + jnp.uint32(1))
         )
@@ -85,74 +85,66 @@ def _beam_scan(logits, length, beam_width, blank_id):
         base = jnp.where(is_repeat, state["pb"][:, None], p_tot[:, None])
         ext_pnb = jnp.where(base <= NEG, NEG, base + lp[None, :])
         ext_pnb = jnp.where(syms_all[None, :] == blank_id, NEG, ext_pnb)
-        ext_pb = jnp.full((W, K), NEG)
-        ext_parent = jnp.broadcast_to(
-            jnp.arange(W, dtype=jnp.int32)[:, None], (W, K)
+
+        # --- merge extends into hash-equal stays (at most one match) ---
+        live = ext_pnb > NEG
+        match = (
+            (ext_hash[:, :, None] == stay_hash[None, None, :])
+            & live[:, :, None]
+        )  # [W, K, W_stay]
+        into_stay = jnp.where(match, ext_pnb[:, :, None], NEG)
+        # each stay receives from <= W sources (one symbol each): logsumexp
+        mx = jnp.max(into_stay, axis=(0, 1))  # [W_stay]
+        mx_safe = jnp.where(mx <= NEG, 0.0, mx)
+        add = jnp.sum(
+            jnp.where(match, jnp.exp(into_stay - mx_safe[None, None, :]), 0.0),
+            axis=(0, 1),
         )
-        ext_sym = jnp.broadcast_to(syms_all[None, :], (W, K))
-
-        cand_hash = jnp.concatenate([stay_hash, new_hash.reshape(-1)])
-        cand_pb = jnp.concatenate([stay_pb, ext_pb.reshape(-1)])
-        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-        cand_parent = jnp.concatenate([stay_parent, ext_parent.reshape(-1)])
-        cand_sym = jnp.concatenate([stay_sym, ext_sym.reshape(-1)])
-        N = cand_hash.shape[0]
-
-        order = jnp.argsort(cand_hash)
-        h = cand_hash[order]
-        pb = cand_pb[order]
-        pnb = cand_pnb[order]
-        parent = cand_parent[order]
-        sym = cand_sym[order]
-
-        new_seg = jnp.concatenate(
-            [jnp.ones((1,), bool), h[1:] != h[:-1]]
+        merged_in = jnp.where(add > 0, jnp.log(jnp.maximum(add, 1e-37)) + mx_safe, NEG)
+        stay_pnb = jnp.where(
+            merged_in > NEG, jnp.logaddexp(jnp.maximum(stay_pnb, NEG), merged_in),
+            stay_pnb,
         )
-        seg_id = jnp.cumsum(new_seg) - 1
+        ext_pnb = jnp.where(jnp.any(match, axis=2), NEG, ext_pnb)
 
-        merged_pb = _segment_logsumexp(pb, seg_id, N)
-        merged_pnb = _segment_logsumexp(pnb, seg_id, N)
-        merged_tot = jnp.logaddexp(
-            jnp.maximum(merged_pb, NEG), jnp.maximum(merged_pnb, NEG)
+        # --- top-k over stays + surviving extends ---
+        stay_tot = jnp.logaddexp(
+            jnp.maximum(stay_pb, NEG), jnp.maximum(stay_pnb, NEG)
         )
-        merged_tot = jnp.where(
-            (merged_pb <= NEG) & (merged_pnb <= NEG), NEG, merged_tot
+        stay_tot = jnp.where(
+            (stay_pb <= NEG) & (stay_pnb <= NEG), NEG, stay_tot
         )
+        scores = jnp.concatenate([stay_tot, ext_pnb.reshape(-1)])
+        _, top_idx = jax.lax.top_k(scores, W)
+        is_stay = top_idx < W
+        ext_idx = jnp.maximum(top_idx - W, 0)
+        ext_beam = ext_idx // K
+        ext_sym = (ext_idx % K).astype(jnp.int32)
+        safe_stay = jnp.where(is_stay, top_idx, 0)
 
-        # representative candidate per segment: highest-prob member
-        cand_tot = jnp.logaddexp(jnp.maximum(pb, NEG), jnp.maximum(pnb, NEG))
-        seg_best = jax.ops.segment_max(cand_tot, seg_id, num_segments=N)
-        is_best = cand_tot >= seg_best[seg_id] - 1e-9
-        idx = jnp.arange(N)
-        rep_idx = jax.ops.segment_min(
-            jnp.where(is_best, idx, N), seg_id, num_segments=N
-        )
-        rep_idx = jnp.minimum(rep_idx, N - 1)
-
-        seg_hash = jax.ops.segment_max(h, seg_id, num_segments=N)
-        n_segs = seg_id[-1] + 1
-        valid = jnp.arange(N) < n_segs
-        scores = jnp.where(valid, merged_tot, NEG)
-
-        top_scores, top_seg = jax.lax.top_k(scores, W)
-        sel_rep = rep_idx[top_seg]
         sel = {
-            "hash": seg_hash[top_seg],
-            "pb": merged_pb[top_seg],
-            "pnb": merged_pnb[top_seg],
+            "hash": jnp.where(
+                is_stay, stay_hash[safe_stay], ext_hash.reshape(-1)[ext_idx]
+            ),
+            "pb": jnp.where(is_stay, stay_pb[safe_stay], NEG),
+            "pnb": jnp.where(
+                is_stay, stay_pnb[safe_stay], ext_pnb.reshape(-1)[ext_idx]
+            ),
             "last": jnp.where(
-                sym[sel_rep] >= 0, sym[sel_rep],
-                state["last"][parent[sel_rep]]
+                is_stay, state["last"][safe_stay], ext_sym
             ),
         }
+        parent = jnp.where(is_stay, safe_stay, ext_beam).astype(jnp.int32)
+        sym = jnp.where(is_stay, -1, ext_sym).astype(jnp.int32)
+
         # freeze state past the sequence length
         active = t < length
         out_state = jax.tree.map(
             lambda new, old: jnp.where(active, new, old), sel, state
         )
-        rec_parent = jnp.where(active, parent[sel_rep],
+        rec_parent = jnp.where(active, parent,
                                jnp.arange(W, dtype=jnp.int32))
-        rec_sym = jnp.where(active, sym[sel_rep], -1)
+        rec_sym = jnp.where(active, sym, -1)
         return out_state, (rec_parent, rec_sym)
 
     ts = jnp.arange(maxlen)

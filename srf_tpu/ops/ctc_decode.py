@@ -125,22 +125,19 @@ _native_lib = None
 
 
 def _load_native():
-    """Optional C++ decoder (csrc/ctc_beam.cc via csrc/build.sh)."""
+    """Optional C++ decoder (csrc/ctc_beam.cc, auto-built from csrc/ on
+    first use — see srf_tpu/utils/native.py)."""
     global _native_lib
     if _native_lib is not None:
         return _native_lib
     import ctypes
-    import os
 
-    lib_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "csrc",
-        "libsrf_io.so",
-    )
+    from srf_tpu.utils.native import load_native_lib
+
+    lib = load_native_lib()
     _native_lib = False
-    if os.path.exists(lib_path):
+    if lib:
         try:
-            lib = ctypes.CDLL(lib_path)
             lib.srf_ctc_beam_search.restype = ctypes.c_int64
             lib.srf_ctc_beam_search.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -148,7 +145,7 @@ def _load_native():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ]
             _native_lib = lib
-        except (OSError, AttributeError):
+        except AttributeError:
             pass
     return _native_lib
 

@@ -78,13 +78,13 @@ def test_blockwise_dropout_mean_preserving():
     rng = np.random.RandomState(3)
     q, k, v = _qkv(rng, batch=1, heads=1, seq=16, depth=4)
     base = blockwise_attention(q, k, v, block_k=8)
-    outs = []
-    for i in range(200):
-        outs.append(blockwise_attention(
-            q, k, v, block_k=8, dropout_rate=0.3,
-            dropout_rng=jax.random.fold_in(KEY, i),
-        ))
-    mean = np.mean([np.asarray(o) for o in outs], axis=0)
+    keys = jax.vmap(lambda i: jax.random.fold_in(KEY, i))(jnp.arange(200))
+    draws = jax.jit(jax.vmap(
+        lambda key: blockwise_attention(
+            q, k, v, block_k=8, dropout_rate=0.3, dropout_rng=key
+        )
+    ))(keys)  # one trace for all 200 draws (was 200 separate traces)
+    mean = np.mean(np.asarray(draws), axis=0)
     np.testing.assert_allclose(mean, np.asarray(base), atol=0.15)
 
 

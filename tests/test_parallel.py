@@ -84,12 +84,6 @@ def test_valid_step_on_mesh():
     assert float(metrics["samples"]) == 8.0
 
 
-def test_graft_dryrun_multichip():
-    import __graft_entry__ as g
-
-    g.dryrun_multichip(min(8, len(jax.devices())))
-
-
 def test_graft_dryrun_multichip_driver_env():
     """Round-1 regression: the driver runs dryrun_multichip in a fresh
     process WITHOUT the conftest platform override, where the default

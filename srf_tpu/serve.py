@@ -22,7 +22,7 @@ import numpy as np
 
 from srf_tpu.config import Logger, ParseOption
 from srf_tpu.models.registry import build_model
-from srf_tpu.ops.ctc_decode import beam_search_batch, greedy_decode
+from srf_tpu.ops.ctc_decode import greedy_decode
 from srf_tpu.train.optimizer import get_optimizer
 from srf_tpu.train.state import TrainState
 from srf_tpu.utils.log2utt import ids_to_utt
@@ -97,8 +97,11 @@ class Recognizer:
         )
         dec_len = max(1, length // self.in_len_div)
         if beam_width and beam_width > 1:
-            ids = beam_search_batch(logits, [dec_len], beam_width,
-                                    self.blank_id)[0]
+            from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
+
+            ids = ctc_beam_search_batch_jax(
+                logits, [dec_len], beam_width, self.blank_id
+            )[0][0]
         else:
             out, lens = greedy_decode(
                 jnp.asarray(logits), jnp.asarray([dec_len]), self.blank_id

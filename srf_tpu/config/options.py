@@ -312,10 +312,12 @@ class ParseOption:
         )
         tpu_group.add_argument(
             "--tpu-attention-kernel", default="auto",
-            help="auto | plain | blockwise : STF attention. 'blockwise' is "
-                 "the flash-style O(T*block)-memory path with the closed-"
-                 "form distance penalty; 'auto' switches to it for long "
-                 "sequences (>= 1024 post-subsample frames)",
+            help="auto | plain | blockwise | ring : STF attention. "
+                 "'blockwise' is the flash-style O(T*block)-memory path "
+                 "with the closed-form distance penalty; 'auto' switches "
+                 "to it for long sequences (>= 2048 post-subsample "
+                 "frames); 'ring' shards the time axis over a device mesh "
+                 "(sequence parallelism; programmatic use — needs a mesh)",
         )
         tpu_group.add_argument(
             "--tpu-profile-dir", default=None,

@@ -90,14 +90,19 @@ class MultiHeadAttention(nn.Module):
     semantics, returns the weights for plotting); ``impl="blockwise"``
     runs the flash-style online-softmax path
     (ops/blockwise_attention.py) with the closed-form distance penalty
-    ``penalty_params`` — O(T*block) memory, returns weights=None.
+    ``penalty_params`` — O(T*block) memory, returns weights=None;
+    ``impl="ring"`` shards the time axis over ``mesh[seq_axis]`` and
+    rotates K/V via ppermute (ops/ring_attention.py) — O(T^2/n) per-chip
+    attention memory, no dropout support, returns weights=None.
     """
 
     d_model: int
     num_heads: int
     init_name: Optional[str] = None
-    impl: str = "plain"  # plain | blockwise
+    impl: str = "plain"  # plain | blockwise | ring
     penalty_params: Optional[tuple] = None
+    mesh: Optional[object] = None  # jax Mesh (ring path)
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(self, value, key, query, mask, attention_dropout, att_pen_mask,
@@ -131,6 +136,20 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, mask, penalty=self.penalty_params,
                 dropout_rate=attention_dropout if training else 0.0,
                 dropout_rng=rng,
+            )
+            weights = None
+        elif self.impl == "ring":
+            from srf_tpu.ops.ring_attention import ring_attention
+
+            if training and attention_dropout > 0:
+                raise ValueError(
+                    "ring attention does not support attention dropout; "
+                    "train with --tpu-attention-kernel=blockwise or set "
+                    "attention dropout to 0"
+                )
+            attended = ring_attention(
+                q, k, v, self.mesh, mask=mask, penalty=self.penalty_params,
+                axis_name=self.seq_axis,
             )
             weights = None
         else:
@@ -174,6 +193,8 @@ class EncoderBlock(nn.Module):
     init_name: Optional[str] = None
     attention_impl: str = "plain"
     penalty_params: Optional[tuple] = None
+    mesh: Optional[object] = None
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(self, inputs, mask, att_pen_mask, training: bool):
@@ -182,6 +203,7 @@ class EncoderBlock(nn.Module):
         attn_out, _ = MultiHeadAttention(
             self.d_model, self.num_heads, self.init_name, name="mha",
             impl=self.attention_impl, penalty_params=self.penalty_params,
+            mesh=self.mesh, seq_axis=self.seq_axis,
         )(emb, emb, emb, mask, att_drop, att_pen_mask, training)
         attn_out = nn.Dropout(
             rate=self.residual_dropout, deterministic=not training

@@ -41,12 +41,17 @@ class ConvEncoder(nn.Module):
     # layer (plain fails to compile at T'=2500, batch 8). "plain" always
     # materializes the weights; "blockwise" always streams
     # (ops/blockwise_attention.py).
+    # "ring" shards the time axis over mesh[seq_axis] (sequence
+    # parallelism, ops/ring_attention.py) — requires ``mesh``; no
+    # attention dropout.
     attention_impl: str = "auto"
     auto_blockwise_len: int = 2048
     # closed-form distance-penalty params (zero_width, stripe_width,
     # scale, n_stripes) used by the blockwise path in place of the dense
     # attention_penalty_mask board
     penalty_params: Optional[tuple] = None
+    mesh: Optional[object] = None  # jax Mesh for the ring path
+    seq_axis: str = "seq"
 
     @classmethod
     def from_config(cls, config, vocab_n, **overrides):
@@ -120,9 +125,9 @@ class ConvEncoder(nn.Module):
                     "blockwise" if seq_len >= self.auto_blockwise_len
                     else "plain"
                 )
-        if impl == "blockwise":
-            # the dense penalty board is the plain path's input; blockwise
-            # recomputes the same values per tile from penalty_params
+        if impl in ("blockwise", "ring"):
+            # the dense penalty board is the plain path's input; blockwise/
+            # ring recompute the same values per tile from penalty_params
             attention_penalty_mask = None
         for i in range(self.num_layers):
             embeddings = EncoderBlock(
@@ -131,6 +136,7 @@ class ConvEncoder(nn.Module):
                 self.attention_dropout, self.init_name,
                 name="enc%d" % i, attention_impl=impl,
                 penalty_params=self.penalty_params,
+                mesh=self.mesh, seq_axis=self.seq_axis,
             )(embeddings, mask, attention_penalty_mask, training)
 
         embeddings = nn.LayerNorm(epsilon=1e-6, name="ln")(embeddings)

@@ -317,7 +317,8 @@ class ParseOption:
                  "with the closed-form distance penalty; 'auto' switches "
                  "to it for long sequences (>= 2048 post-subsample "
                  "frames); 'ring' shards the time axis over a device mesh "
-                 "(sequence parallelism; programmatic use — needs a mesh)",
+                 "(sequence parallelism; programmatic use only — the CLI "
+                 "trainers reject it since they build no time-axis mesh)",
         )
         tpu_group.add_argument(
             "--tpu-profile-dir", default=None,

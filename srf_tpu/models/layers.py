@@ -147,6 +147,12 @@ class MultiHeadAttention(nn.Module):
                     "train with --tpu-attention-kernel=blockwise or set "
                     "attention dropout to 0"
                 )
+            if self.mesh is None:
+                raise ValueError(
+                    "attention_impl='ring' requires mesh= (a jax Mesh "
+                    "whose '%s' axis shards the time dimension)"
+                    % self.seq_axis
+                )
             attended = ring_attention(
                 q, k, v, self.mesh, mask=mask, penalty=self.penalty_params,
                 axis_name=self.seq_axis,

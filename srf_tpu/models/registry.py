@@ -61,6 +61,14 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
     elif model_type == "stf":
         in_len_div = stf_in_len_div(config, logger)
         att_kernel = getattr(config, "tpu_attention_kernel", "auto")
+        if att_kernel == "ring":
+            raise ValueError(
+                "--tpu-attention-kernel=ring is programmatic-only: ring "
+                "(sequence-parallel) attention needs a device mesh, which "
+                "the CLI trainers do not construct for the time axis. "
+                "Build ConvEncoder(attention_impl='ring', mesh=...) "
+                "directly (see srf_tpu/ops/ring_attention.py)."
+            )
         if att_kernel not in ("auto", "plain", "blockwise"):
             raise ValueError("unknown --tpu-attention-kernel %r" % att_kernel)
         model = ConvEncoder.from_config(config, dec_out_dim, **overrides)

@@ -33,11 +33,6 @@ jax.config.update("jax_platforms", _platform)
 
 # Persistent compilation cache: the suite is dominated by CPU XLA compiles
 # (~100 jitted programs); repeat runs hit the cache and finish much faster.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("SRF_TEST_CACHE", "/tmp/srf_tpu_test_jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # older jax without the knobs: compile as usual
-    pass
+from srf_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.environ.get("SRF_TEST_CACHE"))

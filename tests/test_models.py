@@ -164,9 +164,10 @@ def test_srf_padded_frames_do_not_affect_valid_logits(batch):
 
 
 @pytest.mark.parametrize(
-    # (1,1,0) dropped: the rpad=0 delay edge is covered by (1,0,0) and each
-    # case costs a full wavefront-grad compile (~70 s on CPU)
-    "caps_iter,lpad,rpad", [(1, 1, 1), (3, 2, 1), (1, 0, 0)]
+    # (1,1,0) is the asymmetric window (left context, zero right pad) —
+    # a distinct wavefront delay geometry; (1,0,0) is the window-1
+    # degenerate case
+    "caps_iter,lpad,rpad", [(1, 1, 1), (3, 2, 1), (1, 1, 0), (1, 0, 0)]
 )
 def test_srf_wavefront_equals_layered(batch, caps_iter, lpad, rpad):
     """The wavefront (whole-stack single-scan) SDR must match the layered

@@ -1,0 +1,108 @@
+"""Dev bench: train-step throughput of the non-SRF canonical recipes.
+
+Covers the model families BENCH_NOTES' SRF/STF campaigns skip:
+- BLSTM-WSJ (reference: egs/script/train_lstm_wsj.sh — L=5 blstm, D=534,
+  CNN-FE on; representative 24,000-frame bucket -> batch 40 x 600),
+- CNN-TIMIT maxpool (train_cnn_timit.sh — L=10, filt 128/256, proj
+  3x1024, stride 1; 7,000-frame bucket -> batch 29 x 241),
+- CNN-WSJ stride (train_cnn_wsj.sh — L=15, filt 200/430, proj 3x2048;
+  24,000-frame bucket -> batch 40 x 600).
+
+Run: python tools_dev/bench_families.py [--family blstm_wsj|cnn_timit|cnn_wsj|all]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def bench(name, model, batch, frames, vocab, in_len_div, iters=10):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from srf_tpu.train.optimizer import noam_schedule
+    from srf_tpu.train.state import TrainState
+    from srf_tpu.train.step import make_apply_fn, make_train_step
+
+    rng = jax.random.PRNGKey(0)
+    host = np.random.RandomState(0)
+    lens = host.randint(int(frames * 0.7), frames + 1, size=batch).astype(np.int32)
+    data = {
+        "feats": jnp.asarray(host.randn(batch, frames, 123), jnp.float32),
+        "labels": jnp.asarray(
+            host.randint(1, vocab, size=(batch, max(2, frames // 8)))
+        ).astype(jnp.int32),
+        "inp_len": jnp.asarray(lens),
+        "tar_len": jnp.asarray(np.maximum(2, lens // 8)),
+    }
+    variables = jax.jit(
+        lambda r, f, l: model.init(r, f, l, False)
+    )({"params": rng, "dropout": rng}, data["feats"][:1], data["inp_len"][:1])
+    tx = optax.adam(noam_schedule(0.5, 1, 1200))
+    state = TrainState.create(
+        variables["params"], tx, variables.get("batch_stats", {})
+    )
+    train_step = make_train_step(
+        make_apply_fn(model), tx, in_len_div, mesh=None, donate=False
+    )
+
+    def sync(m):
+        return float(jax.device_get(m["loss_sum"]))
+
+    for _ in range(3):
+        state, metrics = train_step(state, data, rng)
+    sync(metrics)
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, data, rng)
+    sync(metrics)
+    dt = (time.perf_counter() - start) / iters
+    print("%-12s %7.2f ms/step  (%7.1f utt/s/chip, batch %d x %d)"
+          % (name, dt * 1e3, batch / dt, batch, frames), flush=True)
+
+
+def main():
+    from srf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", default="all")
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    from srf_tpu.models.cnn import CNNEncoder, CNNStrideEncoder
+    from srf_tpu.models.lstm import LstmEncoder
+
+    fams = {}
+    fams["blstm_wsj"] = lambda: bench(
+        "blstm_wsj",
+        LstmEncoder(num_layers=5, d_model=534, vocab_n=32, feat_dim=123,
+                    bidirectional=True, is_cnnfe=True),
+        40, 600, 31, 4, args.iters,
+    )
+    fams["cnn_timit"] = lambda: bench(
+        # canonical TIMIT maxpool recipe uses time-stride 1 -> in_len_div 1
+        "cnn_timit",
+        CNNEncoder(enc_num=10, class_n=63, feat_dim=123, nfilt_inp=128,
+                   nfilt_inn=256, proj_layers=3, proj_dim=1024, stride=1),
+        29, 241, 62, 1, args.iters,
+    )
+    fams["cnn_wsj"] = lambda: bench(
+        "cnn_wsj",
+        CNNStrideEncoder(enc_num=15, class_n=32, feat_dim=123,
+                         nfilt_inp=200, nfilt_inn=430, proj_layers=3,
+                         proj_dim=2048),
+        40, 600, 31, 4, args.iters,
+    )
+    for name, fn in fams.items():
+        if args.family in ("all", name):
+            fn()
+
+
+if __name__ == "__main__":
+    main()

@@ -339,6 +339,35 @@ class ParseOption:
             help="donate train-state buffers to the jitted step",
         )
         tpu_group.add_argument(
+            "--tpu-grad-accum", type=int, default=1,
+            help="gradient-accumulation microbatches per optimizer update "
+                 "(same math as the full batch; ~N-fold lower activation "
+                 "memory; indivisible bucket batches degrade to the "
+                 "largest divisor)",
+        )
+        tpu_group.add_argument(
+            "--tpu-specaug", type=ParseOption.str2bool, default="False",
+            help="SpecAugment time/freq masking during training "
+                 "(Park et al. 2019; no reference analog)",
+        )
+        tpu_group.add_argument(
+            "--tpu-specaug-time-masks", type=int, default=2,
+            help="SpecAugment: number of time masks per utterance",
+        )
+        tpu_group.add_argument(
+            "--tpu-specaug-time-width", type=int, default=40,
+            help="SpecAugment: max time-mask width (frames, capped at the "
+                 "utterance length)",
+        )
+        tpu_group.add_argument(
+            "--tpu-specaug-freq-masks", type=int, default=2,
+            help="SpecAugment: number of frequency masks per utterance",
+        )
+        tpu_group.add_argument(
+            "--tpu-specaug-freq-width", type=int, default=15,
+            help="SpecAugment: max frequency-mask width (feature dims)",
+        )
+        tpu_group.add_argument(
             "--tpu-decode-impl", default="device",
             help="device (jittable beam scan; ~2x the host beam's RTF since"
                  " the sort-free rewrite) | host (C++/python prefix beam)"

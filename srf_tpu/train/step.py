@@ -21,7 +21,7 @@ from srf_tpu.ops.ctc import ctc_loss_from_frames
 from srf_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_apply_fn(model, extra_kwargs_fn=None, bf16=False):
+def make_apply_fn(model, extra_kwargs_fn=None, bf16=False, augment_fn=None):
     """Uniform apply adapter: (variables, batch, training, rng) -> logits[, mut].
 
     ``extra_kwargs_fn(batch)`` supplies model-specific keyword arguments (the
@@ -32,10 +32,17 @@ def make_apply_fn(model, extra_kwargs_fn=None, bf16=False):
     to bfloat16 at the apply boundary (master params stay float32 in the
     optimizer; the cast is differentiable so gradients accumulate in f32),
     logits are cast back to float32 before the CTC loss.
+
+    ``augment_fn(feats, inp_len, rng)`` (ops/specaugment.make_augment_fn)
+    runs in TRAINING mode only, inside the jitted step.
     """
 
     def apply_fn(params, batch_stats, batch, training, rng):
         feats = batch["feats"]
+        if augment_fn is not None and training:
+            feats = augment_fn(
+                feats, batch["inp_len"], jax.random.fold_in(rng, 7919)
+            )
         if bf16:
             params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
@@ -65,25 +72,67 @@ def make_apply_fn(model, extra_kwargs_fn=None, bf16=False):
 
 
 def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True,
-                    state_sharding=None):
+                    state_sharding=None, accum_steps=1):
+    """``accum_steps > 1`` splits the batch into that many microbatches and
+    accumulates gradients before the single optimizer update
+    (--tpu-grad-accum): live activation memory drops ~accum_steps-fold
+    while the update is mathematically the full-batch one (gradients are
+    linear in the per-example losses; loss scaling stays
+    sum(pe)/B_global). BatchNorm running stats advance per microbatch
+    (sequential EMA rather than one big-batch update — standard for
+    accumulation); dropout draws differ per microbatch.
+    """
+
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         global_batch = batch["feats"].shape[0]
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, mb, mb_rng):
             logits, new_stats = apply_fn(
-                params, state.batch_stats, batch, True, step_rng
+                params, batch_stats, mb, True, mb_rng
             )
             pe_loss = ctc_loss_from_frames(
-                logits, batch["inp_len"], in_len_div,
-                batch["labels"], batch["tar_len"],
+                logits, mb["inp_len"], in_len_div,
+                mb["labels"], mb["tar_len"],
             )
             loss = jnp.sum(pe_loss) / global_batch
             return loss, (pe_loss, new_stats)
 
-        (loss, (pe_loss, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if accum_steps <= 1:
+            (loss, (pe_loss, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, step_rng
+            )
+            loss_sum = jnp.sum(pe_loss)
+        else:
+            # bucket batch sizes vary (frame-budget bucketing), so instead
+            # of erroring on indivisible shapes, use the largest divisor of
+            # this bucket's batch <= accum_steps (trace-time choice; each
+            # bucket shape compiles once)
+            k = accum_steps
+            while global_batch % k:
+                k -= 1
+            mb_size = global_batch // k
+
+            def micro(carry, i):
+                grads_acc, loss_acc, stats = carry
+                mb = {
+                    k: jax.lax.dynamic_slice_in_dim(v, i * mb_size, mb_size)
+                    for k, v in batch.items()
+                }
+                (_, (pe, new_stats)), g = grad_fn(
+                    state.params, stats, mb, jax.random.fold_in(step_rng, i)
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, loss_acc + jnp.sum(pe), new_stats), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum, new_stats), _ = jax.lax.scan(
+                micro, (zero_grads, jnp.float32(0.0), state.batch_stats),
+                jnp.arange(k),
+            )
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(
@@ -93,7 +142,7 @@ def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True,
             batch_stats=new_stats,
         )
         metrics = {
-            "loss_sum": jnp.sum(pe_loss),
+            "loss_sum": loss_sum,
             "samples": jnp.asarray(global_batch, jnp.float32),
             "frames": jnp.sum(batch["inp_len"]).astype(jnp.float32),
         }

@@ -157,7 +157,11 @@ def main(argv=None):
     if restored is not None:
         state = tree_to_state(restored)
 
-    apply_fn = make_apply_fn(model, bf16=config.tpu_bf16)
+    from srf_tpu.ops.specaugment import make_augment_fn
+
+    apply_fn = make_apply_fn(
+        model, bf16=config.tpu_bf16, augment_fn=make_augment_fn(config)
+    )
 
     if config.train_max_epoch == 0:
         # decode mode (reference: trainer_sr.py:290-299)
@@ -206,6 +210,7 @@ def main(argv=None):
         train_step = make_train_step(
             apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,
             state_sharding=state_sharding,
+            accum_steps=config.tpu_grad_accum,
         )
     valid_step = make_valid_step(
         apply_fn, in_len_div, mesh=mesh, state_sharding=state_sharding

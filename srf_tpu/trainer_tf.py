@@ -112,8 +112,11 @@ def main(argv=None):
     if restored is not None:
         state = tree_to_state(restored)
 
+    from srf_tpu.ops.specaugment import make_augment_fn
+
     apply_fn = make_apply_fn(model, make_stf_extra_kwargs(att_pen, in_len_div),
-                             bf16=config.tpu_bf16)
+                             bf16=config.tpu_bf16,
+                             augment_fn=make_augment_fn(config))
 
     if config.train_max_epoch == 0:
         test_ptrn = os.path.join(config.path_base, config.path_test_ptrn)
@@ -141,7 +144,7 @@ def main(argv=None):
         logger.info("FSDP: params + optimizer state sharded over 'data'")
     train_step = make_train_step(
         apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,
-        state_sharding=state_sharding,
+        state_sharding=state_sharding, accum_steps=config.tpu_grad_accum,
     )
     valid_step = make_valid_step(
         apply_fn, in_len_div, mesh=mesh, state_sharding=state_sharding

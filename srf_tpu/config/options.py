@@ -346,6 +346,16 @@ class ParseOption:
                  "largest divisor)",
         )
         tpu_group.add_argument(
+            "--tpu-import-src", default=None,
+            help="reference TF checkpoint (prefix or directory) to convert "
+                 "with tools/import_tf_ckpt",
+        )
+        tpu_group.add_argument(
+            "--tpu-import-epoch", type=int, default=0,
+            help="epoch number for the imported checkpoint (0 = parse from "
+                 "the source's ckpt-N name)",
+        )
+        tpu_group.add_argument(
             "--tpu-specaug", type=ParseOption.str2bool, default="False",
             help="SpecAugment time/freq masking during training "
                  "(Park et al. 2019; no reference analog)",

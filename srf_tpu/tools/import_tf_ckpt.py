@@ -1,0 +1,212 @@
+"""CLI: import a REFERENCE TensorFlow checkpoint into a resumable srf_tpu one.
+
+Migration path for users of the reference (sephiroce/srf): models trained
+there (``tf.train.Checkpoint(optimizer=..., model=...)`` —
+tfsr/helper/misc_helper.py:139-163) can be converted to an orbax
+checkpoint this repo's trainers resume from, with the SAME flag set
+describing the architecture:
+
+    python -m srf_tpu.tools.import_tf_ckpt --config=egs/conf/timit.conf \
+        --path-base=... --path-vocab=timit_62.vocab [model flags] \
+        --path-ckpt=checkpoint/imported \
+        --tpu-import-src=/path/to/ref/ckpt-42 [--tpu-import-epoch=42]
+
+``--tpu-import-src`` may be a checkpoint prefix (``.../ckpt-42``) or a
+directory (the latest checkpoint is used). The mapping is name-based on
+the checkpoint's object graph — no reference code is imported. Reads the
+variables with ``tf.train.load_checkpoint`` (TF is only needed for the
+reader, as for any migration tool).
+
+Supported: the SRF family (all three reference flavors — naive,
+lowmemory, einsum — share attribute names; their weight tensors differ
+only by broadcast 1-dims, normalized here). Optimizer slots are NOT
+imported (fine-tuning restarts Adam moments); the step/epoch is taken
+from the checkpoint name's ``ckpt-N`` unless ``--tpu-import-epoch``
+overrides it.
+
+Weight-mapping provenance: the same correspondence the transplant parity
+tests establish against live reference models
+(tests/tf_transplant.py transplant_srf_naive).
+"""
+
+import os
+import re
+import sys
+
+import jax
+import numpy as np
+
+from srf_tpu.config import Logger, ParseOption
+
+_SUF = "/.ATTRIBUTES/VARIABLE_VALUE"
+
+
+def _squeeze_to(arr, ndim):
+    """Drop broadcast 1-dims from the outside until ``ndim`` remains."""
+    arr = np.asarray(arr)
+    while arr.ndim > ndim and arr.shape[0] == 1:
+        arr = arr[0]
+    while arr.ndim > ndim and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    if arr.ndim != ndim:
+        raise ValueError("cannot normalize shape %s to %d dims"
+                         % (arr.shape, ndim))
+    return arr
+
+
+def read_srf_params(reader):
+    """Reference SRF checkpoint reader -> (params, batch_stats) pytrees."""
+    shape_map = reader.get_variable_to_shape_map()
+    names = {
+        k[len("model/"):-len(_SUF)]
+        for k in shape_map
+        if k.startswith("model/") and k.endswith(_SUF)
+    }
+
+    def get(name):
+        if name not in names:
+            raise KeyError(
+                "reference checkpoint is missing 'model/%s' — is this an "
+                "SRF checkpoint? (found: %s...)"
+                % (name, sorted(names)[:5])
+            )
+        return np.asarray(reader.get_tensor("model/" + name + _SUF))
+
+    enc_num = len({n for n in names if re.fullmatch(r"wgt/\d+", n)})
+    cnn_n = len({
+        m.group(1) for n in names
+        if (m := re.fullmatch(r"conv/bn_layers/(\d+)/gamma", n))
+    })
+    if not enc_num or not cnn_n:
+        raise KeyError(
+            "no 'model/wgt/N' / 'model/conv/bn_layers/N' variables found — "
+            "not a reference SRF checkpoint (LSTM/CNN/STF import is not "
+            "supported yet)"
+        )
+
+    conv_feat, conv_stats = {}, {}
+    for layer in range(cnn_n):
+        for branch in range(2):
+            conv_feat["conv%d_%d" % (layer, branch)] = {
+                "kernel": get("conv/conv_layers/%d/%d/kernel" % (branch, layer)),
+                "bias": get("conv/conv_layers/%d/%d/bias" % (branch, layer)),
+            }
+        conv_feat["bn%d" % layer] = {
+            "scale": get("conv/bn_layers/%d/gamma" % layer),
+            "bias": get("conv/bn_layers/%d/beta" % layer),
+        }
+        conv_stats["bn%d" % layer] = {
+            "mean": get("conv/bn_layers/%d/moving_mean" % layer),
+            "var": get("conv/bn_layers/%d/moving_variance" % layer),
+        }
+
+    params = {
+        "conv_feat": conv_feat,
+        "flatten": {"kernel": get("proj_pe/kernel"),
+                    "bias": get("proj_pe/bias")},
+        "ln_input": {"scale": get("ln_i/gamma"), "bias": get("ln_i/beta")},
+        "ln_output": {"scale": get("ln_o/gamma"), "bias": get("ln_o/beta")},
+    }
+    for i in range(2):
+        params["encaps%d" % (i + 1)] = {
+            "kernel": get("ecs/%d/kernel" % i),
+            "bias": get("ecs/%d/bias" % i),
+        }
+    for i in range(enc_num):
+        params["ln_mid%d" % (i + 1)] = {
+            "scale": get("ln_m/%d/gamma" % i),
+            "bias": get("ln_m/%d/beta" % i),
+        }
+        params["W%d" % i] = _squeeze_to(get("wgt/%d" % i), 4)
+        params["b%d" % i] = _squeeze_to(get("bias/%d" % i), 3)
+    return params, {"conv_feat": conv_stats}, enc_num
+
+
+def _resolve_src(src):
+    """Accept a checkpoint prefix or a directory containing checkpoints."""
+    import tensorflow as tf
+
+    if os.path.isdir(src):
+        latest = tf.train.latest_checkpoint(src)
+        if latest is None:
+            raise FileNotFoundError("no TF checkpoint found under %s" % src)
+        return latest
+    return src
+
+
+def main(argv=None):
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+    logger = Logger(name="import_tf_ckpt", level=Logger.DEBUG).logger
+    config = ParseOption(argv or sys.argv, logger).args
+    if not config.tpu_import_src:
+        raise SystemExit("--tpu-import-src is required")
+
+    import tensorflow as tf
+
+    from srf_tpu.models.registry import build_model
+    from srf_tpu.train.optimizer import get_optimizer
+    from srf_tpu.trainer_sr import state_template, state_to_tree
+    from srf_tpu.utils.checkpoint import CheckpointManager
+    from srf_tpu.utils.vocab import get_file_path, load_vocab
+
+    src = _resolve_src(config.tpu_import_src)
+    logger.info("Importing reference checkpoint %s", src)
+    reader = tf.train.load_checkpoint(src)
+    params, batch_stats, ckpt_enc_num = read_srf_params(reader)
+
+    _, _, dec_in_dim, _ = load_vocab(
+        get_file_path(config.path_base, config.path_vocab), logger
+    )
+    tx, _ = get_optimizer(config)
+    rng = jax.random.PRNGKey(config.tpu_seed)
+    model, _ = build_model(config, dec_in_dim + 1, logger)
+    template = state_template(model, config, tx, rng)
+
+    if config.model_encoder_num != ckpt_enc_num:
+        raise SystemExit(
+            "checkpoint has %d capsule layers but --model-encoder-num=%d"
+            % (ckpt_enc_num, config.model_encoder_num)
+        )
+    # validate every leaf against the freshly initialized template
+    flat_t = jax.tree_util.tree_flatten_with_path(template.params)[0]
+    flat_i = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    for path, want in flat_t:
+        name = jax.tree_util.keystr(path)
+        if name not in flat_i:
+            raise SystemExit("imported tree is missing %s" % name)
+        got = flat_i[name]
+        if tuple(got.shape) != tuple(want.shape):
+            raise SystemExit(
+                "shape mismatch at %s: checkpoint %s vs model %s — check "
+                "the model-* flags describe the trained architecture"
+                % (name, got.shape, want.shape)
+            )
+    if len(flat_i) != len(flat_t):
+        raise SystemExit("imported tree has extra leaves")
+
+    epoch = config.tpu_import_epoch
+    if not epoch:
+        m = re.search(r"ckpt-(\d+)$", src)
+        epoch = int(m.group(1)) if m else 1
+    state = template.replace(
+        params=jax.tree.map(lambda t, v: np.asarray(v, t.dtype), template.params, params),
+        batch_stats=jax.tree.map(
+            lambda t, v: np.asarray(v, t.dtype), template.batch_stats, batch_stats
+        ),
+    )
+    manager = CheckpointManager(
+        config.path_ckpt, max_to_keep=config.model_ckpt_max_to_keep
+    )
+    out = manager.save(epoch, state_to_tree(state))
+    manager.close()
+    logger.info(
+        "Imported %d parameter tensors -> %s (epoch %d; optimizer state "
+        "fresh — resume with --path-ckpt-epoch=%d)",
+        len(flat_t), out, epoch, epoch,
+    )
+
+
+if __name__ == "__main__":
+    main()

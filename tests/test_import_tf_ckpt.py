@@ -1,0 +1,156 @@
+"""Reference-TF-checkpoint import tool (srf_tpu/tools/import_tf_ckpt.py).
+
+A tiny reference SRF is trained for nothing but its random init, saved the
+way the reference trainers save (tf.train.Checkpoint(optimizer, model) —
+tfsr/helper/misc_helper.py:139-143), imported through the CLI, and the
+resulting orbax checkpoint must (a) restore through the trainer's own
+template and (b) reproduce the reference model's forward logits.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+tf = pytest.importorskip("tensorflow")
+try:
+    import tf_keras  # noqa: F401
+except ImportError:
+    pytest.skip("legacy keras shim unavailable", allow_module_level=True)
+
+sys.path.insert(0, "/root/reference")
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_tf_parity import _Log, _ref_config
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("flavor", ["naive", "lowmemory"])
+def test_import_roundtrip_forward_parity(tmp_path, flavor):
+    if flavor == "naive":
+        from tfsr.model.sequence_router_naive import SequenceRouter as Ref
+    else:
+        from tfsr.model.sequence_router_lowmemory import SequenceRouter as Ref
+
+    from srf_tpu.models.srf import SequenceRouter
+    from srf_tpu.tools.import_tf_ckpt import main as import_main
+    from srf_tpu.trainer_sr import state_template, state_to_tree, tree_to_state
+    from srf_tpu.train.optimizer import get_optimizer
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    config = _ref_config()
+    ref = Ref(config, _Log(), class_n=8)
+    rng = np.random.RandomState(3)
+    feats = rng.randn(2, 20, 12).astype(np.float32)
+    inp_len = np.array([20, 15], np.float32)
+    ref_out = ref.call(
+        tf.constant(feats), input_lengths=tf.constant(inp_len), training=False
+    ).numpy()
+
+    opt = tf_keras.optimizers.legacy.Adam(1e-3)
+    ckpt = tf.train.Checkpoint(optimizer=opt, model=ref)
+    src_dir = str(tmp_path / "tf")
+    ckpt.save(os.path.join(src_dir, "ckpt"))
+
+    # vocab file: 7 tokens, BOS '@' last (dec_in_dim 7 -> class_n 8)
+    vocab = tmp_path / "tiny.vocab"
+    vocab.write_text("".join(t + "\n" for t in
+                             ["<PADDING_SYMBOL>", "a", "b", "c", "d", "$", "@"]))
+
+    out_ckpt = str(tmp_path / "imported")
+    argv = [
+        "prog",
+        "--path-base=%s" % str(tmp_path),
+        "--path-vocab=tiny.vocab",
+        "--path-ckpt=%s" % out_ckpt,
+        "--feat-dim=12",
+        "--model-type=srf",
+        "--model-caps-type=%s" % flavor,
+        "--model-caps-context=True",
+        "--model-encoder-num=3",
+        "--model-caps-primary-num=6", "--model-caps-primary-dim=4",
+        "--model-caps-convolution-num=5", "--model-caps-convolution-dim=4",
+        "--model-caps-class-dim=4", "--model-caps-iter=1",
+        "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=4",
+        "--model-initializer=glorot_uniform",
+        "--train-inp-dropout=0.0", "--train-inn-dropout=0.0",
+        "--train-opti-type=adam", "--train-lr-param-k=0.001",
+        "--tpu-import-src=%s" % src_dir,
+    ]
+    import_main(argv)
+
+    # restore through the trainer's own template and run our model
+    cfg = types.SimpleNamespace(
+        model_type="srf", model_caps_type=flavor, model_caps_context=True,
+        model_encoder_num=3, model_caps_primary_num=6,
+        model_caps_primary_dim=4, model_caps_convolution_num=5,
+        model_caps_convolution_dim=4, model_caps_class_dim=4,
+        model_caps_iter=1, model_caps_window_lpad=1,
+        model_caps_window_rpad=1, model_conv_layer_num=2,
+        model_conv_filter_num=4, model_conv_stride=2, feat_dim=12,
+        model_initializer="glorot_uniform", train_inp_dropout=0.0,
+        train_inn_dropout=0.0, model_caps_layer_time=None,
+        train_opti_type="adam", train_lr_param_k=0.001,
+        model_dimension=16, train_warmup_n=100, train_adam_beta1=0.9,
+        train_adam_beta2=0.98, train_adam_epsilon=1e-9, train_max_lr=1e9,
+        tpu_seed=1234,
+    )
+    from srf_tpu.models.registry import build_model
+
+    tx, _ = get_optimizer(cfg)
+    model, _ = build_model(cfg, 8, None)
+    template = state_template(model, cfg, tx, jax.random.PRNGKey(1234))
+    manager = CheckpointManager(out_ckpt)
+    step = manager.latest_step()
+    restored = tree_to_state(
+        manager.restore(step, state_to_tree(template))
+    )
+    manager.close()
+
+    ours = model.apply(
+        {"params": restored.params, "batch_stats": restored.batch_stats},
+        jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_out, atol=5e-5, rtol=1e-4
+    )
+
+
+def test_import_rejects_wrong_architecture(tmp_path):
+    from tfsr.model.sequence_router_naive import SequenceRouter as Ref
+
+    from srf_tpu.tools.import_tf_ckpt import main as import_main
+
+    config = _ref_config()
+    ref = Ref(config, _Log(), class_n=8)
+    ref.call(tf.constant(np.zeros((1, 20, 12), np.float32)),
+             input_lengths=tf.constant([20.0]), training=False)
+    ckpt = tf.train.Checkpoint(model=ref)
+    src_dir = str(tmp_path / "tf")
+    ckpt.save(os.path.join(src_dir, "ckpt"))
+    vocab = tmp_path / "tiny.vocab"
+    vocab.write_text("".join(t + "\n" for t in
+                             ["<PADDING_SYMBOL>", "a", "b", "c", "d", "$", "@"]))
+    argv = [
+        "prog", "--path-base=%s" % str(tmp_path), "--path-vocab=tiny.vocab",
+        "--path-ckpt=%s" % str(tmp_path / "out"), "--feat-dim=12",
+        "--model-type=srf", "--model-caps-type=naive",
+        "--model-caps-context=True",
+        "--model-encoder-num=5",  # checkpoint has 3
+        "--model-caps-primary-num=6", "--model-caps-primary-dim=4",
+        "--model-caps-convolution-num=5", "--model-caps-convolution-dim=4",
+        "--model-caps-class-dim=4", "--model-caps-iter=1",
+        "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=4",
+        "--tpu-import-src=%s" % src_dir,
+    ]
+    with pytest.raises(SystemExit, match="capsule layers"):
+        import_main(argv)

@@ -84,21 +84,7 @@ def read_srf_params(reader):
             "supported yet)"
         )
 
-    conv_feat, conv_stats = {}, {}
-    for layer in range(cnn_n):
-        for branch in range(2):
-            conv_feat["conv%d_%d" % (layer, branch)] = {
-                "kernel": get("conv/conv_layers/%d/%d/kernel" % (branch, layer)),
-                "bias": get("conv/conv_layers/%d/%d/bias" % (branch, layer)),
-            }
-        conv_feat["bn%d" % layer] = {
-            "scale": get("conv/bn_layers/%d/gamma" % layer),
-            "bias": get("conv/bn_layers/%d/beta" % layer),
-        }
-        conv_stats["bn%d" % layer] = {
-            "mean": get("conv/bn_layers/%d/moving_mean" % layer),
-            "var": get("conv/bn_layers/%d/moving_variance" % layer),
-        }
+    conv_feat, conv_stats = _conv_frontend(get, names, "conv", cnn_n)
 
     params = {
         "conv_feat": conv_feat,
@@ -120,6 +106,94 @@ def read_srf_params(reader):
         params["W%d" % i] = _squeeze_to(get("wgt/%d" % i), 4)
         params["b%d" % i] = _squeeze_to(get("bias/%d" % i), 3)
     return params, {"conv_feat": conv_stats}, enc_num
+
+
+def _conv_frontend(get, names, attr, cnn_n=2):
+    """Shared CNN front-end (reference CapsulationLayer): params + BN stats."""
+    conv, stats = {}, {}
+    for layer in range(cnn_n):
+        for branch in range(2):
+            conv["conv%d_%d" % (layer, branch)] = {
+                "kernel": get("%s/conv_layers/%d/%d/kernel" % (attr, branch, layer)),
+                "bias": get("%s/conv_layers/%d/%d/bias" % (attr, branch, layer)),
+            }
+        conv["bn%d" % layer] = {
+            "scale": get("%s/bn_layers/%d/gamma" % (attr, layer)),
+            "bias": get("%s/bn_layers/%d/beta" % (attr, layer)),
+        }
+        stats["bn%d" % layer] = {
+            "mean": get("%s/bn_layers/%d/moving_mean" % (attr, layer)),
+            "var": get("%s/bn_layers/%d/moving_variance" % (attr, layer)),
+        }
+    return conv, stats
+
+
+def read_stf_params(reader):
+    """Reference trainer_tf.ConvEncoder checkpoint -> (params, batch_stats).
+
+    Attribute graph: model/enc_layers/N/{mha/dense_layer_for_*, ffn/
+    {ff_relu, ff_proj}, layernorm_cur, layernorm_res}, model/layernorm,
+    model/linear_projection, model/proj, model/conv/... (reference:
+    tfsr/trainer_tf.py:39-118, tfsr/model/block.py:32-72,
+    tfsr/model/attention.py:107-174). The mapping mirrors
+    tests/tf_transplant.py transplant_stf.
+    """
+    shape_map = reader.get_variable_to_shape_map()
+    names = {
+        k[len("model/"):-len(_SUF)]
+        for k in shape_map
+        if k.startswith("model/") and k.endswith(_SUF)
+    }
+
+    def get(name):
+        if name not in names:
+            raise KeyError(
+                "reference checkpoint is missing 'model/%s' — not an STF "
+                "(trainer_tf ConvEncoder) checkpoint?" % name
+            )
+        return np.asarray(reader.get_tensor("model/" + name + _SUF))
+
+    num_layers = len({
+        m.group(1) for n in names
+        if (m := re.match(r"enc_layers/(\d+)/", n))
+    })
+    if not num_layers:
+        raise KeyError("no 'model/enc_layers/N' variables found — not a "
+                       "reference STF checkpoint")
+
+    def _dense(attr):
+        d = {"kernel": get(attr + "/kernel")}
+        if attr + "/bias" in names:
+            d["bias"] = get(attr + "/bias")
+        return d
+
+    def _ln(attr):
+        return {"scale": get(attr + "/gamma"), "bias": get(attr + "/beta")}
+
+    conv, conv_stats = _conv_frontend(get, names, "conv")
+    params = {
+        "conv": conv,
+        "linear_projection": _dense("linear_projection"),
+        "ln": _ln("layernorm"),
+        "proj": _dense("proj"),
+    }
+    for i in range(num_layers):
+        base = "enc_layers/%d" % i
+        params["enc%d" % i] = {
+            "ln_cur": _ln(base + "/layernorm_cur"),
+            "ln_res": _ln(base + "/layernorm_res"),
+            "mha": {
+                "wq": _dense(base + "/mha/dense_layer_for_query"),
+                "wk": _dense(base + "/mha/dense_layer_for_key"),
+                "wv": _dense(base + "/mha/dense_layer_for_value"),
+                "wo": _dense(base + "/mha/dense"),
+            },
+            "ffn": {
+                "ff1": _dense(base + "/ffn/ff_relu"),
+                "ff2": _dense(base + "/ffn/ff_proj"),
+            },
+        }
+    return params, {"conv": conv_stats}, num_layers
 
 
 def _resolve_src(src):
@@ -153,20 +227,43 @@ def main(argv=None):
     src = _resolve_src(config.tpu_import_src)
     logger.info("Importing reference checkpoint %s", src)
     reader = tf.train.load_checkpoint(src)
-    params, batch_stats, ckpt_enc_num = read_srf_params(reader)
+    is_stf = (config.model_type or "srf").lower() == "stf"
+    if is_stf:
+        params, batch_stats, ckpt_enc_num = read_stf_params(reader)
+        kind = "encoder blocks"
+    else:
+        params, batch_stats, ckpt_enc_num = read_srf_params(reader)
+        kind = "capsule layers"
 
     _, _, dec_in_dim, _ = load_vocab(
         get_file_path(config.path_base, config.path_vocab), logger
     )
     tx, _ = get_optimizer(config)
     rng = jax.random.PRNGKey(config.tpu_seed)
-    model, _ = build_model(config, dec_in_dim + 1, logger)
-    template = state_template(model, config, tx, rng)
+    if is_stf:
+        import jax.numpy as jnp
+
+        from srf_tpu.models.stf import ConvEncoder
+        from srf_tpu.train.state import TrainState
+
+        model = ConvEncoder.from_config(config, dec_in_dim + 1)
+        dummy = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
+        dummy_len = jnp.full((1,), 20, jnp.int32)
+        variables = model.init(
+            {"params": rng, "dropout": rng}, dummy, dummy_len, False,
+            mask=None, attention_penalty_mask=None, in_len_div=4,
+        )
+        template = TrainState.create(
+            variables["params"], tx, variables.get("batch_stats", {})
+        )
+    else:
+        model, _ = build_model(config, dec_in_dim + 1, logger)
+        template = state_template(model, config, tx, rng)
 
     if config.model_encoder_num != ckpt_enc_num:
         raise SystemExit(
-            "checkpoint has %d capsule layers but --model-encoder-num=%d"
-            % (ckpt_enc_num, config.model_encoder_num)
+            "checkpoint has %d %s but --model-encoder-num=%d"
+            % (ckpt_enc_num, kind, config.model_encoder_num)
         )
     # validate every leaf against the freshly initialized template
     flat_t = jax.tree_util.tree_flatten_with_path(template.params)[0]

@@ -124,6 +124,91 @@ def test_import_roundtrip_forward_parity(tmp_path, flavor):
     )
 
 
+def test_import_stf_forward_parity(tmp_path):
+    from tfsr.trainer_tf import ConvEncoder as RefEncoder
+
+    from srf_tpu.models.stf import ConvEncoder
+    from srf_tpu.ops.masking import get_padding_bias
+    from srf_tpu.tools.import_tf_ckpt import main as import_main
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    ref = RefEncoder(
+        num_layers=2, d_model=16, num_heads=4, dff=32, feat_dim=12,
+        input_dropout=0.0, inner_dropout=0.0, residual_dropout=0.0,
+        attention_dropout=0.0, nfilt=4, cnn_n=2, init="glorot_uniform",
+        vocab_n=8,
+    )
+    rng = np.random.RandomState(5)
+    feats = rng.randn(2, 20, 12).astype(np.float32)
+    inp_len = np.array([20, 15], np.float32)
+    mask = np.asarray(get_padding_bias(jnp.asarray(inp_len.astype(np.int32)),
+                                       5, 4))
+    ref_out = ref.call(
+        tf.constant(feats), input_lengths=tf.constant(inp_len),
+        is_training=False, mask=tf.constant(mask),
+        attention_penalty_mask=None, in_len_div=4,
+    ).numpy()
+
+    opt = tf_keras.optimizers.legacy.Adam(1e-3)
+    ckpt = tf.train.Checkpoint(optimizer=opt, model=ref)
+    src_dir = str(tmp_path / "tf")
+    ckpt.save(os.path.join(src_dir, "ckpt"))
+
+    vocab = tmp_path / "tiny.vocab"
+    vocab.write_text("".join(t + "\n" for t in
+                             ["<PADDING_SYMBOL>", "a", "b", "c", "d", "$", "@"]))
+    out_ckpt = str(tmp_path / "imported")
+    argv = [
+        "prog",
+        "--path-base=%s" % str(tmp_path), "--path-vocab=tiny.vocab",
+        "--path-ckpt=%s" % out_ckpt, "--feat-dim=12",
+        "--model-type=stf", "--model-encoder-num=2",
+        "--model-dimension=16", "--model-att-head-num=4",
+        "--model-inner-dim=32",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=4",
+        "--model-initializer=glorot_uniform",
+        "--model-ap-encoder=False",
+        "--train-inp-dropout=0.0", "--train-inn-dropout=0.0",
+        "--train-res-dropout=0.0", "--train-att-dropout=0.0",
+        "--train-opti-type=adam", "--train-lr-param-k=0.001",
+        "--tpu-import-src=%s" % src_dir,
+    ]
+    import_main(argv)
+
+    manager = CheckpointManager(out_ckpt)
+    step = manager.latest_step()
+    model = ConvEncoder(
+        num_layers=2, d_model=16, num_heads=4, dff=32, feat_dim=12,
+        vocab_n=8, input_dropout=0.0, inner_dropout=0.0,
+        residual_dropout=0.0, attention_dropout=0.0, nfilt=4, cnn_n=2,
+        init_name="glorot_uniform", attention_impl="plain",
+    )
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, jnp.asarray(feats),
+        jnp.asarray(inp_len.astype(np.int32)), False,
+        jnp.asarray(mask), None, 4,
+    )
+    import optax
+
+    from srf_tpu.train.state import TrainState
+    from srf_tpu.trainer_sr import state_to_tree
+
+    template = TrainState.create(
+        variables["params"], optax.adam(1e-3),
+        variables.get("batch_stats", {}),
+    )
+    restored = manager.restore(step, state_to_tree(template))
+    manager.close()
+    ours = model.apply(
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+        jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
+        jnp.asarray(mask), None, 4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_out, atol=5e-5, rtol=1e-4
+    )
+
+
 def test_import_rejects_wrong_architecture(tmp_path):
     from tfsr.model.sequence_router_naive import SequenceRouter as Ref
 

@@ -17,9 +17,11 @@ the checkpoint's object graph — no reference code is imported. Reads the
 variables with ``tf.train.load_checkpoint`` (TF is only needed for the
 reader, as for any migration tool).
 
-Supported: the SRF family (all three reference flavors — naive,
-lowmemory, einsum — share attribute names; their weight tensors differ
-only by broadcast 1-dims, normalized here). Optimizer slots are NOT
+Supported: ALL FOUR reference families — SRF (the three flavors naive /
+lowmemory / einsum share attribute names; their weight tensors differ
+only by broadcast 1-dims, normalized here), STF (trainer_tf ConvEncoder),
+(B)LSTM (with or without the CNN front-end; Keras fused-LSTM kernels are
+split per gate for flax), and both CNN variants. Optimizer slots are NOT
 imported (fine-tuning restarts Adam moments); the step/epoch is taken
 from the checkpoint name's ``ckpt-N`` unless ``--tpu-import-epoch``
 overrides it.
@@ -196,6 +198,123 @@ def read_stf_params(reader):
     return params, {"conv": conv_stats}, num_layers
 
 
+def read_lstm_params(reader, bidirectional, units):
+    """Reference LstmEncoder checkpoint -> (params, batch_stats).
+
+    Keras fused-LSTM kernels are [in, 4*units] with gate order [i|f|c|o];
+    flax OptimizedLSTMCell wants per-gate split input/hidden kernels with
+    bias on the hidden ones (mapping mirrors tests/tf_transplant.py
+    keras_lstm). Reference attrs: tfsr/model/lstm_encoder.py:31-103.
+    """
+    shape_map = reader.get_variable_to_shape_map()
+    names = {
+        k[len("model/"):-len(_SUF)]
+        for k in shape_map
+        if k.startswith("model/") and k.endswith(_SUF)
+    }
+
+    def get(name):
+        if name not in names:
+            raise KeyError("reference checkpoint is missing 'model/%s' — "
+                           "not an LSTM checkpoint?" % name)
+        return np.asarray(reader.get_tensor("model/" + name + _SUF))
+
+    num_layers = len({
+        m.group(1) for n in names
+        if (m := re.match(r"enc_layers/(\d+)/", n))
+    })
+    if not num_layers:
+        raise KeyError("no 'model/enc_layers/N' variables found")
+
+    def _cell(base):
+        kernel = get(base + "/kernel")
+        recurrent = get(base + "/recurrent_kernel")
+        bias = get(base + "/bias")
+        out = {}
+        for idx, gate in enumerate(["i", "f", "g", "o"]):
+            sl = slice(idx * units, (idx + 1) * units)
+            out["i" + gate] = {"kernel": kernel[:, sl]}
+            out["h" + gate] = {"kernel": recurrent[:, sl],
+                               "bias": bias[sl]}
+        return out
+
+    params, stats = {}, {}
+    for i in range(num_layers):
+        base = "enc_layers/%d" % i
+        if bidirectional:
+            params["lstm%d_f" % i] = _cell(base + "/forward_layer/cell")
+            params["lstm%d_b" % i] = _cell(base + "/backward_layer/cell")
+        else:
+            params["lstm%d_f" % i] = _cell(base + "/cell")
+        params["ln%d" % i] = {"scale": get("layernorms/%d/gamma" % i),
+                              "bias": get("layernorms/%d/beta" % i)}
+    params["proj"] = {"kernel": get("proj/kernel")}
+    if "proj/bias" in names:
+        params["proj"]["bias"] = get("proj/bias")
+    params["ln_out"] = {"scale": get("ln/gamma"), "bias": get("ln/beta")}
+    if any(n.startswith("conv/") for n in names):
+        params["conv_feat"], stats = _conv_frontend(get, names, "conv")
+        stats = {"conv_feat": stats}
+    return params, stats, num_layers
+
+
+def read_cnn_params(reader):
+    """Reference CNNEncoder / CNNStrideEncoder checkpoint ->
+    (params, batch_stats). Shared attrs: enc_layers/N (Conv2D),
+    layernorms/N, proj/N/layer, projv/layer, layernorms_proj/N,
+    layernorms_projv; the stride variant adds the cnn_fe front-end
+    (reference: tfsr/model/cnn_stride_encoder.py:36-146,
+    cnn_encoder.py:34-182)."""
+    shape_map = reader.get_variable_to_shape_map()
+    names = {
+        k[len("model/"):-len(_SUF)]
+        for k in shape_map
+        if k.startswith("model/") and k.endswith(_SUF)
+    }
+
+    def get(name):
+        if name not in names:
+            raise KeyError("reference checkpoint is missing 'model/%s' — "
+                           "not a CNN checkpoint?" % name)
+        return np.asarray(reader.get_tensor("model/" + name + _SUF))
+
+    enc_num = len({
+        m.group(1) for n in names
+        if (m := re.match(r"enc_layers/(\d+)/kernel", n))
+    })
+    proj_layers = 1 + len({
+        m.group(1) for n in names
+        if (m := re.match(r"proj/(\d+)/layer/kernel", n))
+    })
+    if not enc_num:
+        raise KeyError("no 'model/enc_layers/N' variables found")
+
+    def _dense(attr):
+        d = {"kernel": get(attr + "/kernel")}
+        if attr + "/bias" in names:
+            d["bias"] = get(attr + "/bias")
+        return d
+
+    def _ln(attr):
+        return {"scale": get(attr + "/gamma"), "bias": get(attr + "/beta")}
+
+    body = {}
+    for i in range(enc_num):
+        body["conv%d" % i] = _dense("enc_layers/%d" % i)
+        body["ln%d" % i] = _ln("layernorms/%d" % i)
+    for i in range(proj_layers - 1):
+        body["proj%d" % i] = _dense("proj/%d/layer" % i)
+        body["proj_ln%d" % i] = _ln("layernorms_proj/%d" % i)
+    body["projv"] = _dense("projv/layer")
+    body["projv_ln"] = _ln("layernorms_projv")
+
+    params, stats = {"body": body}, {}
+    if any(n.startswith("cnn_fe/") for n in names):
+        params["conv_feat"], fe_stats = _conv_frontend(get, names, "cnn_fe")
+        stats = {"conv_feat": fe_stats}
+    return params, stats, enc_num
+
+
 def _resolve_src(src):
     """Accept a checkpoint prefix or a directory containing checkpoints."""
     import tensorflow as tf
@@ -227,10 +346,20 @@ def main(argv=None):
     src = _resolve_src(config.tpu_import_src)
     logger.info("Importing reference checkpoint %s", src)
     reader = tf.train.load_checkpoint(src)
-    is_stf = (config.model_type or "srf").lower() == "stf"
+    model_type = (config.model_type or "srf").lower()
+    is_stf = model_type == "stf"
     if is_stf:
         params, batch_stats, ckpt_enc_num = read_stf_params(reader)
         kind = "encoder blocks"
+    elif model_type in ("lstm", "blstm"):
+        params, batch_stats, ckpt_enc_num = read_lstm_params(
+            reader, bidirectional=(model_type == "blstm"),
+            units=config.model_dimension,
+        )
+        kind = "LSTM layers"
+    elif model_type == "cnn":
+        params, batch_stats, ckpt_enc_num = read_cnn_params(reader)
+        kind = "conv layers"
     else:
         params, batch_stats, ckpt_enc_num = read_srf_params(reader)
         kind = "capsule layers"

@@ -209,6 +209,148 @@ def test_import_stf_forward_parity(tmp_path):
     )
 
 
+def _write_vocab(tmp_path):
+    vocab = tmp_path / "tiny.vocab"
+    vocab.write_text("".join(t + "\n" for t in
+                             ["<PADDING_SYMBOL>", "a", "b", "c", "d", "$", "@"]))
+
+
+def _restore_via_registry(out_ckpt, cfg_kwargs):
+    import types
+
+    import jax
+
+    from srf_tpu.models.registry import build_model
+    from srf_tpu.train.optimizer import get_optimizer
+    from srf_tpu.trainer_sr import state_template, state_to_tree, tree_to_state
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    base = dict(
+        train_opti_type="adam", train_lr_param_k=0.001, tpu_seed=1234,
+        train_warmup_n=100, train_adam_beta1=0.9, train_adam_beta2=0.98,
+        train_adam_epsilon=1e-9, train_max_lr=1e9, model_dimension=16,
+        model_caps_layer_time=None,
+    )
+    base.update(cfg_kwargs)
+    cfg = types.SimpleNamespace(**base)
+    tx, _ = get_optimizer(cfg)
+    model, _ = build_model(cfg, 8, None)
+    template = state_template(model, cfg, tx, jax.random.PRNGKey(1))
+    manager = CheckpointManager(out_ckpt)
+    restored = tree_to_state(
+        manager.restore(manager.latest_step(), state_to_tree(template))
+    )
+    manager.close()
+    return model, restored
+
+
+def test_import_blstm_cnnfe_forward_parity(tmp_path):
+    from tfsr.model.lstm_encoder import LstmEncoder as RefLstm
+
+    from srf_tpu.tools.import_tf_ckpt import main as import_main
+
+    units = 8
+    cfg = types.SimpleNamespace(
+        model_encoder_num=2, model_dimension=units, train_inp_dropout=0.0,
+        train_inn_dropout=0.0, model_initializer="glorot_uniform",
+        model_type="blstm", model_conv_stride=2, model_conv_layer_num=2,
+        model_conv_filter_num=4, feat_dim=12, model_lstm_is_cnnfe=True,
+    )
+    ref = RefLstm(cfg, vocab_n=8)
+    rng = np.random.RandomState(9)
+    feats = rng.randn(2, 20, 12).astype(np.float32)
+    inp_len = np.array([20, 15], np.float32)
+    ref_out = ref.call(
+        tf.constant(feats), input_lengths=tf.constant(inp_len), training=False
+    ).numpy()
+    ckpt = tf.train.Checkpoint(model=ref)
+    src_dir = str(tmp_path / "tf")
+    ckpt.save(os.path.join(src_dir, "ckpt"))
+    _write_vocab(tmp_path)
+
+    out_ckpt = str(tmp_path / "imported")
+    import_main([
+        "prog", "--path-base=%s" % str(tmp_path), "--path-vocab=tiny.vocab",
+        "--path-ckpt=%s" % out_ckpt, "--feat-dim=12",
+        "--model-type=blstm", "--model-encoder-num=2",
+        "--model-dimension=%d" % units, "--model-lstm-is-cnnfe=True",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=4",
+        "--model-initializer=glorot_uniform",
+        "--train-inp-dropout=0.0", "--train-inn-dropout=0.0",
+        "--train-opti-type=adam", "--train-lr-param-k=0.001",
+        "--tpu-import-src=%s" % src_dir,
+    ])
+    model, restored = _restore_via_registry(out_ckpt, dict(
+        model_type="blstm", model_encoder_num=2, model_dimension=units,
+        model_lstm_is_cnnfe=True, model_lstm_merge="ave",
+        model_conv_stride=2, model_conv_layer_num=2, model_conv_filter_num=4,
+        feat_dim=12, model_initializer="glorot_uniform",
+        train_inp_dropout=0.0, train_inn_dropout=0.0,
+    ))
+    ours = model.apply(
+        {"params": restored.params, "batch_stats": restored.batch_stats},
+        jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-5,
+                               rtol=1e-4)
+
+
+def test_import_cnn_stride_forward_parity(tmp_path):
+    from tfsr.model.cnn_stride_encoder import CNNStrideEncoder as RefCNN
+
+    from srf_tpu.tools.import_tf_ckpt import main as import_main
+
+    cfg = types.SimpleNamespace(
+        model_initializer="glorot_uniform", model_encoder_num=6,
+        model_conv_inp_nfilt=8, model_conv_inn_nfilt=12,
+        model_conv_proj_num=3, model_conv_proj_dim=24,
+        model_conv_stride=2, model_conv_layer_num=2,
+        model_conv_filter_num=4, feat_dim=12,
+        train_inn_dropout=0.0, train_inp_dropout=0.0,
+    )
+    ref = RefCNN(cfg, _Log(), class_n=8)
+    rng = np.random.RandomState(11)
+    feats = rng.randn(2, 32, 12).astype(np.float32)
+    inp_len = np.array([32, 25], np.float32)
+    ref_out = ref.call(
+        tf.constant(feats), input_lengths=tf.constant(inp_len), training=False
+    ).numpy()
+    ckpt = tf.train.Checkpoint(model=ref)
+    src_dir = str(tmp_path / "tf")
+    ckpt.save(os.path.join(src_dir, "ckpt"))
+    _write_vocab(tmp_path)
+
+    out_ckpt = str(tmp_path / "imported")
+    import_main([
+        "prog", "--path-base=%s" % str(tmp_path), "--path-vocab=tiny.vocab",
+        "--path-ckpt=%s" % out_ckpt, "--feat-dim=12",
+        "--model-type=cnn", "--model-conv-is-mp=False",
+        "--model-encoder-num=6",
+        "--model-conv-inp-nfilt=8", "--model-conv-inn-nfilt=12",
+        "--model-conv-proj-num=3", "--model-conv-proj-dim=24",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=4",
+        "--model-initializer=glorot_uniform",
+        "--train-inp-dropout=0.0", "--train-inn-dropout=0.0",
+        "--train-opti-type=adam", "--train-lr-param-k=0.001",
+        "--tpu-import-src=%s" % src_dir,
+    ])
+    model, restored = _restore_via_registry(out_ckpt, dict(
+        model_type="cnn", model_conv_is_mp=False, model_encoder_num=6,
+        model_conv_inp_nfilt=8, model_conv_inn_nfilt=12,
+        model_conv_proj_num=3, model_conv_proj_dim=24,
+        model_conv_stride=2, model_conv_layer_num=2,
+        model_conv_filter_num=4, feat_dim=12,
+        model_initializer="glorot_uniform",
+        train_inp_dropout=0.0, train_inn_dropout=0.0,
+    ))
+    ours = model.apply(
+        {"params": restored.params, "batch_stats": restored.batch_stats},
+        jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-5,
+                               rtol=1e-4)
+
+
 def test_import_rejects_wrong_architecture(tmp_path):
     from tfsr.model.sequence_router_naive import SequenceRouter as Ref
 

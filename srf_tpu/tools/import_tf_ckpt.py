@@ -56,8 +56,9 @@ def _squeeze_to(arr, ndim):
     return arr
 
 
-def read_srf_params(reader):
-    """Reference SRF checkpoint reader -> (params, batch_stats) pytrees."""
+def _reader(reader, hint):
+    """Returns (names, get, _dense, _ln) over the checkpoint's model/ keys;
+    ``get`` raises a KeyError naming the missing variable and ``hint``."""
     shape_map = reader.get_variable_to_shape_map()
     names = {
         k[len("model/"):-len(_SUF)]
@@ -68,11 +69,27 @@ def read_srf_params(reader):
     def get(name):
         if name not in names:
             raise KeyError(
-                "reference checkpoint is missing 'model/%s' — is this an "
-                "SRF checkpoint? (found: %s...)"
-                % (name, sorted(names)[:5])
+                "reference checkpoint is missing 'model/%s' — not a %s "
+                "checkpoint? (check --model-type; found: %s...)"
+                % (name, hint, sorted(names)[:5])
             )
         return np.asarray(reader.get_tensor("model/" + name + _SUF))
+
+    def _dense(attr):
+        d = {"kernel": get(attr + "/kernel")}
+        if attr + "/bias" in names:
+            d["bias"] = get(attr + "/bias")
+        return d
+
+    def _ln(attr):
+        return {"scale": get(attr + "/gamma"), "bias": get(attr + "/beta")}
+
+    return names, get, _dense, _ln
+
+
+def read_srf_params(reader):
+    """Reference SRF checkpoint reader -> (params, batch_stats) pytrees."""
+    names, get, _dense, _ln = _reader(reader, "reference SRF")
 
     enc_num = len({n for n in names if re.fullmatch(r"wgt/\d+", n)})
     cnn_n = len({
@@ -82,29 +99,22 @@ def read_srf_params(reader):
     if not enc_num or not cnn_n:
         raise KeyError(
             "no 'model/wgt/N' / 'model/conv/bn_layers/N' variables found — "
-            "not a reference SRF checkpoint (LSTM/CNN/STF import is not "
-            "supported yet)"
+            "not a reference SRF checkpoint (for the other families pass "
+            "the matching --model-type: stf, lstm/blstm, or cnn)"
         )
 
     conv_feat, conv_stats = _conv_frontend(get, names, "conv", cnn_n)
 
     params = {
         "conv_feat": conv_feat,
-        "flatten": {"kernel": get("proj_pe/kernel"),
-                    "bias": get("proj_pe/bias")},
-        "ln_input": {"scale": get("ln_i/gamma"), "bias": get("ln_i/beta")},
-        "ln_output": {"scale": get("ln_o/gamma"), "bias": get("ln_o/beta")},
+        "flatten": _dense("proj_pe"),
+        "ln_input": _ln("ln_i"),
+        "ln_output": _ln("ln_o"),
     }
     for i in range(2):
-        params["encaps%d" % (i + 1)] = {
-            "kernel": get("ecs/%d/kernel" % i),
-            "bias": get("ecs/%d/bias" % i),
-        }
+        params["encaps%d" % (i + 1)] = _dense("ecs/%d" % i)
     for i in range(enc_num):
-        params["ln_mid%d" % (i + 1)] = {
-            "scale": get("ln_m/%d/gamma" % i),
-            "bias": get("ln_m/%d/beta" % i),
-        }
+        params["ln_mid%d" % (i + 1)] = _ln("ln_m/%d" % i)
         params["W%d" % i] = _squeeze_to(get("wgt/%d" % i), 4)
         params["b%d" % i] = _squeeze_to(get("bias/%d" % i), 3)
     return params, {"conv_feat": conv_stats}, enc_num
@@ -140,21 +150,8 @@ def read_stf_params(reader):
     tfsr/model/attention.py:107-174). The mapping mirrors
     tests/tf_transplant.py transplant_stf.
     """
-    shape_map = reader.get_variable_to_shape_map()
-    names = {
-        k[len("model/"):-len(_SUF)]
-        for k in shape_map
-        if k.startswith("model/") and k.endswith(_SUF)
-    }
-
-    def get(name):
-        if name not in names:
-            raise KeyError(
-                "reference checkpoint is missing 'model/%s' — not an STF "
-                "(trainer_tf ConvEncoder) checkpoint?" % name
-            )
-        return np.asarray(reader.get_tensor("model/" + name + _SUF))
-
+    names, get, _dense, _ln = _reader(reader, "reference STF (trainer_tf "
+                                              "ConvEncoder)")
     num_layers = len({
         m.group(1) for n in names
         if (m := re.match(r"enc_layers/(\d+)/", n))
@@ -162,15 +159,6 @@ def read_stf_params(reader):
     if not num_layers:
         raise KeyError("no 'model/enc_layers/N' variables found — not a "
                        "reference STF checkpoint")
-
-    def _dense(attr):
-        d = {"kernel": get(attr + "/kernel")}
-        if attr + "/bias" in names:
-            d["bias"] = get(attr + "/bias")
-        return d
-
-    def _ln(attr):
-        return {"scale": get(attr + "/gamma"), "bias": get(attr + "/beta")}
 
     conv, conv_stats = _conv_frontend(get, names, "conv")
     params = {
@@ -206,19 +194,7 @@ def read_lstm_params(reader, bidirectional, units):
     bias on the hidden ones (mapping mirrors tests/tf_transplant.py
     keras_lstm). Reference attrs: tfsr/model/lstm_encoder.py:31-103.
     """
-    shape_map = reader.get_variable_to_shape_map()
-    names = {
-        k[len("model/"):-len(_SUF)]
-        for k in shape_map
-        if k.startswith("model/") and k.endswith(_SUF)
-    }
-
-    def get(name):
-        if name not in names:
-            raise KeyError("reference checkpoint is missing 'model/%s' — "
-                           "not an LSTM checkpoint?" % name)
-        return np.asarray(reader.get_tensor("model/" + name + _SUF))
-
+    names, get, _dense, _ln = _reader(reader, "reference (B)LSTM")
     num_layers = len({
         m.group(1) for n in names
         if (m := re.match(r"enc_layers/(\d+)/", n))
@@ -265,19 +241,7 @@ def read_cnn_params(reader):
     layernorms_projv; the stride variant adds the cnn_fe front-end
     (reference: tfsr/model/cnn_stride_encoder.py:36-146,
     cnn_encoder.py:34-182)."""
-    shape_map = reader.get_variable_to_shape_map()
-    names = {
-        k[len("model/"):-len(_SUF)]
-        for k in shape_map
-        if k.startswith("model/") and k.endswith(_SUF)
-    }
-
-    def get(name):
-        if name not in names:
-            raise KeyError("reference checkpoint is missing 'model/%s' — "
-                           "not a CNN checkpoint?" % name)
-        return np.asarray(reader.get_tensor("model/" + name + _SUF))
-
+    names, get, _dense, _ln = _reader(reader, "reference CNN")
     enc_num = len({
         m.group(1) for n in names
         if (m := re.match(r"enc_layers/(\d+)/kernel", n))
@@ -288,15 +252,6 @@ def read_cnn_params(reader):
     })
     if not enc_num:
         raise KeyError("no 'model/enc_layers/N' variables found")
-
-    def _dense(attr):
-        d = {"kernel": get(attr + "/kernel")}
-        if attr + "/bias" in names:
-            d["bias"] = get(attr + "/bias")
-        return d
-
-    def _ln(attr):
-        return {"scale": get(attr + "/gamma"), "bias": get(attr + "/beta")}
 
     body = {}
     for i in range(enc_num):
@@ -347,8 +302,7 @@ def main(argv=None):
     logger.info("Importing reference checkpoint %s", src)
     reader = tf.train.load_checkpoint(src)
     model_type = (config.model_type or "srf").lower()
-    is_stf = model_type == "stf"
-    if is_stf:
+    if model_type == "stf":
         params, batch_stats, ckpt_enc_num = read_stf_params(reader)
         kind = "encoder blocks"
     elif model_type in ("lstm", "blstm"):
@@ -357,7 +311,8 @@ def main(argv=None):
             units=config.model_dimension,
         )
         kind = "LSTM layers"
-    elif model_type == "cnn":
+    elif model_type in ("cnn", "conv", "convolution"):
+        # same aliases the trainers accept (models/registry.py)
         params, batch_stats, ckpt_enc_num = read_cnn_params(reader)
         kind = "conv layers"
     else:
@@ -369,25 +324,10 @@ def main(argv=None):
     )
     tx, _ = get_optimizer(config)
     rng = jax.random.PRNGKey(config.tpu_seed)
-    if is_stf:
-        import jax.numpy as jnp
-
-        from srf_tpu.models.stf import ConvEncoder
-        from srf_tpu.train.state import TrainState
-
-        model = ConvEncoder.from_config(config, dec_in_dim + 1)
-        dummy = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
-        dummy_len = jnp.full((1,), 20, jnp.int32)
-        variables = model.init(
-            {"params": rng, "dropout": rng}, dummy, dummy_len, False,
-            mask=None, attention_penalty_mask=None, in_len_div=4,
-        )
-        template = TrainState.create(
-            variables["params"], tx, variables.get("batch_stats", {})
-        )
-    else:
-        model, _ = build_model(config, dec_in_dim + 1, logger)
-        template = state_template(model, config, tx, rng)
+    # build_model handles every family incl. stf; state_template's dummy
+    # init works for the STF encoder too (mask/penalty kwargs default)
+    model, _ = build_model(config, dec_in_dim + 1, logger)
+    template = state_template(model, config, tx, rng)
 
     if config.model_encoder_num != ckpt_enc_num:
         raise SystemExit(

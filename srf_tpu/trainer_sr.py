@@ -206,6 +206,12 @@ def main(argv=None):
             config.decoding_beam_width, config.tpu_mwer_nbest,
             config.tpu_mwer_lam_ctc,
         )
+        if config.tpu_grad_accum > 1:
+            logger.warning(
+                "--tpu-grad-accum=%d is ignored in MWER mode (the MWER "
+                "step scores the whole batch's n-best in one update)",
+                config.tpu_grad_accum,
+            )
     else:
         train_step = make_train_step(
             apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,

@@ -32,10 +32,12 @@ from tests.test_tf_parity import _Log, _ref_config
 KEY = jax.random.PRNGKey(0)
 
 
-@pytest.mark.parametrize("flavor", ["naive", "lowmemory"])
+@pytest.mark.parametrize("flavor", ["naive", "lowmemory", "einsum"])
 def test_import_roundtrip_forward_parity(tmp_path, flavor):
     if flavor == "naive":
         from tfsr.model.sequence_router_naive import SequenceRouter as Ref
+    elif flavor == "einsum":
+        from tfsr.model.sequence_router_einsum import SequenceRouter as Ref
     else:
         from tfsr.model.sequence_router_lowmemory import SequenceRouter as Ref
 
@@ -50,9 +52,10 @@ def test_import_roundtrip_forward_parity(tmp_path, flavor):
     rng = np.random.RandomState(3)
     feats = rng.randn(2, 20, 12).astype(np.float32)
     inp_len = np.array([20, 15], np.float32)
-    ref_out = ref.call(
-        tf.constant(feats), input_lengths=tf.constant(inp_len), training=False
-    ).numpy()
+    # the einsum variant's TensorArray requires graph mode in this TF
+    ref_out = tf.function(
+        lambda f, l: ref.call(f, input_lengths=l, training=False)
+    )(tf.constant(feats), tf.constant(inp_len)).numpy()
 
     opt = tf_keras.optimizers.legacy.Adam(1e-3)
     ckpt = tf.train.Checkpoint(optimizer=opt, model=ref)
@@ -293,6 +296,115 @@ def test_import_blstm_cnnfe_forward_parity(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-5,
                                rtol=1e-4)
+
+
+def test_import_uni_lstm_forward_parity(tmp_path):
+    """Unidirectional LSTM without front-end (enc_layers/N/cell path)."""
+    from tfsr.model.lstm_encoder import LstmEncoder as RefLstm
+
+    from srf_tpu.tools.import_tf_ckpt import main as import_main
+
+    units = 8
+    cfg = types.SimpleNamespace(
+        model_encoder_num=2, model_dimension=units, train_inp_dropout=0.0,
+        train_inn_dropout=0.0, model_initializer="glorot_uniform",
+        model_type="lstm", model_conv_stride=2, model_conv_layer_num=2,
+        model_conv_filter_num=4, feat_dim=12, model_lstm_is_cnnfe=False,
+    )
+    ref = RefLstm(cfg, vocab_n=8)
+    rng = np.random.RandomState(13)
+    feats = rng.randn(2, 14, 12).astype(np.float32)
+    inp_len = np.array([14, 10], np.float32)
+    ref_out = ref.call(
+        tf.constant(feats), input_lengths=tf.constant(inp_len), training=False
+    ).numpy()
+    ckpt = tf.train.Checkpoint(model=ref)
+    src_dir = str(tmp_path / "tf")
+    ckpt.save(os.path.join(src_dir, "ckpt"))
+    _write_vocab(tmp_path)
+    out_ckpt = str(tmp_path / "imported")
+    import_main([
+        "prog", "--path-base=%s" % str(tmp_path), "--path-vocab=tiny.vocab",
+        "--path-ckpt=%s" % out_ckpt, "--feat-dim=12",
+        "--model-type=lstm", "--model-encoder-num=2",
+        "--model-dimension=%d" % units, "--model-lstm-is-cnnfe=False",
+        "--model-initializer=glorot_uniform",
+        "--train-inp-dropout=0.0", "--train-inn-dropout=0.0",
+        "--train-opti-type=adam", "--train-lr-param-k=0.001",
+        "--tpu-import-src=%s" % src_dir,
+    ])
+    model, restored = _restore_via_registry(out_ckpt, dict(
+        model_type="lstm", model_encoder_num=2, model_dimension=units,
+        model_lstm_is_cnnfe=False, model_lstm_merge="ave",
+        model_conv_stride=2, model_conv_layer_num=2, model_conv_filter_num=4,
+        feat_dim=12, model_initializer="glorot_uniform",
+        train_inp_dropout=0.0, train_inn_dropout=0.0,
+    ))
+    ours = model.apply(
+        {"params": restored.params, "batch_stats": restored.batch_stats},
+        jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-5,
+                               rtol=1e-4)
+
+
+def test_import_cnn_maxpool_forward_parity(tmp_path):
+    """Maxpool CNN variant (no cnn_fe front-end; --model-conv-is-mp)."""
+    from tfsr.model.cnn_encoder import CNNEncoder as RefCNN
+
+    from srf_tpu.tools.import_tf_ckpt import main as import_main
+
+    cfg = types.SimpleNamespace(
+        model_initializer="glorot_uniform", model_encoder_num=6,
+        model_conv_inp_nfilt=8, model_conv_inn_nfilt=12,
+        model_conv_proj_num=3, model_conv_proj_dim=24,
+        model_conv_stride=1, model_conv_layer_num=2,
+        model_conv_filter_num=4, feat_dim=12,
+        train_inn_dropout=0.0, train_inp_dropout=0.0,
+    )
+    ref = RefCNN(cfg, _Log(), class_n=8)
+    rng = np.random.RandomState(17)
+    feats = rng.randn(2, 24, 12).astype(np.float32)
+    inp_len = np.array([24, 18], np.float32)
+    ref_out = ref.call(
+        tf.constant(feats), input_lengths=tf.constant(inp_len), training=False
+    ).numpy()
+    ckpt = tf.train.Checkpoint(model=ref)
+    src_dir = str(tmp_path / "tf")
+    ckpt.save(os.path.join(src_dir, "ckpt"))
+    _write_vocab(tmp_path)
+    out_ckpt = str(tmp_path / "imported")
+    import_main([
+        "prog", "--path-base=%s" % str(tmp_path), "--path-vocab=tiny.vocab",
+        "--path-ckpt=%s" % out_ckpt, "--feat-dim=12",
+        "--model-type=cnn", "--model-conv-is-mp=True",
+        "--model-encoder-num=6",
+        "--model-conv-inp-nfilt=8", "--model-conv-inn-nfilt=12",
+        "--model-conv-proj-num=3", "--model-conv-proj-dim=24",
+        "--model-conv-stride=1", "--model-conv-layer-num=2",
+        "--model-conv-filter-num=4",
+        "--model-initializer=glorot_uniform",
+        "--train-inp-dropout=0.0", "--train-inn-dropout=0.0",
+        "--train-opti-type=adam", "--train-lr-param-k=0.001",
+        "--tpu-import-src=%s" % src_dir,
+    ])
+    model, restored = _restore_via_registry(out_ckpt, dict(
+        model_type="cnn", model_conv_is_mp=True, model_encoder_num=6,
+        model_conv_inp_nfilt=8, model_conv_inn_nfilt=12,
+        model_conv_proj_num=3, model_conv_proj_dim=24,
+        model_conv_stride=1, model_conv_layer_num=2,
+        model_conv_filter_num=4, feat_dim=12,
+        model_initializer="glorot_uniform",
+        train_inp_dropout=0.0, train_inn_dropout=0.0,
+    ))
+    ours = model.apply(
+        {"params": restored.params, "batch_stats": restored.batch_stats},
+        jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
+    )
+    # the stride-1 maxpool stack is the deepest conv chain: allow conv
+    # accumulation-order drift (~1.5e-4 abs observed)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=3e-4,
+                               rtol=3e-3)
 
 
 def test_import_cnn_stride_forward_parity(tmp_path):

@@ -20,7 +20,8 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def bench(name, model, batch, frames, vocab, in_len_div, iters=10):
+def bench(name, model, batch, frames, vocab, in_len_div, iters=10,
+          stf_pen=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -40,15 +41,23 @@ def bench(name, model, batch, frames, vocab, in_len_div, iters=10):
         "inp_len": jnp.asarray(lens),
         "tar_len": jnp.asarray(np.maximum(2, lens // 8)),
     }
+    extra_kwargs_fn, kw1 = None, {}
+    if stf_pen is not None:
+        from srf_tpu.trainer_tf import make_stf_extra_kwargs
+
+        extra_kwargs_fn = make_stf_extra_kwargs(stf_pen, in_len_div)
+        kw1 = extra_kwargs_fn({k: v[:1] for k, v in data.items()})
     variables = jax.jit(
-        lambda r, f, l: model.init(r, f, l, False)
-    )({"params": rng, "dropout": rng}, data["feats"][:1], data["inp_len"][:1])
+        lambda r, f, l: model.init(r, f, l, False, **kw1)
+    )({"params": rng, "dropout": rng}, data["feats"][:1],
+      data["inp_len"][:1])
     tx = optax.adam(noam_schedule(0.5, 1, 1200))
     state = TrainState.create(
         variables["params"], tx, variables.get("batch_stats", {})
     )
     train_step = make_train_step(
-        make_apply_fn(model), tx, in_len_div, mesh=None, donate=False
+        make_apply_fn(model, extra_kwargs_fn), tx, in_len_div, mesh=None,
+        donate=False,
     )
 
     def sync(m):
@@ -77,8 +86,29 @@ def main():
 
     from srf_tpu.models.cnn import CNNEncoder, CNNStrideEncoder
     from srf_tpu.models.lstm import LstmEncoder
+    from srf_tpu.models.stf import ConvEncoder
+    from srf_tpu.ops.attention_penalty import AttentionPenalty
+    from srf_tpu.ops.blockwise_attention import PenaltyParams
+
+    def stf(d_model, dff, vocab):
+        ap = AttentionPenalty(max_len=2500, num_head=4, zero_width=1,
+                              stripe_width=1, scale=1.0)
+        pen = PenaltyParams(1, 1, 1.0, ap.n_stripes)
+        return ap, ConvEncoder(
+            num_layers=20, d_model=d_model, num_heads=4, dff=dff,
+            feat_dim=123, vocab_n=vocab + 1, nfilt=64, cnn_n=2,
+            penalty_params=pen,
+        )
 
     fams = {}
+    ap_t, stf_t = stf(128, 1024, 62)
+    fams["stf_timit"] = lambda: bench(
+        "stf_timit", stf_t, 29, 241, 62, 4, args.iters, stf_pen=ap_t,
+    )
+    ap_w, stf_w = stf(256, 1488, 31)
+    fams["stf_wsj"] = lambda: bench(
+        "stf_wsj", stf_w, 40, 600, 31, 4, args.iters, stf_pen=ap_w,
+    )
     fams["blstm_wsj"] = lambda: bench(
         "blstm_wsj",
         LstmEncoder(num_layers=5, d_model=534, vocab_n=32, feat_dim=123,

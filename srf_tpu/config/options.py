@@ -346,6 +346,14 @@ class ParseOption:
                  "largest divisor)",
         )
         tpu_group.add_argument(
+            "--tpu-decode-batch", type=int, default=1,
+            help="decode-mode batch size (default 1 = the reference "
+                 "protocol; >1 decodes whole batches per dispatch with "
+                 "identical hypotheses — masking is exact — and falls "
+                 "back to 1 when the utterance count is indivisible, "
+                 "like the reference)",
+        )
+        tpu_group.add_argument(
             "--tpu-import-src", default=None,
             help="reference TF checkpoint (prefix or directory) to convert "
                  "with tools/import_tf_ckpt",

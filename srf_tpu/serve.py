@@ -110,6 +110,43 @@ class Recognizer:
         raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
         return ids, ids_to_utt(ids, raw_vocab, corpus)
 
+    def transcribe_batch(self, feats_list, beam_width=None, pad_multiple=128,
+                         corpus="timit"):
+        """Batch serving: list of [T_i, feat_dim] -> list of (ids, text).
+
+        One forward + one batched decode dispatch for the whole list
+        (BENCH_NOTES: 469x realtime at batch 16 with beam 100 on v5e) —
+        results identical to per-utterance transcribe().
+        """
+        feats_list = [np.asarray(f, np.float32) for f in feats_list]
+        lengths = np.array([f.shape[0] for f in feats_list], np.int32)
+        width = -(-int(lengths.max()) // pad_multiple) * pad_multiple
+        padded = np.zeros((len(feats_list), width, feats_list[0].shape[1]),
+                          np.float32)
+        for i, f in enumerate(feats_list):
+            padded[i, : f.shape[0]] = f
+        logits = self._forward(jnp.asarray(padded), jnp.asarray(lengths))
+        dec_lens = np.maximum(lengths // self.in_len_div, 1)
+        if beam_width and beam_width > 1:
+            from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
+
+            decoded = [ids for ids, _ in ctc_beam_search_batch_jax(
+                logits, dec_lens, beam_width, self.blank_id
+            )]
+        else:
+            out, lens = greedy_decode(
+                jnp.asarray(logits), jnp.asarray(dec_lens), self.blank_id
+            )
+            out, lens = np.asarray(out), np.asarray(lens)
+            decoded = [
+                [int(x) for x in out[i, : int(lens[i])]]
+                for i in range(len(feats_list))
+            ]
+        raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
+        return [
+            (ids, ids_to_utt(ids, raw_vocab, corpus)) for ids in decoded
+        ]
+
 
 def main(argv=None):
     logger = Logger(name="srf_serve", level=Logger.INFO).logger
@@ -132,6 +169,7 @@ def main(argv=None):
             filtered.append(arg)
     config = ParseOption(filtered, logger, is_print_opts=False).args
     recognizer = Recognizer(config, logger)
+    batch_paths = []
     for path in feats_paths:
         feats = np.load(path)
         if stream:
@@ -154,7 +192,19 @@ def main(argv=None):
                 ids += session.flush()
             print("%s (%s)" % (ids_to_utt(ids, raw_vocab, corpus), path))
         else:
-            ids, text = recognizer.transcribe(
+            batch_paths.append((path, feats))
+    if batch_paths:
+        if len(batch_paths) > 1:
+            # whole request list in one forward + one decode dispatch
+            results = recognizer.transcribe_batch(
+                [f for _, f in batch_paths],
+                beam_width=config.decoding_beam_width, corpus=corpus,
+            )
+            for (path, _), (_, text) in zip(batch_paths, results):
+                print("%s (%s)" % (text, path))
+        else:
+            path, feats = batch_paths[0]
+            _, text = recognizer.transcribe(
                 feats, beam_width=config.decoding_beam_width, corpus=corpus
             )
             print("%s (%s)" % (text, path))

@@ -126,7 +126,8 @@ def main(argv=None):
         )
         run_decoding(
             config, logger, state, make_logits_fn(apply_fn),
-            EvalLoader(test_ds, batch_size=1), in_len_div,
+            EvalLoader(test_ds, batch_size=config.tpu_decode_batch),
+            in_len_div,
             beam_width=config.decoding_beam_width,
         )
         ckpt_manager.close()

@@ -140,6 +140,15 @@ def test_train_decode_cycle(written_corpus, capsys):
         hyps_impl = dict(parse_decode_log(io.StringIO(out_impl)))
         assert set(hyps_impl) == {"utt06", "utt07"}
 
+    # batched decode (--tpu-decode-batch=2) yields IDENTICAL hypotheses
+    capsys.readouterr()
+    trainer_sr.main(
+        _argv(written_corpus, ckpt,
+              ["--train-max-epoch=0", "--tpu-decode-batch=2"])
+    )
+    out_batched = capsys.readouterr().out
+    assert dict(parse_decode_log(io.StringIO(out_batched))) == hyps
+
 
 def test_checkpoint_averaging(written_corpus):
     from srf_tpu.config import Logger, ParseOption

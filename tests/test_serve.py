@@ -70,6 +70,33 @@ def test_recognizer_transcribes(trained):
     assert all(0 <= i < len(VOCAB_TOKENS) for i in ids2)
 
 
+def test_transcribe_batch_matches_single(trained):
+    """One batched dispatch == per-utterance transcribe (beam and greedy),
+    including ragged lengths."""
+    argv, base = trained
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="serve-test", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    recognizer = Recognizer(config, logger)
+    feats_list = [
+        np.load(base / "u0.None.npy"),
+        np.load(base / "u1.None.npy")[:-7],
+        np.load(base / "u2.None.npy"),
+    ]
+    for beam in (4, None):
+        batched = recognizer.transcribe_batch(
+            feats_list, beam_width=beam, corpus="wsj"
+        )
+        for f, (ids_b, text_b) in zip(feats_list, batched):
+            ids_s, text_s = recognizer.transcribe(
+                f, beam_width=beam, corpus="wsj"
+            )
+            assert ids_b == ids_s, (beam, ids_b, ids_s)
+            assert text_b == text_s
+
+
 @pytest.fixture(scope="module")
 def trained_srf(tmp_path_factory):
     """Tiny SRF checkpoint (streaming requires the SRF front-end)."""

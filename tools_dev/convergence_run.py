@@ -73,7 +73,8 @@ def main():
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--utts", type=int, default=64)
     parser.add_argument("--base", default="/tmp/srf_convergence")
-    parser.add_argument("--model", default="srf", choices=["srf", "stf"])
+    parser.add_argument("--model", default="srf",
+                        choices=["srf", "stf", "lstm", "blstm", "cnn"])
     parser.add_argument("--keep", action="store_true")
     parser.add_argument("--noise", type=float, default=0.3,
                         help="corpus feature noise (higher = harder)")
@@ -112,7 +113,7 @@ def main():
             "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
             "--model-conv-layer-num=2", "--model-conv-filter-num=64",
         ]
-    else:
+    elif args.model == "stf":
         # compact Speech-Transformer (train_stf_timit.sh shape, fewer
         # layers so the check stays quick)
         common += [
@@ -121,8 +122,24 @@ def main():
             "--model-att-head-num=4",
             "--model-conv-layer-num=2", "--model-conv-filter-num=64",
         ]
-    trainer = ("srf_tpu.trainer_sr" if args.model == "srf"
-               else "srf_tpu.trainer_tf")
+    elif args.model in ("lstm", "blstm"):
+        # compact BLSTM (train_lstm_wsj.sh shape: CNN-FE + blstm)
+        common += [
+            "--model-type=%s" % args.model, "--model-encoder-num=3",
+            "--model-dimension=256", "--model-lstm-is-cnnfe=True",
+            "--model-conv-layer-num=2", "--model-conv-filter-num=64",
+        ]
+    else:
+        # compact maxout CNN, stride variant (train_cnn_wsj.sh shape)
+        common += [
+            "--model-type=cnn", "--model-conv-is-mp=False",
+            "--model-encoder-num=6",
+            "--model-conv-inp-nfilt=64", "--model-conv-inn-nfilt=128",
+            "--model-conv-proj-num=3", "--model-conv-proj-dim=512",
+            "--model-conv-layer-num=2", "--model-conv-filter-num=64",
+        ]
+    trainer = ("srf_tpu.trainer_tf" if args.model == "stf"
+               else "srf_tpu.trainer_sr")
     run([sys.executable, "-m", "srf_tpu.tools.save_tfrecord",
          "--path-base=%s" % base, "--path-vocab=synth.vocab",
          "--feat-dim=123", "--feat-type=None", "--prep-data-name=synth",

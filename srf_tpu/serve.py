@@ -23,7 +23,6 @@ import numpy as np
 from srf_tpu.config import Logger, ParseOption
 from srf_tpu.models.registry import build_model
 from srf_tpu.ops.ctc_decode import greedy_decode
-from srf_tpu.train.optimizer import get_optimizer
 from srf_tpu.train.state import TrainState
 from srf_tpu.utils.log2utt import ids_to_utt
 from srf_tpu.utils.vocab import get_file_path, load_vocab
@@ -42,25 +41,38 @@ class Recognizer:
         dec_out_dim = dec_in_dim + 1
         self.blank_id = dec_in_dim
         self.model, self.in_len_div = build_model(config, dec_out_dim, logger)
-        tx, _ = get_optimizer(config)
 
         rng = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
         variables = jax.jit(
             lambda r, f, l: self.model.init(r, f, l, False)
         )({"params": rng, "dropout": rng}, dummy, jnp.full((1,), 20, jnp.int32))
-        state = TrainState.create(
-            variables["params"], tx, variables.get("batch_stats", {})
-        )
-        from srf_tpu.trainer_sr import state_to_tree, tree_to_state
-        from srf_tpu.utils.checkpoint import load_checkpoint
+        # inference needs params (+ BN stats) only: partial restore skips
+        # the optimizer state, so serving never has to reproduce the
+        # training-time optimizer flags
+        template = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        from srf_tpu.utils.checkpoint import CheckpointManager
 
-        manager, restored, _ = load_checkpoint(config, logger,
-                                               state_to_tree(state))
-        manager.close()
-        if restored is None:
+        manager = CheckpointManager(
+            config.path_ckpt, max_to_keep=config.model_ckpt_max_to_keep
+        )
+        step = (config.path_ckpt_epoch
+                if getattr(config, "path_ckpt_epoch", None)
+                else manager.latest_step())
+        if step is None:
+            manager.close()
             raise FileNotFoundError("no checkpoint under %s" % config.path_ckpt)
-        self.state = tree_to_state(restored)
+        restored = manager.restore_partial(step, template)
+        manager.close()
+        self.state = TrainState(
+            step=jnp.asarray(step, jnp.int32),
+            params=restored["params"],
+            opt_state=None,
+            batch_stats=restored.get("batch_stats", {}),
+        )
         self._forward = jax.jit(self._apply)
 
     def _apply(self, feats, lengths):

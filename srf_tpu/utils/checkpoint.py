@@ -42,6 +42,19 @@ class CheckpointManager:
     def restore(self, step, template):
         return self.manager.restore(step, args=ocp.args.StandardRestore(template))
 
+    def restore_partial(self, step, template):
+        """Restore only the subtree present in ``template``.
+
+        Inference needs params (+ batch_stats) but not the optimizer
+        state, whose pytree structure depends on the training flags —
+        partial restore frees serving/decoding from having to reproduce
+        the exact optimizer configuration the checkpoint was trained
+        with."""
+        return self.manager.restore(
+            step,
+            args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
+        )
+
     def latest_step(self):
         return self.manager.latest_step()
 

@@ -70,6 +70,30 @@ def test_recognizer_transcribes(trained):
     assert all(0 <= i < len(VOCAB_TOKENS) for i in ids2)
 
 
+def test_serving_ignores_optimizer_flags(trained):
+    """Serving restores params-only: a Recognizer built with a DIFFERENT
+    optimizer configuration than training must still load and decode
+    identically (the checkpoint's Adam state is simply skipped)."""
+    argv, base = trained
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="serve-test", level=Logger.INFO).logger
+    swapped = [a for a in argv
+               if not a.startswith(("--train-opti-type", "--train-lr-param-k"))]
+    swapped += ["--train-opti-type=sgd", "--train-lr-param-k=0.5"]
+    config = ParseOption(swapped, logger, is_print_opts=False).args
+    recognizer = Recognizer(config, logger)
+    feats = np.load(base / "u0.None.npy")
+    ids, _ = recognizer.transcribe(feats, beam_width=4, corpus="wsj")
+
+    ref_config = ParseOption(argv, logger, is_print_opts=False).args
+    ref_ids, _ = Recognizer(ref_config, logger).transcribe(
+        feats, beam_width=4, corpus="wsj"
+    )
+    assert ids == ref_ids
+
+
 def test_transcribe_batch_matches_single(trained):
     """One batched dispatch == per-utterance transcribe (beam and greedy),
     including ragged lengths."""

@@ -193,19 +193,22 @@ class BucketedLoader:
 
 
 class EvalLoader:
-    """Batch-size-1 eval batches with utt ids, padded per-utterance.
+    """Eval batches with utt ids, padded per-batch (default batch 1 = the
+    reference decode protocol; ``--tpu-decode-batch`` raises it).
 
     Pads time to the next multiple of ``pad_multiple`` to bound the number of
     XLA compilations during decoding (the reference pads to the exact length,
-    which on TPU would compile per unique length).
+    which on TPU would compile per unique length). When the utterance count
+    is not divisible by the batch size, falls back to batch 1 — the
+    reference hard-codes the same fallback (load_speech_data.py:127-145).
     """
 
     def __init__(self, dataset, batch_size=1, pad_multiple=128):
         self.ds = dataset
-        self.batch_size = batch_size
+        self.batch_size = max(1, batch_size)
         self.pad_multiple = pad_multiple
-        if batch_size != 1 and len(dataset) % batch_size != 0:
-            self.batch_size = 1  # reference hard-codes this fallback
+        if self.batch_size != 1 and len(dataset) % self.batch_size != 0:
+            self.batch_size = 1
 
     def __iter__(self):
         ds = self.ds

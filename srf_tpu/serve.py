@@ -59,8 +59,10 @@ class Recognizer:
         manager = CheckpointManager(
             config.path_ckpt, max_to_keep=config.model_ckpt_max_to_keep
         )
-        step = (config.path_ckpt_epoch
-                if getattr(config, "path_ckpt_epoch", None)
+        epoch_flag = getattr(config, "path_ckpt_epoch", None)
+        # same guard as utils/checkpoint.load_checkpoint: non-positive
+        # values fall back to the latest step
+        step = (epoch_flag if epoch_flag and epoch_flag > 0
                 else manager.latest_step())
         if step is None:
             manager.close()
@@ -99,37 +101,20 @@ class Recognizer:
     def transcribe(self, feats, beam_width=None, pad_multiple=128,
                    corpus="timit"):
         """feats: [T, feat_dim] numpy -> (ids, text)."""
-        feats = np.asarray(feats, np.float32)
-        length = feats.shape[0]
-        width = -(-length // pad_multiple) * pad_multiple
-        padded = np.zeros((1, width, feats.shape[1]), np.float32)
-        padded[0, :length] = feats
-        logits = np.asarray(
-            self._forward(jnp.asarray(padded), jnp.asarray([length], jnp.int32))
-        )
-        dec_len = max(1, length // self.in_len_div)
-        if beam_width and beam_width > 1:
-            from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
-
-            ids = ctc_beam_search_batch_jax(
-                logits, [dec_len], beam_width, self.blank_id
-            )[0][0]
-        else:
-            out, lens = greedy_decode(
-                jnp.asarray(logits), jnp.asarray([dec_len]), self.blank_id
-            )
-            ids = [int(x) for x in np.asarray(out)[0, : int(lens[0])]]
-        raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
-        return ids, ids_to_utt(ids, raw_vocab, corpus)
+        return self.transcribe_batch(
+            [feats], beam_width=beam_width, pad_multiple=pad_multiple,
+            corpus=corpus,
+        )[0]
 
     def transcribe_batch(self, feats_list, beam_width=None, pad_multiple=128,
                          corpus="timit"):
         """Batch serving: list of [T_i, feat_dim] -> list of (ids, text).
 
         One forward + one batched decode dispatch for the whole list
-        (BENCH_NOTES: 469x realtime at batch 16 with beam 100 on v5e) —
-        results identical to per-utterance transcribe().
+        (BENCH_NOTES: 469x realtime at batch 16 with beam 100 on v5e).
         """
+        if not feats_list:
+            return []
         feats_list = [np.asarray(f, np.float32) for f in feats_list]
         lengths = np.array([f.shape[0] for f in feats_list], np.int32)
         width = -(-int(lengths.max()) // pad_multiple) * pad_multiple
@@ -206,19 +191,12 @@ def main(argv=None):
         else:
             batch_paths.append((path, feats))
     if batch_paths:
-        if len(batch_paths) > 1:
-            # whole request list in one forward + one decode dispatch
-            results = recognizer.transcribe_batch(
-                [f for _, f in batch_paths],
-                beam_width=config.decoding_beam_width, corpus=corpus,
-            )
-            for (path, _), (_, text) in zip(batch_paths, results):
-                print("%s (%s)" % (text, path))
-        else:
-            path, feats = batch_paths[0]
-            _, text = recognizer.transcribe(
-                feats, beam_width=config.decoding_beam_width, corpus=corpus
-            )
+        # whole request list in one forward + one decode dispatch
+        results = recognizer.transcribe_batch(
+            [f for _, f in batch_paths],
+            beam_width=config.decoding_beam_width, corpus=corpus,
+        )
+        for (path, _), (_, text) in zip(batch_paths, results):
             print("%s (%s)" % (text, path))
 
 

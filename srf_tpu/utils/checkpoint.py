@@ -49,7 +49,55 @@ class CheckpointManager:
         state, whose pytree structure depends on the training flags —
         partial restore frees serving/decoding from having to reproduce
         the exact optimizer configuration the checkpoint was trained
-        with."""
+        with.
+
+        Unlike orbax's raw partial restore (which silently ignores extra
+        checkpoint leaves and tolerates shape mismatches), this validates
+        the template against the checkpoint METADATA first: every template
+        leaf must exist with the same shape, and every checkpoint leaf
+        under a top-level key the template claims (e.g. 'params') must be
+        present in the template — so serving with wrong architecture
+        flags fails loudly instead of decoding garbage."""
+        # a reopened CheckpointManager returns None from item_metadata
+        # until a handler is registered; read the step directory directly
+        md = ocp.StandardCheckpointer().metadata(
+            os.path.join(self.path, str(step), "default")
+        )
+        meta = getattr(md.item_metadata, "tree", md.item_metadata)
+        flat_meta = {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(meta)[0]
+        }
+        flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+        t_names = {jax.tree_util.keystr(p) for p, _ in flat_t}
+        for path, want in flat_t:
+            name = jax.tree_util.keystr(path)
+            got = flat_meta.get(name)
+            if got is None:
+                raise ValueError(
+                    "checkpoint %s/%s has no leaf %s — the model flags do "
+                    "not describe the trained architecture"
+                    % (self.path, step, name)
+                )
+            if tuple(got.shape) != tuple(want.shape):
+                raise ValueError(
+                    "shape mismatch at %s: checkpoint %s vs model %s — "
+                    "check the model-* flags"
+                    % (name, tuple(got.shape), tuple(want.shape))
+                )
+        claimed = tuple("['%s']" % k for k in template)
+        extra = [
+            n for n in flat_meta
+            if n.startswith(claimed) and n not in t_names
+        ]
+        if extra:
+            raise ValueError(
+                "checkpoint %s/%s holds leaves the model does not "
+                "(e.g. %s) — the model flags describe a smaller "
+                "architecture than the one trained" % (
+                    self.path, step, sorted(extra)[:3],
+                )
+            )
         return self.manager.restore(
             step,
             args=ocp.args.PyTreeRestore(item=template, partial_restore=True),

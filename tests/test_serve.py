@@ -94,6 +94,21 @@ def test_serving_ignores_optimizer_flags(trained):
     assert ids == ref_ids
 
 
+def test_serving_rejects_wrong_architecture(trained):
+    """Partial restore must fail LOUDLY when the serving flags describe a
+    different architecture (fewer/more layers) than the checkpoint."""
+    argv, base = trained
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="serve-test", level=Logger.INFO).logger
+    bigger = [a for a in argv if not a.startswith("--model-encoder-num")]
+    bigger += ["--model-encoder-num=2"]  # checkpoint has 1 LSTM layer
+    config = ParseOption(bigger, logger, is_print_opts=False).args
+    with pytest.raises(ValueError, match="no leaf|smaller architecture"):
+        Recognizer(config, logger)
+
+
 def test_transcribe_batch_matches_single(trained):
     """One batched dispatch == per-utterance transcribe (beam and greedy),
     including ragged lengths."""

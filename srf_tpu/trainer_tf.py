@@ -107,7 +107,8 @@ def main(argv=None):
     logger.info("Model parameters: %d", param_count(state.params))
 
     ckpt_manager, restored, epoch_offset = load_checkpoint(
-        config, logger, state_to_tree(state)
+        config, logger, state_to_tree(state),
+        params_only=(config.train_max_epoch == 0),
     )
     if restored is not None:
         state = tree_to_state(restored)

@@ -113,8 +113,13 @@ class CheckpointManager:
         self.manager.close()
 
 
-def load_checkpoint(config, logger, template_state):
-    """Returns (manager, restored_state_or_None, epoch_offset)."""
+def load_checkpoint(config, logger, template_state, params_only=False):
+    """Returns (manager, restored_state_or_None, epoch_offset).
+
+    ``params_only=True`` (decode/inference): restores just step/params/
+    batch_stats via the validated partial restore, keeping the template's
+    fresh optimizer state — so decoding a checkpoint never requires
+    reproducing the training-time optimizer flags."""
     manager = CheckpointManager(
         config.path_ckpt, max_to_keep=config.model_ckpt_max_to_keep
     )
@@ -127,8 +132,18 @@ def load_checkpoint(config, logger, template_state):
     if step is None:
         logger.info("Loaded ckpt: None")
         return manager, None, 0
-    restored = manager.restore(step, template_state)
-    logger.info("Loaded ckpt: %s/%d", manager.path, step)
+    if params_only:
+        subset = {
+            k: template_state[k]
+            for k in ("step", "params", "batch_stats")
+            if k in template_state
+        }
+        restored = dict(template_state)
+        restored.update(manager.restore_partial(step, subset))
+    else:
+        restored = manager.restore(step, template_state)
+    logger.info("Loaded ckpt: %s/%d%s", manager.path, step,
+                " (params only)" if params_only else "")
     return manager, restored, int(step)
 
 

@@ -144,6 +144,45 @@ def test_grad_accum_under_mesh():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("bf16,accum,specaug", [
+    (True, 2, False), (False, 2, True), (True, 1, True), (True, 2, True),
+])
+def test_flag_combinations_smoke(bf16, accum, specaug):
+    """bf16 x grad-accum x SpecAugment compose: one train step runs,
+    loss finite, params move."""
+    import types
+
+    import jax
+
+    from srf_tpu.ops.specaugment import make_augment_fn
+    from srf_tpu.train.step import make_apply_fn, make_train_step
+
+    apply_plain, tx, state, data = _tiny_setup()
+    from srf_tpu.models.lstm import LstmEncoder
+
+    model = LstmEncoder(
+        num_layers=1, d_model=8, vocab_n=6, feat_dim=8,
+        input_dropout=0.0, inner_dropout=0.0, is_cnnfe=False,
+    )
+    cfg = types.SimpleNamespace(
+        tpu_specaug=specaug, tpu_specaug_time_masks=2,
+        tpu_specaug_time_width=8, tpu_specaug_freq_masks=1,
+        tpu_specaug_freq_width=3,
+    )
+    apply_fn = make_apply_fn(model, bf16=bf16,
+                             augment_fn=make_augment_fn(cfg))
+    step = make_train_step(apply_fn, tx, 2, mesh=None, donate=False,
+                           accum_steps=accum)
+    new_state, metrics = step(state, data, KEY)
+    assert np.isfinite(float(metrics["loss_sum"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new_state.params))
+    )
+    assert moved
+
+
 def test_specaug_only_in_training_mode():
     """augment_fn must not perturb eval logits."""
     import types

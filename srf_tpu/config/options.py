@@ -315,8 +315,10 @@ class ParseOption:
             help="auto | plain | blockwise | ring : STF attention. "
                  "'blockwise' is the flash-style O(T*block)-memory path "
                  "with the closed-form distance penalty; 'auto' switches "
-                 "to it for long sequences (>= 2048 post-subsample "
-                 "frames); 'ring' shards the time axis over a device mesh "
+                 "to it for long eval sequences (>= 2048 post-subsample "
+                 "frames) and for training batches whose [B,H,T,T] "
+                 "attention weights would exceed ~600MB/layer; 'ring' "
+                 "shards the time axis over a device mesh "
                  "(sequence parallelism; programmatic use only — the CLI "
                  "trainers reject it since they build no time-axis mesh)",
         )

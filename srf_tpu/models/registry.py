@@ -84,8 +84,10 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
         if kernel not in ("auto", "xla", "xla_flat", "xla_pre", "xla_factored",
                           "wavefront", "pallas"):
             raise ValueError("unknown --tpu-routing-kernel %r" % kernel)
-        if kernel in ("pallas", "xla_pre", "xla_flat", "xla_factored",
-                      "wavefront"):
+        if kernel != "auto":
+            # includes "xla": the model's routing_impl DEFAULT is "auto"
+            # (factored), so the materialized-u_hat baseline must be
+            # forwarded explicitly or the flag silently runs factored
             overrides.setdefault("routing_impl", kernel)
         model = SequenceRouter.from_config(config, dec_out_dim, **overrides)
         if logger is not None:

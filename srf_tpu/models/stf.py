@@ -56,8 +56,13 @@ class ConvEncoder(nn.Module):
     @classmethod
     def from_config(cls, config, vocab_n, **overrides):
         penalty_params = None
+        # same gate as ops/attention_penalty.create_attention_penalty (any
+        # of the three ap flags): the plain path receives the dense board
+        # whenever the helper exists, so the blockwise/ring closed form
+        # must exist under the same condition or kernels would diverge
         if (
-            config.model_ap_encoder
+            (config.model_ap_encoder or config.model_ap_decoder
+             or config.model_ap_encdec)
             and config.model_ap_width_zero and config.model_ap_width_zero > 0
             and config.model_ap_width_stripe
             and config.model_ap_width_stripe > 0

@@ -450,6 +450,20 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
         )
         prev_n, prev_d = out_n, out_d
 
+    # Single-layer stack degenerates to the plain scan
+    if n_layers == 1:
+        wgt, bias = layer_params[0]
+        out = sequential_routing(
+            window_stack(u, lpad, rpad), wgt, bias, num_iter,
+            mask_pad_capsule=True, remat=remat, factored=factored,
+        )
+        flat = _ln_drop(
+            out.reshape(batch, seq_len, -1), ln_params[0][0],
+            ln_params[0][1], ln_eps, dropout_rate,
+            dropout_rng,
+        )
+        return flat.reshape(batch, seq_len, out.shape[2], out.shape[3])
+
     # Layer 0 reads pre-windowed input directly (no buffer): window_stack
     # already realizes the zero padding; pad time out to total_steps.
     u_win = window_stack(u.astype(jnp.float32), lpad, rpad)
@@ -458,20 +472,6 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
     )
     xs_frames = jnp.moveaxis(u_win, 1, 0)  # [total, B, window*n0, d0]
     xs_tau = jnp.arange(total_steps)
-
-    # Single-layer stack degenerates to the plain scan
-    if n_layers == 1:
-        wgt, bias = layer_params[0]
-        out = sequential_routing(
-            window_stack(u, lpad, rpad), wgt, bias, num_iter,
-            mask_pad_capsule=True, remat=remat,
-        )
-        flat = _ln_drop(
-            out.reshape(batch, seq_len, -1), ln_params[0][0],
-            ln_params[0][1], ln_eps, dropout_rate,
-            dropout_rng,
-        )
-        return flat.reshape(batch, seq_len, out.shape[2], out.shape[3])
 
     # Layers 0..L-2 all output [B, ch, cd]; their recent `window` outputs
     # feed layers 1..L-1 through ONE stacked ring buffer
@@ -552,7 +552,7 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
             valid_m = jnp.logical_and(t_mid >= 0, t_mid < seq_len)[
                 :, None, None, None
             ]
-            if dropout_rng is not None:
+            if dropout_rng is not None and dropout_rate > 0.0:
                 keys = jax.vmap(
                     lambda i: jax.random.fold_in(
                         jax.random.fold_in(dropout_rng, i), tau
@@ -562,7 +562,7 @@ def wavefront_sdr_stack(u, layer_params, lpad, rpad, num_iter,
                     lambda k: jax.random.bernoulli(
                         k, 1.0 - dropout_rate, (batch, ch * cd)
                     )
-                )(keys) if dropout_rate > 0.0 else None
+                )(keys)
             flat_m = vm.reshape(n_mid, batch, ch * cd)
             mean = jnp.mean(flat_m, axis=-1, keepdims=True)
             var = jnp.var(flat_m, axis=-1, keepdims=True)

@@ -48,7 +48,11 @@ def parse_ark(lines):
         if line:
             rows.append(np.asarray(line.split(), dtype=np.float32))
         if done:
-            yield utt_id, np.stack(rows).astype(np.float32)
+            if rows:
+                feats = np.stack(rows).astype(np.float32)
+            else:  # legal zero-row matrix ('utt [ ]'): emit [0, 0]
+                feats = np.zeros((0, 0), np.float32)
+            yield utt_id, feats
             utt_id, rows = None, []
     if utt_id is not None:
         raise ValueError("ark ended inside utterance %r" % utt_id)

@@ -110,7 +110,9 @@ def loss_ewerr(word_errors, lprobss):
     Returns:
         [batch] expected-error losses.
     """
-    probss = jnp.exp(lprobss)
-    p_hat = probss / jnp.sum(probss, axis=-1, keepdims=True)
+    # softmax IS the beam renormalization exp(l_i)/sum_j exp(l_j), but
+    # max-subtracted: raw exp underflows to 0/0 = NaN once every
+    # hypothesis NLL exceeds ~87 nats, which real utterances always do
+    p_hat = jax.nn.softmax(lprobss, axis=-1)
     w_hat = jnp.mean(word_errors, axis=-1, keepdims=True)
     return jnp.sum(p_hat * (word_errors - w_hat), axis=-1)

@@ -195,6 +195,16 @@ def main(argv=None):
         # (train/mwer.py; the reference's loss_ewerr was never wired)
         from srf_tpu.train.mwer import make_mwer_train_step
 
+        if jax.process_count() > 1:
+            raise ValueError(
+                "--train-is-mwer is single-host: the n-best decode runs "
+                "on the host and needs every logit shard addressable"
+            )
+        if config.tpu_fsdp:
+            logger.warning(
+                "MWER mode ignores --tpu-fsdp sharding (plain jit step)"
+            )
+
         logits_fn = make_logits_fn(apply_fn)
         train_step = make_mwer_train_step(
             apply_fn, logits_fn, tx, in_len_div,

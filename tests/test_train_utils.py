@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from srf_tpu.data.bucketing import get_bucket_info, round_batch_sizes
@@ -84,6 +85,23 @@ def test_loss_ewerr_zero_when_all_equal():
     # better hypotheses with lower error -> negative expected advantage
     errs2 = jnp.array([[0.0, 2.0, 4.0]])
     assert float(loss_ewerr(errs2, lprobs)[0]) < 0
+
+
+def test_loss_ewerr_stable_at_real_utterance_nll():
+    """Real utterances have hypothesis NLLs of hundreds of nats; the beam
+    renormalization must not underflow to 0/0 = NaN (it is a softmax, so
+    only RELATIVE log-probs matter)."""
+    errs = jnp.array([[0.0, 2.0, 4.0]])
+    lprobs_small = jnp.log(jnp.array([[0.5, 0.3, 0.2]]))
+    want = float(loss_ewerr(errs, lprobs_small)[0])
+    got = float(loss_ewerr(errs, lprobs_small - 400.0)[0])
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # gradient stays finite too
+    g = jax.grad(lambda lp: jnp.sum(loss_ewerr(errs, lp)))(
+        lprobs_small - 400.0
+    )
+    assert np.all(np.isfinite(np.asarray(g)))
 
 
 def test_ppl_masked():

@@ -81,6 +81,9 @@ def main():
     parser.add_argument("--mwer-epochs", type=int, default=0,
                         help="> 0: after CTC training, score, MWER "
                              "fine-tune this many epochs, score again")
+    parser.add_argument("--extra", action="append", default=[],
+                        help="extra trainer flags (repeatable), e.g. "
+                             "--extra=--tpu-specaug=True")
     args = parser.parse_args()
 
     base = args.base
@@ -152,7 +155,7 @@ def main():
     run([sys.executable, "-m", trainer] + common + [
         "--train-opti-type=adam", "--train-lr-param-k=0.002",
         "--train-max-epoch=%d" % args.epochs, "--train-es-tolerance=1000",
-    ], log=os.path.join(base, "train.log"))
+    ] + args.extra, log=os.path.join(base, "train.log"))
     for line in open(os.path.join(base, "train.log")):
         if "Train Loss" in line and ("001 " in line or
                                      "%03d " % args.epochs in line):

@@ -356,6 +356,14 @@ class ParseOption:
                  "like the reference)",
         )
         tpu_group.add_argument(
+            "--tpu-decode-pad-last", type=ParseOption.str2bool,
+            default="False",
+            help="keep --tpu-decode-batch on indivisible utterance counts "
+                 "by padding the final batch with dummy utterances "
+                 "(hypotheses identical; off = the reference's silent "
+                 "fallback to batch 1, load_speech_data.py:127-145)",
+        )
+        tpu_group.add_argument(
             "--tpu-import-src", default=None,
             help="reference TF checkpoint (prefix or directory) to convert "
                  "with tools/import_tf_ckpt",

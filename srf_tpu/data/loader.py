@@ -199,15 +199,24 @@ class EvalLoader:
     Pads time to the next multiple of ``pad_multiple`` to bound the number of
     XLA compilations during decoding (the reference pads to the exact length,
     which on TPU would compile per unique length). When the utterance count
-    is not divisible by the batch size, falls back to batch 1 — the
-    reference hard-codes the same fallback (load_speech_data.py:127-145).
+    is not divisible by the batch size, the default falls back to batch 1 —
+    the reference hard-codes the same fallback (load_speech_data.py:127-145),
+    which silently costs the whole batching win on e.g. WSJ's 333-utterance
+    test set. ``pad_last=True`` (``--tpu-decode-pad-last``) keeps the batch
+    size and pads the final batch with 1-frame dummy utterances instead:
+    ``utt_ids`` lists only the real utterances (real rows come first), so
+    consumers that enumerate utt ids skip the dummy hypotheses naturally;
+    ``batch["valid"]`` carries the real count for other consumers.
     """
 
-    def __init__(self, dataset, batch_size=1, pad_multiple=128):
+    def __init__(self, dataset, batch_size=1, pad_multiple=128,
+                 pad_last=False):
         self.ds = dataset
         self.batch_size = max(1, batch_size)
         self.pad_multiple = pad_multiple
-        if self.batch_size != 1 and len(dataset) % self.batch_size != 0:
+        self.pad_last = pad_last
+        if (self.batch_size != 1 and not pad_last
+                and len(dataset) % self.batch_size != 0):
             self.batch_size = 1
 
     def __iter__(self):
@@ -216,10 +225,19 @@ class EvalLoader:
             idxs = range(start, min(start + self.batch_size, len(ds)))
             feat_list = [ds.feats[i] for i in idxs]
             label_list = [ds.labels[i] for i in idxs]
+            n_real = len(feat_list)
+            n_pad = 0
+            if self.pad_last and n_real < self.batch_size:
+                n_pad = self.batch_size - n_real
+                feat_list = feat_list + [
+                    np.zeros((1, ds.feat_dim), np.float32)
+                ] * n_pad
+                label_list = label_list + [np.zeros((1,), np.int32)] * n_pad
             max_len = max(f.shape[0] for f in feat_list)
             width = -(-max_len // self.pad_multiple) * self.pad_multiple
             max_lab = max(max(l.shape[0] for l in label_list), 1)
             batch = _pad_batch(feat_list, label_list, width, max_lab, ds.feat_dim)
+            batch["valid"] = n_real
             if ds.utt_ids is not None:
                 batch["utt_ids"] = [ds.utt_ids[i] for i in idxs]
             yield batch

@@ -5,20 +5,30 @@ TPU-native replacement for ``tf.nn.ctc_beam_search_decoder``
 blank/non-blank probability split, expressed as a ``lax.scan`` over time so
 the whole decode runs on-chip.
 
-Prefix identity is a rolling hash. Beams hold unique prefixes, which pins
-down the merge structure exactly: an extend candidate (beam i + symbol s)
-can only ever collide with a STAY candidate (p_i+s == p_j), never with
-another extend (p_i+s == p_i'+s' forces p_i == p_i'). So each step matches
-the beam×K extend hashes against the W stay hashes directly (a [W,K,W]
-compare on the VPU), folds matched extends into their stay's non-blank
-mass, and top-k's the survivors — no per-step sort (the bitonic argsort of
-all W*(K+1) candidates used to dominate the scan). Backpointers
-(parent beam, appended symbol) are recorded per step; the best path is
-reconstructed by a reverse walk (host-side, trivial).
+Prefix identity is a rolling hash ``h(p+s) = h(p)*M + s+1`` with M odd, so M
+is invertible mod 2^32. Beams hold unique prefixes, which pins down the
+merge structure exactly: an extend candidate (beam i + symbol s) can only
+ever collide with a STAY candidate (p_i+s == p_j), never with another
+extend, and each stay has at most ONE merging extend — the one from its
+parent prefix (p_j[:-1], last_j). So each step recovers every stay's parent
+hash in closed form, ``h(parent_j) = (h(p_j) - (last_j+1)) * M^-1``, matches
+it against the W beam hashes (a [W, W] compare — independent of vocab size,
+unlike a [W, K, W] candidate compare), folds the single matched extend into
+the stay's non-blank mass, and top-k's the survivors — no per-step sort
+(the bitonic argsort of all W*(K+1) candidates used to dominate the scan).
+Backpointers (parent beam, appended symbol) are recorded per step; the best
+path is reconstructed by a reverse walk (host-side, trivial).
 
-Collision risk of the 32-bit rolling hash over <= beam*(K+1) candidates per
-step is negligible for speech vocabularies (checked against the exact C++ /
-Python decoders in tests).
+A uint32 hash collision between two live distinct prefixes could fold one
+extend into a wrong stay; with <= W*(K+1) candidates per step the
+probability is negligible for speech vocabularies (cross-checked against
+the exact C++ / Python decoders in tests), and the one-extend-per-stay
+match keeps even a collision from duplicating probability mass.
+
+The scan is factored as ``beam_init`` + ``_beam_chunk`` so streaming
+(srf_tpu/streaming.py) can carry the beam state across pushed chunks and
+emit frame-synchronous beam partials; offline decode is the same chunk fn
+over the whole utterance, so streamed == offline by construction.
 """
 
 import functools
@@ -29,36 +39,36 @@ import numpy as np
 
 NEG = -1e30
 _HASH_MUL = jnp.uint32(1000003)
+# modular inverse of the hash multiplier (1000003 is odd): recovers a
+# prefix hash from its child's, h(p) = (h(p+s) - (s+1)) * M^-1 mod 2^32
+_HASH_MUL_INV = jnp.uint32(pow(1000003, -1, 2**32))
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
-def _beam_scan(logits, length, beam_width, blank_id):
-    """Returns (parents [T, W], syms [T, W], final scores [W])."""
-    maxlen, vocab = logits.shape
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+def beam_init(beam_width):
+    """Fresh beam state: beam 0 holds the empty prefix, the rest are dead."""
     W = beam_width
-    K = vocab
-
-    init = {
+    return {
         # distinct dummy hashes so dead beams never merge
-        "hash": jnp.uint32(17) + jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(2654435761),
+        "hash": jnp.uint32(17)
+        + jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(2654435761),
         "pb": jnp.where(jnp.arange(W) == 0, 0.0, NEG),
         "pnb": jnp.full((W,), NEG),
         "last": jnp.full((W,), -1, jnp.int32),
     }
 
+
+def _beam_chunk(state, logp, ts, length, blank_id):
+    """Scan the beam over one block of frames.
+
+    logp [T, V] log-probs, ts [T] global frame indices, length the global
+    valid length (frames with ts >= length leave the state untouched).
+    Returns (state, (parents [T, W], syms [T, W])).
+    """
+    W = state["hash"].shape[0]
+    K = logp.shape[-1]
     syms_all = jnp.arange(K, dtype=jnp.int32)
 
     def step(state, inputs):
-        # Beams hold UNIQUE prefixes, so the only possible merges are
-        # extend->stay: prefix_i + s == prefix_j exactly when extending
-        # beam i with s reproduces beam j's prefix (extend-extend merges
-        # would need two distinct prefixes to extend into the same one with
-        # the same last symbol — impossible when prefixes are unique, since
-        # p_i+s == p_j+s implies p_i == p_j). So instead of sorting all
-        # W*(K+1) candidates by hash (a bitonic sort dominates the step),
-        # match the W*K extend hashes against the W stay hashes directly,
-        # fold matched extends into their stay, and top-k the rest.
         lp, t = inputs
         p_tot = jnp.logaddexp(
             jnp.maximum(state["pb"], NEG), jnp.maximum(state["pnb"], NEG)
@@ -86,26 +96,36 @@ def _beam_scan(logits, length, beam_width, blank_id):
         ext_pnb = jnp.where(base <= NEG, NEG, base + lp[None, :])
         ext_pnb = jnp.where(syms_all[None, :] == blank_id, NEG, ext_pnb)
 
-        # --- merge extends into hash-equal stays (at most one match) ---
-        live = ext_pnb > NEG
+        # --- merge each stay's unique parent extend into it ---
+        # stay j merges with extend (i, last_j) iff hash_i == parent_hash_j;
+        # a [W, W] compare, independent of vocab size
+        last_safe = jnp.maximum(state["last"], 0)
+        parent_hash = (
+            stay_hash - (last_safe.astype(jnp.uint32) + jnp.uint32(1))
+        ) * _HASH_MUL_INV
+        ext_for_stay = ext_pnb[:, last_safe].T  # [W_stay, W_beam] gather
         match = (
-            (ext_hash[:, :, None] == stay_hash[None, None, :])
-            & live[:, :, None]
-        )  # [W, K, W_stay]
-        into_stay = jnp.where(match, ext_pnb[:, :, None], NEG)
-        # each stay receives from <= W sources (one symbol each): logsumexp
-        mx = jnp.max(into_stay, axis=(0, 1))  # [W_stay]
-        mx_safe = jnp.where(mx <= NEG, 0.0, mx)
-        add = jnp.sum(
-            jnp.where(match, jnp.exp(into_stay - mx_safe[None, None, :]), 0.0),
-            axis=(0, 1),
+            (parent_hash[:, None] == stay_hash[None, :])
+            & (state["last"][:, None] >= 0)
+            & (ext_for_stay > NEG)
+        )  # [W_stay, W_beam]
+        has_match = jnp.any(match, axis=1)
+        matched_i = jnp.argmax(match, axis=1)
+        merged_in = jnp.where(
+            has_match, ext_for_stay[jnp.arange(W), matched_i], NEG
         )
-        merged_in = jnp.where(add > 0, jnp.log(jnp.maximum(add, 1e-37)) + mx_safe, NEG)
         stay_pnb = jnp.where(
-            merged_in > NEG, jnp.logaddexp(jnp.maximum(stay_pnb, NEG), merged_in),
+            has_match,
+            jnp.logaddexp(jnp.maximum(stay_pnb, NEG), merged_in),
             stay_pnb,
         )
-        ext_pnb = jnp.where(jnp.any(match, axis=2), NEG, ext_pnb)
+        # kill merged extends so mass is never counted twice
+        dead = (
+            jnp.zeros((W, K), bool)
+            .at[matched_i, last_safe]
+            .max(has_match)
+        )
+        ext_pnb = jnp.where(dead, NEG, ext_pnb)
 
         # --- top-k over stays + surviving extends ---
         stay_tot = jnp.logaddexp(
@@ -147,17 +167,41 @@ def _beam_scan(logits, length, beam_width, blank_id):
         rec_sym = jnp.where(active, sym, -1)
         return out_state, (rec_parent, rec_sym)
 
-    ts = jnp.arange(maxlen)
-    final, (parents, syms) = jax.lax.scan(step, init, (logp, ts))
-    p_tot = jnp.logaddexp(
-        jnp.maximum(final["pb"], NEG), jnp.maximum(final["pnb"], NEG)
+    return jax.lax.scan(step, state, (logp, ts))
+
+
+def beam_scores(state):
+    """Total log-prob per beam for the current state."""
+    return jnp.logaddexp(
+        jnp.maximum(state["pb"], NEG), jnp.maximum(state["pnb"], NEG)
     )
-    return parents, syms, p_tot
 
 
-def _backtrace(parents, syms, scores):
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
+def _beam_scan(logits, length, beam_width, blank_id):
+    """Returns (parents [T, W], syms [T, W], final scores [W])."""
+    maxlen = logits.shape[0]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ts = jnp.arange(maxlen)
+    final, (parents, syms) = _beam_chunk(
+        beam_init(beam_width), logp, ts, length, blank_id
+    )
+    return parents, syms, beam_scores(final)
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
+def beam_chunk_step(state, logits, t0, length, beam_width, blank_id):
+    """One streamed block: advance ``state`` over logits [T, V] whose global
+    frame indices are [t0, t0+T). Returns (state, parents, syms, scores)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ts = t0 + jnp.arange(logits.shape[0])
+    state, (parents, syms) = _beam_chunk(state, logp, ts, length, blank_id)
+    return state, parents, syms, beam_scores(state)
+
+
+def _backtrace(parents, syms, scores, beam=None):
     """Reverse-walk the recorded backpointers for the best final beam."""
-    best = int(np.argmax(scores))
+    best = int(np.argmax(scores)) if beam is None else beam
     seq = []
     beam = best
     for t in range(parents.shape[0] - 1, -1, -1):

@@ -26,8 +26,13 @@ Algorithmic latency: ``(2*div + L*rpad*div)`` raw frames — the front-end
 lookahead plus ``rpad`` post-frames per capsule layer (e.g. canonical
 SRF-TIMIT: 8 + 7*1*4 = 36 frames = 360 ms).
 
-Only greedy decoding streams (beam search needs the full lattice; run the
-offline decoders on the accumulated logits if a final rescore is wanted).
+Both decoders stream. Greedy partials are emitted token-by-token from
+``push``. Beam search streams too (``beam_width=N`` at construction): the
+device beam (ops/ctc_beam_jax.py) is a frame-synchronous prefix search
+expressed as a ``lax.scan``, so its state (prefix hashes, blank/non-blank
+masses, backpointer tape) is carried across pushed chunks; ``flush``
+backtraces the accumulated tape. Streamed beam == offline beam on the full
+utterance by construction (same scan, chunked), tested across chunk sizes.
 """
 
 import numpy as np
@@ -48,14 +53,19 @@ class StreamingTranscriber:
         blank_id: CTC blank (= vocab size; blank-last).
         chunk: emission granularity in post-subsample frames (chunk*div raw
             frames arrive per compute step; one compile per layer).
+        beam_width: if set, additionally run frame-synchronous beam search
+            over the emitted logits as they stream (carried scan state, one
+            device dispatch per chunk); ``hypothesis()`` returns the current
+            best beam and ``flush()`` returns the final one.
     """
 
-    def __init__(self, model, variables, blank_id, chunk=8):
+    def __init__(self, model, variables, blank_id, chunk=8, beam_width=None):
         if not isinstance(model, SequenceRouter):
             raise TypeError("streaming supports the SRF SequenceRouter")
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
+        self.beam_width = beam_width
         self.div = model.stride**model.conv_layer_num
         self.K = chunk
         # raw window for post-frames [t0, t0+K): [div*t0 - lmargin,
@@ -101,6 +111,13 @@ class StreamingTranscriber:
         self._prev_id = self.blank_id
         self._decoded_frames = 0
         self._tokens = []
+        if self.beam_width:
+            from srf_tpu.ops.ctc_beam_jax import beam_init
+
+            self._beam_state = beam_init(self.beam_width)
+            self._beam_frames = 0  # frames the beam scan has consumed
+            self._beam_tape = []  # (parents, syms) np blocks, frame-aligned
+            self._beam_scores = None
 
     # ------------------------------------------------------------------ io
 
@@ -115,15 +132,20 @@ class StreamingTranscriber:
         while self._fe_ready(true_len=None):
             self._advance(true_len=None)
         self._decode_available(limit=None)
+        if self.beam_width:
+            self._beam_advance(limit=None)
         return self._tokens[start:]
 
     def flush(self, beam_width=None):
         """End of utterance: drain the cascade, return the remaining ids.
 
-        ``beam_width`` > 1: rescore the WHOLE utterance with CTC prefix
-        beam search over the accumulated logits and return the full beam
-        hypothesis instead (streamed partials stay greedy; the flush pays
-        for beam quality once).
+        With streamed beam on (``beam_width`` at construction) returns the
+        final ``(ids, score)`` hypothesis from the carried beam state —
+        identical to the offline device beam on the full utterance.
+
+        ``beam_width`` > 1 as an argument: rescore the WHOLE utterance
+        offline over the accumulated logits instead (the pre-streaming
+        protocol; streamed partials stay greedy).
         """
         start = len(self._tokens)
         t_true = self._pushed
@@ -141,7 +163,47 @@ class StreamingTranscriber:
                 self.logits[None], [t_dec], beam_width, self.blank_id
             )[0]
         self._decode_available(limit=t_dec)
+        if self.beam_width:
+            self._beam_advance(limit=t_dec)
+            return self.hypothesis()
         return self._tokens[start:]
+
+    def hypothesis(self):
+        """Current best streamed-beam hypothesis ``(ids, score)``.
+
+        Backtraces the accumulated backpointer tape; the best path may
+        revise earlier output (beam search is not prefix-monotone), which
+        is why ``push`` keeps emitting greedy partials."""
+        from srf_tpu.ops.ctc_beam_jax import _backtrace
+
+        if not self._beam_tape:
+            return [], 0.0
+        parents = np.concatenate([p for p, _ in self._beam_tape], axis=0)
+        syms = np.concatenate([s for _, s in self._beam_tape], axis=0)
+        return _backtrace(parents, syms, self._beam_scores)
+
+    def _beam_advance(self, limit):
+        """Advance the carried beam scan over newly available logit frames
+        in fixed-size (K-frame, zero-padded) blocks — one compiled shape."""
+        from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
+
+        total = self._logit_frames if limit is None else min(
+            self._logit_frames, limit
+        )
+        while self._beam_frames < total:
+            lo = self._beam_frames
+            hi = min(lo + self.K, total)
+            block = np.zeros((self.K, self.model.class_n), np.float32)
+            block[: hi - lo] = self.logits[lo:hi]
+            self._beam_state, parents, syms, scores = beam_chunk_step(
+                self._beam_state, jnp.asarray(block), jnp.int32(lo),
+                jnp.int32(hi), self.beam_width, self.blank_id,
+            )
+            self._beam_tape.append(
+                (np.asarray(parents)[: hi - lo], np.asarray(syms)[: hi - lo])
+            )
+            self._beam_scores = np.asarray(scores)
+            self._beam_frames = hi
 
     @property
     def logits(self):

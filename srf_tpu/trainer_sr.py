@@ -171,7 +171,10 @@ def main(argv=None):
             test_ptrn, config.feat_dim, config.prep_max_inp, config.prep_max_tar,
             with_utt_id=True,
         )
-        test_loader = EvalLoader(test_ds, batch_size=config.tpu_decode_batch)
+        test_loader = EvalLoader(
+            test_ds, batch_size=config.tpu_decode_batch,
+            pad_last=config.tpu_decode_pad_last,
+        )
         logits_fn = make_logits_fn(apply_fn)
         run_decoding(
             config, logger, state, logits_fn, test_loader, in_len_div,

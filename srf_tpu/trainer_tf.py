@@ -127,7 +127,8 @@ def main(argv=None):
         )
         run_decoding(
             config, logger, state, make_logits_fn(apply_fn),
-            EvalLoader(test_ds, batch_size=config.tpu_decode_batch),
+            EvalLoader(test_ds, batch_size=config.tpu_decode_batch,
+                       pad_last=config.tpu_decode_pad_last),
             in_len_div,
             beam_width=config.decoding_beam_width,
         )

@@ -149,6 +149,17 @@ def test_train_decode_cycle(written_corpus, capsys):
     out_batched = capsys.readouterr().out
     assert dict(parse_decode_log(io.StringIO(out_batched))) == hyps
 
+    # indivisible batch with --tpu-decode-pad-last: batch size survives
+    # (2 utts, batch 3 -> one dummy-padded batch), hypotheses identical
+    capsys.readouterr()
+    trainer_sr.main(
+        _argv(written_corpus, ckpt,
+              ["--train-max-epoch=0", "--tpu-decode-batch=3",
+               "--tpu-decode-pad-last=True"])
+    )
+    out_padded = capsys.readouterr().out
+    assert dict(parse_decode_log(io.StringIO(out_padded))) == hyps
+
 
 def test_checkpoint_averaging(written_corpus):
     from srf_tpu.config import Logger, ParseOption

@@ -56,6 +56,28 @@ def test_eval_loader_pads_to_multiple():
     assert batches[0]["utt_ids"] == ["a"]
 
 
+def test_eval_loader_pad_last_keeps_batch_size():
+    # 7 utts, batch 3: default reference fallback collapses to batch 1
+    # (load_speech_data.py:127-145); pad_last keeps batch 3 and pads the
+    # final batch with dummies that utt_ids/"valid" exclude
+    ds = FakeDataset([5, 6, 7, 8, 9, 10, 11])
+    ds.utt_ids = ["u%d" % i for i in range(7)]
+    fallback = EvalLoader(ds, batch_size=3, pad_multiple=8)
+    assert fallback.batch_size == 1
+
+    loader = EvalLoader(ds, batch_size=3, pad_multiple=8, pad_last=True)
+    batches = list(loader)
+    assert [b["feats"].shape[0] for b in batches] == [3, 3, 3]
+    assert batches[-1]["valid"] == 1
+    assert batches[-1]["utt_ids"] == ["u6"]
+    # dummy rows: 1 valid frame of zeros, real row unchanged
+    np.testing.assert_array_equal(batches[-1]["inp_len"], [11, 1, 1])
+    assert np.all(batches[-1]["feats"][1:] == 0)
+    # real rows across batches cover the dataset in order
+    seen = [u for b in batches for u in b["utt_ids"]]
+    assert seen == ds.utt_ids
+
+
 def test_prefetch_thread_yields_same_batches():
     ds = FakeDataset([5, 6, 7, 8, 9, 10])
     plain = BucketedLoader(ds, [12], [2, 1], shuffle=False, prefetch=0)

@@ -1,6 +1,7 @@
-"""Dev bench: train-step throughput of the non-SRF canonical recipes.
+"""Dev bench: train-step throughput + MFU of the non-SRF canonical recipes.
 
-Covers the model families BENCH_NOTES' SRF/STF campaigns skip:
+Covers the model families BENCH_NOTES' SRF campaign skips:
+- STF-TIMIT / STF-WSJ (reference: egs/script/train_stf_{timit,wsj}.sh),
 - BLSTM-WSJ (reference: egs/script/train_lstm_wsj.sh — L=5 blstm, D=534,
   CNN-FE on; representative 24,000-frame bucket -> batch 40 x 600),
 - CNN-TIMIT maxpool (train_cnn_timit.sh — L=10, filt 128/256, proj
@@ -8,10 +9,14 @@ Covers the model families BENCH_NOTES' SRF/STF campaigns skip:
 - CNN-WSJ stride (train_cnn_wsj.sh — L=15, filt 200/430, proj 3x2048;
   24,000-frame bucket -> batch 40 x 600).
 
-Run: python tools_dev/bench_families.py [--family blstm_wsj|cnn_timit|cnn_wsj|all]
+Emits ms/step, utt/s/chip, analytic model FLOPs (srf_tpu/utils/flops.py)
+and MFU vs the v5e bf16 peak (plus the f32-relative number).
+
+Run: python tools_dev/bench_families.py [--family ...] [--bf16] [--json]
 """
 
 import argparse
+import json
 import sys
 import time
 
@@ -21,8 +26,11 @@ import numpy as np
 
 
 def bench(name, model, batch, frames, vocab, in_len_div, iters=10,
-          stf_pen=None):
+          stf_pen=None, bf16=False, flops_per_step=None, emit_json=False):
     import jax
+
+    from srf_tpu.utils.flops import V5E_PEAK_BF16, V5E_PEAK_F32
+
     import jax.numpy as jnp
     import optax
 
@@ -56,8 +64,8 @@ def bench(name, model, batch, frames, vocab, in_len_div, iters=10,
         variables["params"], tx, variables.get("batch_stats", {})
     )
     train_step = make_train_step(
-        make_apply_fn(model, extra_kwargs_fn), tx, in_len_div, mesh=None,
-        donate=False,
+        make_apply_fn(model, extra_kwargs_fn, bf16=bf16), tx, in_len_div,
+        mesh=None, donate=False,
     )
 
     def sync(m):
@@ -65,14 +73,37 @@ def bench(name, model, batch, frames, vocab, in_len_div, iters=10,
 
     for _ in range(3):
         state, metrics = train_step(state, data, rng)
-    sync(metrics)
+    loss = sync(metrics)
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, data, rng)
     sync(metrics)
     dt = (time.perf_counter() - start) / iters
-    print("%-12s %7.2f ms/step  (%7.1f utt/s/chip, batch %d x %d)"
-          % (name, dt * 1e3, batch / dt, batch, frames), flush=True)
+    row = {
+        "family": name,
+        "dtype": "bf16" if bf16 else "f32",
+        "ms_per_step": round(dt * 1e3, 2),
+        "utt_per_s": round(batch / dt, 1),
+        "batch": batch,
+        "frames": frames,
+        "loss": round(loss / batch, 3),
+    }
+    if flops_per_step is not None:
+        row["model_flops_per_step"] = flops_per_step
+        row["mfu_bf16peak"] = round(flops_per_step / dt / V5E_PEAK_BF16, 4)
+        row["mfu_f32peak"] = round(flops_per_step / dt / V5E_PEAK_F32, 4)
+    if emit_json:
+        print(json.dumps(row), flush=True)
+    else:
+        mfu_s = (
+            "  MFU %5.1f%% bf16peak / %5.1f%% f32peak"
+            % (100 * row["mfu_bf16peak"], 100 * row["mfu_f32peak"])
+            if flops_per_step is not None else ""
+        )
+        print("%-12s %-4s %7.2f ms/step  (%7.1f utt/s/chip, batch %d x %d)%s"
+              % (name, row["dtype"], dt * 1e3, batch / dt, batch, frames,
+                 mfu_s), flush=True)
+    return row
 
 
 def main():
@@ -82,6 +113,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--family", default="all")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
     from srf_tpu.models.cnn import CNNEncoder, CNNStrideEncoder
@@ -89,6 +122,10 @@ def main():
     from srf_tpu.models.stf import ConvEncoder
     from srf_tpu.ops.attention_penalty import AttentionPenalty
     from srf_tpu.ops.blockwise_attention import PenaltyParams
+    from srf_tpu.utils.flops import (
+        cnn_maxpool_forward_flops, cnn_stride_forward_flops,
+        lstm_forward_flops, stf_forward_flops,
+    )
 
     def stf(d_model, dff, vocab):
         ap = AttentionPenalty(max_len=2500, num_head=4, zero_width=1,
@@ -100,34 +137,55 @@ def main():
             penalty_params=pen,
         )
 
+    common = dict(iters=args.iters, bf16=args.bf16, emit_json=args.json)
     fams = {}
     ap_t, stf_t = stf(128, 1024, 62)
     fams["stf_timit"] = lambda: bench(
-        "stf_timit", stf_t, 29, 241, 62, 4, args.iters, stf_pen=ap_t,
+        "stf_timit", stf_t, 29, 241, 62, 4, stf_pen=ap_t,
+        flops_per_step=3 * stf_forward_flops(
+            29, 241, 123, num_layers=20, d_model=128, num_heads=4,
+            dff=1024, vocab_n=63),
+        **common,
     )
     ap_w, stf_w = stf(256, 1488, 31)
     fams["stf_wsj"] = lambda: bench(
-        "stf_wsj", stf_w, 40, 600, 31, 4, args.iters, stf_pen=ap_w,
+        "stf_wsj", stf_w, 40, 600, 31, 4, stf_pen=ap_w,
+        flops_per_step=3 * stf_forward_flops(
+            40, 600, 123, num_layers=20, d_model=256, num_heads=4,
+            dff=1488, vocab_n=32),
+        **common,
     )
     fams["blstm_wsj"] = lambda: bench(
         "blstm_wsj",
         LstmEncoder(num_layers=5, d_model=534, vocab_n=32, feat_dim=123,
                     bidirectional=True, is_cnnfe=True),
-        40, 600, 31, 4, args.iters,
+        40, 600, 31, 4,
+        flops_per_step=3 * lstm_forward_flops(
+            40, 600, 123, num_layers=5, d_model=534, vocab_n=32,
+            bidirectional=True, is_cnnfe=True),
+        **common,
     )
     fams["cnn_timit"] = lambda: bench(
         # canonical TIMIT maxpool recipe uses time-stride 1 -> in_len_div 1
         "cnn_timit",
         CNNEncoder(enc_num=10, class_n=63, feat_dim=123, nfilt_inp=128,
                    nfilt_inn=256, proj_layers=3, proj_dim=1024, stride=1),
-        29, 241, 62, 1, args.iters,
+        29, 241, 62, 1,
+        flops_per_step=3 * cnn_maxpool_forward_flops(
+            29, 241, 123, enc_num=10, class_n=63, nfilt_inp=128,
+            nfilt_inn=256, proj_layers=3, proj_dim=1024, stride=1),
+        **common,
     )
     fams["cnn_wsj"] = lambda: bench(
         "cnn_wsj",
         CNNStrideEncoder(enc_num=15, class_n=32, feat_dim=123,
                          nfilt_inp=200, nfilt_inn=430, proj_layers=3,
                          proj_dim=2048),
-        40, 600, 31, 4, args.iters,
+        40, 600, 31, 4,
+        flops_per_step=3 * cnn_stride_forward_flops(
+            40, 600, 123, enc_num=15, class_n=32, nfilt_inp=200,
+            nfilt_inn=430, proj_layers=3, proj_dim=2048),
+        **common,
     )
     for name, fn in fams.items():
         if args.family in ("all", name):

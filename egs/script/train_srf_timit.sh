@@ -4,6 +4,11 @@
 # (reference: egs/script/train_srf_timit.sh), invoking the TPU trainers.
 #
 # Usage: train_srf_timit.sh [LAYER PH CH DIM LPAD RPAD METHOD ITER]
+#
+# Env overrides (defaults are the canonical recipe):
+#   DATA_BASE  corpus root        E1/E2       stage epoch budgets (27/200)
+#   OUT_BASE   log/utt output dir CKPT_BASE   checkpoint root (./checkpoint)
+#   REF_DIR    dir with {test,valid}.ref      EXTRA_FLAGS extra trainer flags
 set -e
 cd "$(dirname "$0")/../.."
 
@@ -16,6 +21,11 @@ LPAD=${5:-1}
 RPAD=${6:-1}
 METHOD=${7:-"SDR"}
 ITER=${8:-1}
+E1=${E1:-27}
+E2=${E2:-200}
+OUT_BASE=${OUT_BASE:-.}
+CKPT_BASE=${CKPT_BASE:-./checkpoint}
+REF_DIR=${REF_DIR:-.}
 
 if [ "${METHOD}" = "DR" ]; then ROUTING="false"; else ROUTING="true"; fi
 
@@ -31,7 +41,7 @@ run() {
   python -u -m ${MODULE} \
     --path-base=${DATA_BASE} \
     --config=egs/conf/timit.conf \
-    --path-ckpt=./checkpoint/${NAME}${AVG} \
+    --path-ckpt=${CKPT_BASE}/${NAME}${AVG} \
     --train-lr-param-k=${K} \
     --train-batch-frame=7000 \
     --train-warmup-n=1200 \
@@ -48,17 +58,18 @@ run() {
     --model-caps-window-rpad=${RPAD} \
     --model-caps-context=${ROUTING} \
     --model-caps-iter=${ITER} \
-    --model-encoder-num=${LAYER}
+    --model-encoder-num=${LAYER} \
+    ${EXTRA_FLAGS}
 }
 
-run srf_tpu.trainer_sr 0.5  27 dummy dummy  27 &>  ${NAME}.1train.out
-run srf_tpu.trainer_sr 0.1 200 dummy dummy 200 &>> ${NAME}.1train.out
-rm -rf ./checkpoint/${NAME}/avg
-run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${NAME}.2avg.out
-run srf_tpu.trainer_sr 1e-6 0 /avg test 0 &> ${NAME}.3decode.test.out
-run srf_tpu.trainer_sr 1e-6 0 /avg dev  0 &> ${NAME}.3decode.valid.out
+run srf_tpu.trainer_sr 0.5 ${E1} dummy dummy ${E1} &>  ${OUT_BASE}/${NAME}.1train.out
+run srf_tpu.trainer_sr 0.1 ${E2} dummy dummy ${E2} &>> ${OUT_BASE}/${NAME}.1train.out
+rm -rf ${CKPT_BASE}/${NAME}/avg
+run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${OUT_BASE}/${NAME}.2avg.out
+run srf_tpu.trainer_sr 1e-6 0 /avg test 0 &> ${OUT_BASE}/${NAME}.3decode.test.out
+run srf_tpu.trainer_sr 1e-6 0 /avg dev  0 &> ${OUT_BASE}/${NAME}.3decode.valid.out
 
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.test.out egs/data/timit_62.vocab --corpus timit > ${NAME}.test.utt
-egs/script/sclite.sh test.ref ${NAME}.test.utt
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.valid.out egs/data/timit_62.vocab --corpus timit > ${NAME}.valid.utt
-egs/script/sclite.sh valid.ref ${NAME}.valid.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.test.out egs/data/timit_62.vocab --corpus timit > ${OUT_BASE}/${NAME}.test.utt
+egs/script/sclite.sh ${REF_DIR}/test.ref ${OUT_BASE}/${NAME}.test.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.valid.out egs/data/timit_62.vocab --corpus timit > ${OUT_BASE}/${NAME}.valid.utt
+egs/script/sclite.sh ${REF_DIR}/valid.ref ${OUT_BASE}/${NAME}.valid.utt

@@ -39,11 +39,36 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def put_sharded(arrays, sharding):
+    """Stage host arrays onto devices under ``sharding``.
+
+    Single-process: a plain ``device_put``. Multi-process: the loaders
+    yield each process's LOCAL shard (round-robin per-process sharding,
+    data/loader.py), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the global leading-axis
+    order interleaves processes, a permutation of the single-process batch,
+    which leaves the summed loss / gradients unchanged (tested in
+    tests/test_distributed.py with two real OS processes)."""
+    if sharding is not None and jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            arrays,
+        )
+    if sharding is not None:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), arrays)
+    return jax.tree.map(jax.device_put, arrays)
+
+
 def shard_batch(mesh, batch):
     """Place a host batch dict onto the mesh, sharded over 'data'."""
     sharding = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") and x.ndim > 0
-        else x,
-        batch,
-    )
+    arrays = {
+        k: v for k, v in batch.items()
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+    }
+    rest = {k: v for k, v in batch.items() if k not in arrays}
+    out = put_sharded(arrays, sharding)
+    out.update(rest)
+    return out

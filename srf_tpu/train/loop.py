@@ -32,14 +32,9 @@ def device_prefetch(iterator, sharding=None, depth=2):
     queue = collections.deque()
 
     def put(batch):
-        arrays = {k: batch[k] for k in STEP_KEYS}
-        if sharding is not None:
-            arrays = jax.tree.map(
-                lambda x: jax.device_put(x, sharding), arrays
-            )
-        else:
-            arrays = jax.tree.map(jax.device_put, arrays)
-        return arrays
+        from srf_tpu.parallel.mesh import put_sharded
+
+        return put_sharded({k: batch[k] for k in STEP_KEYS}, sharding)
 
     for batch in iterator:
         queue.append(put(batch))

@@ -1,0 +1,209 @@
+"""Dev harness: the reference's SHELL-DRIVER control flow, end to end.
+
+The reference's acceptance path is the bash driver, not the trainer CLI:
+multi-stage LR by re-invoking the trainer with smaller k and resuming from
+the checkpoint, then checkpoint averaging, then decode test+dev, then
+log2utt, then sclite (reference: egs/script/train_srf_timit.sh:71-78,
+train_srf_wsj.sh:57-69). This harness executes OUR drivers
+(egs/script/train_srf_{timit,wsj}.sh) through every stage on a synthetic
+corpus shaped like the real one (123-dim feats, the real vocab files, the
+conf-pinned shard names), with epoch budgets dialed down via the drivers'
+env overrides, and verifies:
+
+- stage N+1 RESUMES from stage N's checkpoint (epoch numbering continues),
+- the averaging stage writes $ckpt/avg,
+- both decodes emit scrapeable UTTID logs,
+- log2utt + the sclite wrapper produce a scored PER/WER report.
+
+Run: python tools_dev/driver_e2e.py [--corpus timit|wsj] [--out DIR]
+Exit 0 = the whole composed pipeline ran and scored.
+"""
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_corpus(base, corpus, utts, frames=200, feat_dim=123, noise=0.3):
+    """Learnable synthetic corpus over the REAL vocab file: each token has
+    a characteristic feature direction (same idea as convergence_run)."""
+    rng = np.random.RandomState(0)
+    if corpus == "timit":
+        vocab_path = os.path.join(REPO, "egs/data/timit_62.vocab")
+        feat_type = "None"
+    else:
+        vocab_path = os.path.join(REPO, "egs/data/wsj_31.vocab")
+        feat_type = "graves13"
+    tokens = [line.rstrip("\n") for line in open(vocab_path)]
+    # usable symbols: skip PAD (0) and, for wsj, the specials at the front
+    usable = [
+        i for i, t in enumerate(tokens)
+        if i > 0 and t not in ("$", "@", "<SPACE>", "'")
+    ]
+    protos = rng.randn(len(tokens), feat_dim).astype(np.float32) * 2.0
+
+    def gen(n, tag):
+        specs = []
+        for i in range(n):
+            # timit id parsing expects spk_utt keys (writer.parse_utt_ids)
+            if corpus == "timit":
+                key = "%s%02d_%03d.npy" % (tag, i % 4, i)
+            else:
+                key = "%s%03d.%s.npy" % (tag, i, feat_type)
+            n_ph = frames // 10
+            ids = rng.choice(usable, size=n_ph)
+            feats = np.repeat(protos[ids], 10, axis=0)
+            feats += rng.randn(*feats.shape).astype(np.float32) * noise
+            np.save(os.path.join(base, key), feats.astype(np.float32))
+            if corpus == "timit":
+                text = " ".join(tokens[p] for p in ids)  # word unit
+            else:
+                text = "".join(tokens[p] for p in ids)  # char unit
+            specs.append({"key": key, "duration": frames / 100.0,
+                          "text": text})
+        return specs
+
+    for split, n in [("train", utts), ("valid", 8), ("test", 8)]:
+        with open(os.path.join(base, split + ".json"), "w") as f:
+            for spec in gen(n, split):
+                f.write(json.dumps(spec) + "\n")
+    return vocab_path, feat_type
+
+
+def run(cmd, env=None, log=None):
+    print("+", " ".join(cmd[:4]), "...", flush=True)
+    merged = os.pathsep.join(
+        p for p in [REPO, os.environ.get("PYTHONPATH", "")] if p
+    )
+    full_env = dict(os.environ, PYTHONPATH=merged)
+    if env:
+        full_env.update(env)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=full_env,
+                         cwd=REPO)
+    if log:
+        with open(log, "w") as f:
+            f.write(out.stdout + "\n==== STDERR ====\n" + out.stderr)
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-3000:])
+        raise SystemExit("command failed: %s" % " ".join(cmd[:4]))
+    return out.stdout
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--corpus", default="timit",
+                        choices=["timit", "wsj"])
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--utts", type=int, default=32)
+    args = parser.parse_args()
+
+    out = args.out or ("/tmp/srf_driver_e2e_" + args.corpus)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    data = os.path.join(out, "data")
+    logs = os.path.join(out, "logs")
+    os.makedirs(data)
+    os.makedirs(logs)
+
+    vocab_path, feat_type = make_corpus(data, args.corpus, args.utts)
+    name = args.corpus
+
+    # 1. write TFRecords with the conf-pinned shard naming
+    run([sys.executable, "-m", "srf_tpu.tools.save_tfrecord",
+         "--path-base=%s" % data, "--path-vocab=%s" % vocab_path,
+         "--feat-dim=123", "--feat-type=%s" % feat_type,
+         "--prep-data-name=%s" % name, "--prep-data-shard=2",
+         "--path-train-json=train.json", "--path-valid-json=valid.json",
+         "--path-test-json=test.json",
+         "--path-wrt-tfrecord=tfrecord_graves13",
+         "--decoding-from-npy=True",
+         "--prep-data-unit=%s" % ("word" if args.corpus == "timit" else "char")],
+        log=os.path.join(logs, "tfr.log"))
+
+    # 2. reference files for the scoring stage
+    suffix = "" if args.corpus == "timit" else "_wsj"
+    for split, ref in [("test", "test%s.ref" % suffix),
+                       ("valid", "valid%s.ref" % suffix)]:
+        ptrn = os.path.join(
+            data, "tfrecord_graves13",
+            "%s-%s-%s-123-*" % (name, split, feat_type))
+        txt = run([sys.executable, "-m", "srf_tpu.tools.make_ref", ptrn,
+                   vocab_path, "--corpus", args.corpus])
+        with open(os.path.join(out, ref), "w") as f:
+            f.write(txt)
+
+    # 3. the driver itself: tiny model, dialed-down stage epochs
+    env = {
+        "DATA_BASE": data,
+        "OUT_BASE": logs,
+        "CKPT_BASE": os.path.join(out, "checkpoint"),
+        "REF_DIR": out,
+        "JAX_PLATFORMS": os.environ.get("SRF_E2E_PLATFORM", "cpu"),
+        "EXTRA_FLAGS": " ".join([
+            "--prep-data-num-train=%d" % args.utts,
+            "--prep-data-num-valid=8", "--prep-data-num-test=8",
+            "--model-average-num=2",
+            "--model-conv-filter-num=16",
+        ]),
+    }
+    if args.corpus == "timit":
+        env.update({"E1": "2", "E2": "4"})
+        driver = "egs/script/train_srf_timit.sh"
+        cmd = ["bash", driver, "3", "12", "8", "4", "1", "1", "SDR", "1"]
+        stage_epochs = [2, 4]
+    else:
+        env.update({"E1": "1", "E2": "2", "E3": "3", "E4": "4"})
+        driver = "egs/script/train_srf_wsj.sh"
+        cmd = ["bash", driver, "3", "12", "8", "4", "1", "1"]
+        stage_epochs = [1, 2, 3, 4]
+    run(cmd, env=env, log=os.path.join(logs, "driver.log"))
+
+    # 4. verify the composed control flow
+    train_log = next(
+        os.path.join(logs, f) for f in os.listdir(logs)
+        if f.endswith(".1train.out")
+    )
+    text = open(train_log).read()
+    for ep in range(1, stage_epochs[-1] + 1):
+        assert re.search(r"Epoch %03d Train Loss" % ep, text), \
+            "epoch %d missing: staged resume broken" % ep
+    # each stage's LAST epoch appears exactly once -> later stages resumed
+    # from the checkpoint instead of retraining from scratch
+    for ep in range(1, stage_epochs[-1]):
+        assert len(re.findall(r"Epoch %03d Train Loss" % ep, text)) == 1, \
+            "epoch %d ran twice: resume-across-invocations broken" % ep
+    ckpt_root = os.path.join(out, "checkpoint")
+    model_dir = next(
+        d for d in os.listdir(ckpt_root) if not d.endswith("avg")
+    )
+    assert os.path.isdir(os.path.join(ckpt_root, model_dir, "avg")), \
+        "averaging stage did not write $ckpt/avg"
+    for tc in ("test", "valid"):
+        dec = open(next(
+            os.path.join(logs, f) for f in os.listdir(logs)
+            if f.endswith(".3decode.%s.out" % tc)
+        )).read()
+        assert dec.count("UTTID:") == 8, "decode did not emit 8 utterances"
+        utt = open(next(
+            os.path.join(logs, f) for f in os.listdir(logs)
+            if f.endswith(".%s.utt" % tc)
+        )).read()
+        assert len(utt.strip().splitlines()) == 8, "log2utt lost utterances"
+    driver_out = open(os.path.join(logs, "driver.log")).read()
+    scores = re.findall(r"(?:Error Rate|Sum/Avg)[^\n]*", driver_out)
+    assert scores, "no score line in driver output"
+    print("driver pipeline OK — scores:", flush=True)
+    for s in scores:
+        print("  ", s, flush=True)
+
+
+if __name__ == "__main__":
+    main()

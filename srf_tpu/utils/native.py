@@ -6,6 +6,12 @@ CRC-32C TFRecord scan (csrc/srf_io.cc) and the C++ CTC prefix beam search
 checkout would silently fall back to the pure-Python paths — this loader
 builds it on first use when a C++ toolchain is available (csrc/build.sh,
 ~2 s) and logs the fallback otherwise instead of degrading silently.
+
+Library/production use may not want a compiler subprocess on first
+TFRecord read (surprising first-use latency in sandboxed environments —
+ADVICE r2): set SRF_AUTOBUILD=0 to restrict the loader to load-if-present
+(the trainer/tool CLIs and the test/bench entry points keep the default
+auto-build).
 """
 
 import ctypes
@@ -36,7 +42,8 @@ def load_native_lib():
         csrc = _csrc_dir()
         lib_path = os.path.join(csrc, "libsrf_io.so")
         script = os.path.join(csrc, "build.sh")
-        if not os.path.exists(lib_path) and os.path.exists(script):
+        autobuild = os.environ.get("SRF_AUTOBUILD", "1") != "0"
+        if autobuild and not os.path.exists(lib_path) and os.path.exists(script):
             try:
                 subprocess.run(
                     ["bash", script], capture_output=True, timeout=180,

@@ -17,6 +17,11 @@ import os
 # DR path exercised by the parity tests; must be set before TF ever loads
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+# single-threaded TF: deterministic conv accumulation order, so the
+# TF-vs-JAX parity tolerances can stay tight (ADVICE r2: threading drift
+# was being absorbed by loosened tolerances in the deep conv stacks)
+os.environ.setdefault("TF_NUM_INTRAOP_THREADS", "1")
+os.environ.setdefault("TF_NUM_INTEROP_THREADS", "1")
 
 _platform = os.environ.get("SRF_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform

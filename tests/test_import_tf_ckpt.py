@@ -401,10 +401,13 @@ def test_import_cnn_maxpool_forward_parity(tmp_path):
         {"params": restored.params, "batch_stats": restored.batch_stats},
         jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
     )
-    # the stride-1 maxpool stack is the deepest conv chain: allow conv
-    # accumulation-order drift (~1.5e-4 abs observed)
+    # TF is pinned to 1 intra-op thread (conftest), yet this stride-1
+    # 10-layer chain still drifts to ~2.4e-4 abs on ~2% of elements —
+    # Eigen-vs-XLA conv accumulation order, not threading and not a
+    # mapping bug (a wrong transpose is O(1)); rtol stays tight so
+    # large-magnitude outputs are still compared at 1e-4
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=3e-4,
-                               rtol=3e-3)
+                               rtol=1e-4)
 
 
 def test_import_cnn_stride_forward_parity(tmp_path):
@@ -459,11 +462,10 @@ def test_import_cnn_stride_forward_parity(tmp_path):
         {"params": restored.params, "batch_stats": restored.batch_stats},
         jnp.asarray(feats), jnp.asarray(inp_len.astype(np.int32)), False,
     )
-    # deep conv stack: conv accumulation-order drift varies with TF's
-    # in-suite threading (borderline flake at 5e-5); a wrong mapping
-    # would be O(1) off
-    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=3e-4,
-                               rtol=3e-3)
+    # deep conv stack with TF pinned to 1 intra-op thread (conftest):
+    # accumulation order is deterministic, tolerance stays tight
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-5,
+                               rtol=1e-4)
 
 
 def test_import_rejects_wrong_architecture(tmp_path):

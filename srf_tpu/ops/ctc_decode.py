@@ -71,6 +71,10 @@ def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
     logits = np.asarray(logits, np.float64)
     if blank_id is None:
         blank_id = logits.shape[-1] - 1
+    if beam_width is None:
+        # never run unpruned (beams grow exponentially); 100 is the
+        # reference default (tf.nn.ctc_beam_search_decoder)
+        beam_width = 100
     log_probs = logits - _np_logsumexp(logits)
     # beams: prefix tuple -> [p_blank, p_non_blank] (log)
     beams = {(): [0.0, LOG_ZERO]}

@@ -368,17 +368,15 @@ def _v6_step(u3, v_row, w_ref, bias, g, gt, pad_mask, num_iter,
     b_acc = jnp.zeros((batch, in_n, out_n), jnp.float32)
     v = v_row
     for _ in range(num_iter):
-        hv = (u_hat * v[:, None, :]).reshape(batch * in_n, out_no)
-        b_acc = b_acc + jnp.dot(
-            hv, g, preferred_element_type=jnp.float32
-        ).reshape(batch, in_n, out_n)
+        # 3-D x 2-D dots contract the lane dim directly — merging (B,
+        # in_n) into rows would need a relayout (in_n is not a multiple
+        # of the 8-row sublane tile)
+        hv = u_hat * v[:, None, :]
+        b_acc = b_acc + jnp.dot(hv, g, preferred_element_type=jnp.float32)
         if pad_mask is not None:
             b_acc = b_acc + pad_mask[None]
         c = jax.nn.softmax(b_acc, axis=2)
-        ce = jnp.dot(
-            c.reshape(batch * in_n, out_n), gt,
-            preferred_element_type=jnp.float32,
-        ).reshape(batch, in_n, out_no)
+        ce = jnp.dot(c, gt, preferred_element_type=jnp.float32)
         s = jnp.sum(u_hat * ce, axis=1)  # [B, out_no]
         q = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
         factor = (q / (1.0 + q)) / jnp.sqrt(q + 1e-7)
@@ -407,8 +405,7 @@ def _sdr_v6_fwd_kernel(u_ref, w_ref, b_ref, g_ref, gt_ref, out_ref, v_ref,
         out_ref[i] = v
         return v
 
-    v_ref[:] = jax.lax.fori_loop(0, time_block, body, v_ref[:],
-                                 unroll=True)
+    v_ref[:] = jax.lax.fori_loop(0, time_block, body, v_ref[:])
 
 
 def _prep_v6(u, wgt, bias, time_block):
@@ -462,6 +459,11 @@ def _pallas_sdr_v6(u, wgt, bias, num_iter, mask_pad_capsule, time_block=8,
         out_shape=jax.ShapeDtypeStruct((t_pad_len, b_pad, out_no),
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((b_pad, out_no), jnp.float32)],
+        # the [G, B, in_n, in_d] u blocks pad in_d to 128 lanes in VMEM;
+        # raise the conservative 16MB scoped limit (v5e has 128MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(u_t, w_flat, b_flat, g, jnp.transpose(g))
     out = jnp.moveaxis(out[:seq_len, :batch], 0, 1)
@@ -498,15 +500,12 @@ def _sdr_v6_bwd_kernel(u_ref, vprev_ref, dvs_ref, w_ref, b_ref, g_ref,
         u_hat = jnp.broadcast_to(bias[None], (batch, in_n, out_no))
         for j in range(in_d):
             u_hat = u_hat + u3[:, :, j][:, :, None] * w_ref[j][None]
-        hv = (u_hat * v_prev[:, None, :]).reshape(batch * in_n, out_no)
-        a = jnp.dot(hv, g, preferred_element_type=jnp.float32).reshape(
-            batch, in_n, out_n)
+        hv = u_hat * v_prev[:, None, :]
+        a = jnp.dot(hv, g, preferred_element_type=jnp.float32)
         if pad_mask is not None:
             a = a + pad_mask[None]
         c = jax.nn.softmax(a, axis=2)
-        ce = jnp.dot(c.reshape(batch * in_n, out_n), gt,
-                     preferred_element_type=jnp.float32).reshape(
-            batch, in_n, out_no)
+        ce = jnp.dot(c, gt, preferred_element_type=jnp.float32)
         s = jnp.sum(u_hat * ce, axis=1)     # [B, out_no]
         q = jnp.dot(s * s, g, preferred_element_type=jnp.float32)
         inv_sqrt = 1.0 / jnp.sqrt(q + 1e-7)
@@ -524,13 +523,9 @@ def _sdr_v6_bwd_kernel(u_ref, vprev_ref, dvs_ref, w_ref, b_ref, g_ref,
                                     preferred_element_type=jnp.float32)
         du_hat = ce * ds[:, None, :]
         dce = u_hat * ds[:, None, :]
-        dc = jnp.dot(dce.reshape(batch * in_n, out_no), g,
-                     preferred_element_type=jnp.float32).reshape(
-            batch, in_n, out_n)
+        dc = jnp.dot(dce, g, preferred_element_type=jnp.float32)
         da = c * (dc - jnp.sum(dc * c, axis=2, keepdims=True))
-        dag = jnp.dot(da.reshape(batch * in_n, out_n), gt,
-                      preferred_element_type=jnp.float32).reshape(
-            batch, in_n, out_no)
+        dag = jnp.dot(da, gt, preferred_element_type=jnp.float32)
         du_hat = du_hat + dag * v_prev[:, None, :]
         dv_prev = jnp.sum(dag * u_hat, axis=1)
 
@@ -545,7 +540,7 @@ def _sdr_v6_bwd_kernel(u_ref, vprev_ref, dvs_ref, w_ref, b_ref, g_ref,
 
     dv0 = dv_ref[:]
     dv_out, dw_out, db_out = jax.lax.fori_loop(
-        0, time_block, body, (dv0, dw_ref[:], db_ref[:]), unroll=True)
+        0, time_block, body, (dv0, dw_ref[:], db_ref[:]))
     dv_ref[:] = dv_out
     dw_ref[:] = dw_out
     db_ref[:] = db_out
@@ -615,6 +610,9 @@ def _pallas_sdr_v6_bwd(u, wgt, bias, vs, dvs, mask_pad_capsule,
             jax.ShapeDtypeStruct((in_n, out_no), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((b_pad, out_no), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(u_t, vprev_rows, dvs_rows, w_flat, b_flat, g, jnp.transpose(g))
     du = jnp.moveaxis(du[:seq_len, :batch], 0, 1)

@@ -80,32 +80,42 @@ def hypothesis_errors(labels, tar_len, hyps, hyp_lens):
 
 
 def make_mwer_train_step(apply_fn, logits_fn, tx, in_len_div, beam_width,
-                         n_best, blank_id, lam_ctc=0.1):
-    """Returns train_step(state, batch, rng) running one MWER update."""
+                         n_best, blank_id, lam_ctc=0.1, accum_steps=1):
+    """Returns train_step(state, batch, rng) running one MWER update.
+
+    ``accum_steps > 1`` (--tpu-grad-accum) microbatches the jitted update:
+    the n-best scoring forward (N+1 CTC lattices per example — the memory-
+    heavy part) runs per microbatch with gradients accumulated before one
+    optimizer step. Both loss terms are sums of per-example terms divided
+    by the global batch, so the accumulated update is mathematically the
+    full-batch one for BN-free models (BN stats advance per microbatch,
+    same caveat as train/step.py). The host n-best decode stays full-batch
+    (inference only — no activation residuals to save)."""
 
     @jax.jit
     def _update(state, batch, hyps, hyp_lens, word_errors, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         global_batch = batch["feats"].shape[0]
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, mb, mb_hyps, mb_hyp_lens,
+                    mb_errors, mb_rng):
             logits, new_stats = apply_fn(
-                params, state.batch_stats, batch, True, step_rng
+                params, batch_stats, mb, True, mb_rng
             )
 
             def hyp_loss(h, hl):
                 return ctc_loss_from_frames(
-                    logits, batch["inp_len"], in_len_div, h, hl
+                    logits, mb["inp_len"], in_len_div, h, hl
                 )
 
-            # [B, N] CTC -log p of each hypothesis under the current model
+            # [b, N] CTC -log p of each hypothesis under the current model
             pe = jax.vmap(hyp_loss, in_axes=(1, 1), out_axes=1)(
-                hyps, hyp_lens
+                mb_hyps, mb_hyp_lens
             )
-            ew = loss_ewerr(word_errors, -pe)  # [B]
+            ew = loss_ewerr(mb_errors, -pe)  # [b]
             ctc_ref = ctc_loss_from_frames(
-                logits, batch["inp_len"], in_len_div,
-                batch["labels"], batch["tar_len"],
+                logits, mb["inp_len"], in_len_div,
+                mb["labels"], mb["tar_len"],
             )
             loss = (
                 jnp.sum(ew) / global_batch
@@ -113,9 +123,43 @@ def make_mwer_train_step(apply_fn, logits_fn, tx, in_len_div, beam_width,
             )
             return loss, (ew, ctc_ref, new_stats)
 
-        (_, (ew, ctc_ref, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if accum_steps <= 1:
+            (_, (ew, ctc_ref, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, hyps, hyp_lens,
+                word_errors, step_rng,
+            )
+            loss_sum = jnp.sum(ew) + lam_ctc * jnp.sum(ctc_ref)
+        else:
+            # largest divisor of this bucket's batch <= accum_steps
+            # (trace-time choice, same policy as train/step.py)
+            k = accum_steps
+            while global_batch % k:
+                k -= 1
+            mb_size = global_batch // k
+
+            def slice_mb(v, i):
+                return jax.lax.dynamic_slice_in_dim(v, i * mb_size, mb_size)
+
+            def micro(carry, i):
+                grads_acc, loss_acc, stats = carry
+                mb = {kk: slice_mb(v, i) for kk, v in batch.items()}
+                (_, (ew, ctc_ref, new_stats)), g = grad_fn(
+                    state.params, stats, mb, slice_mb(hyps, i),
+                    slice_mb(hyp_lens, i), slice_mb(word_errors, i),
+                    jax.random.fold_in(step_rng, i),
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                loss_acc = loss_acc + jnp.sum(ew) + lam_ctc * jnp.sum(ctc_ref)
+                return (grads_acc, loss_acc, new_stats), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum, new_stats), _ = jax.lax.scan(
+                micro, (zero_grads, jnp.float32(0.0), state.batch_stats),
+                jnp.arange(k),
+            )
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(
@@ -124,7 +168,7 @@ def make_mwer_train_step(apply_fn, logits_fn, tx, in_len_div, beam_width,
         )
         metrics = {
             # loop reports loss_sum/samples: expected-error + interpolated CTC
-            "loss_sum": jnp.sum(ew) + lam_ctc * jnp.sum(ctc_ref),
+            "loss_sum": loss_sum,
             "samples": jnp.asarray(global_batch, jnp.float32),
             "frames": jnp.sum(batch["inp_len"]).astype(jnp.float32),
         }

@@ -209,23 +209,24 @@ def main(argv=None):
             )
 
         logits_fn = make_logits_fn(apply_fn)
+        # an unset --decoding-beam-width must not mean "unpruned": the
+        # host n-best search grows exponentially without a beam cap
+        mwer_beam = config.decoding_beam_width or max(
+            4 * config.tpu_mwer_nbest, 16
+        )
         train_step = make_mwer_train_step(
             apply_fn, logits_fn, tx, in_len_div,
-            beam_width=config.decoding_beam_width,
+            beam_width=mwer_beam,
             n_best=config.tpu_mwer_nbest, blank_id=blank_idx,
             lam_ctc=config.tpu_mwer_lam_ctc,
+            accum_steps=config.tpu_grad_accum,
         )
         logger.info(
-            "MWER fine-tune: beam %d, n-best %d, lambda-CTC %.3f",
+            "MWER fine-tune: beam %d, n-best %d, lambda-CTC %.3f, "
+            "grad-accum %d",
             config.decoding_beam_width, config.tpu_mwer_nbest,
-            config.tpu_mwer_lam_ctc,
+            config.tpu_mwer_lam_ctc, config.tpu_grad_accum,
         )
-        if config.tpu_grad_accum > 1:
-            logger.warning(
-                "--tpu-grad-accum=%d is ignored in MWER mode (the MWER "
-                "step scores the whole batch's n-best in one update)",
-                config.tpu_grad_accum,
-            )
     else:
         train_step = make_train_step(
             apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,

@@ -21,7 +21,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
-                noise=0.3):
+                noise=0.3, variability=0.0):
+    """Learnable synthetic corpus; each 'phone' has a feature direction.
+
+    ``variability`` > 0 makes the corpus realistic enough for
+    augmentation to matter (the r2 SpecAugment check was neutral on the
+    constant-direction corpus — masking was purely destructive there):
+    per-utterance channel offsets (speaker/channel variation the model
+    must become invariant to) and jittered phone durations. Scale ~0.5-1.
+    """
     rng = np.random.RandomState(0)
     tokens = ["<PADDING_SYMBOL>"] + ["p%02d" % i for i in range(1, vocab_size)] + ["$", "@"]
     with open(os.path.join(base, "synth.vocab"), "w") as f:
@@ -33,15 +41,27 @@ def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
         specs = []
         for i in range(n):
             key = "%s%03d" % (tag, i)
-            n_ph = frames // 10
-            phones = rng.randint(1, vocab_size, size=n_ph)
-            feats = np.repeat(protos[phones], 10, axis=0)
-            feats += rng.randn(*feats.shape).astype(np.float32) * noise
+            if variability > 0:
+                n_ph = frames // 10
+                phones = rng.randint(1, vocab_size, size=n_ph)
+                durs = rng.randint(6, 15, size=n_ph)
+                feats = np.repeat(protos[phones], durs, axis=0)
+                # per-utterance channel/speaker offset: constant over time
+                feats = feats + (
+                    rng.randn(1, feat_dim).astype(np.float32)
+                    * variability
+                )
+            else:
+                n_ph = frames // 10
+                phones = rng.randint(1, vocab_size, size=n_ph)
+                feats = np.repeat(protos[phones], 10, axis=0)
+            feats = feats + rng.randn(*feats.shape).astype(np.float32) * noise
             np.save(os.path.join(base, key + ".None.npy"),
                     feats.astype(np.float32))
             text = " ".join("p%02d" % p for p in phones)
             specs.append({"key": key + ".None.npy",
-                          "duration": frames / 100.0, "text": text})
+                          "duration": feats.shape[0] / 100.0,
+                          "text": text})
         return specs
 
     for split, n in [("train", utts), ("valid", 16), ("test", 16)]:
@@ -78,6 +98,10 @@ def main():
     parser.add_argument("--keep", action="store_true")
     parser.add_argument("--noise", type=float, default=0.3,
                         help="corpus feature noise (higher = harder)")
+    parser.add_argument("--variability", type=float, default=0.0,
+                        help="per-utterance channel offsets + duration "
+                             "jitter (realistic corpus for augmentation "
+                             "A/Bs; try 0.5-1.0)")
     parser.add_argument("--mwer-epochs", type=int, default=0,
                         help="> 0: after CTC training, score, MWER "
                              "fine-tune this many epochs, score again")
@@ -90,7 +114,8 @@ def main():
     if os.path.exists(base):
         shutil.rmtree(base)
     os.makedirs(base)
-    make_corpus(base, args.utts, noise=args.noise)
+    make_corpus(base, args.utts, noise=args.noise,
+                variability=args.variability)
 
     common = [
         "--path-base=%s" % base, "--path-vocab=synth.vocab",

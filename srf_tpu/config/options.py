@@ -291,6 +291,12 @@ class ParseOption:
             help="bfloat16 compute (params stay float32)",
         )
         tpu_group.add_argument(
+            "--tpu-async-ckpt", type=ParseOption.str2bool, default="False",
+            help="background the per-epoch checkpoint disk write (orbax "
+                 "async); the device->host copy stays synchronous, so "
+                 "training math is unchanged",
+        )
+        tpu_group.add_argument(
             "--tpu-mesh-data", type=int, default=-1,
             help="data-parallel mesh size; -1 = all visible devices",
         )

@@ -158,6 +158,8 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             )
 
     writer.close()
+    if hasattr(ckpt_manager, "wait"):
+        ckpt_manager.wait()  # async saves must be durable before decode/avg
     return state
 
 

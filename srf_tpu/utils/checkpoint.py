@@ -24,22 +24,37 @@ def _abs(path):
 
 
 class CheckpointManager:
-    def __init__(self, path, max_to_keep=None):
+    """``use_async=True`` (``--tpu-async-ckpt``) backgrounds the disk write:
+    orbax's async checkpointer still performs the device->host copy
+    synchronously (so buffer donation by the next train step is safe), then
+    serializes in a background thread while training continues. ``save``
+    returns immediately; a save is guaranteed durable only after ``wait()``
+    (the train loop waits at exit, and every read path waits first)."""
+
+    def __init__(self, path, max_to_keep=None, use_async=False):
         if max_to_keep is not None and max_to_keep < 0:
             max_to_keep = None
         self.path = _abs(path)
+        self.use_async = use_async
         os.makedirs(self.path, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+            max_to_keep=max_to_keep, create=True,
+            enable_async_checkpointing=use_async,
         )
         self.manager = ocp.CheckpointManager(self.path, options=options)
 
     def save(self, step, state_dict):
         self.manager.save(step, args=ocp.args.StandardSave(state_dict))
-        self.manager.wait_until_finished()
+        if not self.use_async:
+            self.manager.wait_until_finished()
         return os.path.join(self.path, str(step))
 
+    def wait(self):
+        """Block until all pending (async) saves are durable on disk."""
+        self.manager.wait_until_finished()
+
     def restore(self, step, template):
+        self.wait()
         return self.manager.restore(step, args=ocp.args.StandardRestore(template))
 
     def restore_partial(self, step, template):
@@ -58,6 +73,7 @@ class CheckpointManager:
         under a top-level key the template claims (e.g. 'params') must be
         present in the template — so serving with wrong architecture
         flags fails loudly instead of decoding garbage."""
+        self.wait()
         # a reopened CheckpointManager returns None from item_metadata
         # until a handler is registered; read the step directory directly
         md = ocp.StandardCheckpointer().metadata(
@@ -104,13 +120,15 @@ class CheckpointManager:
         )
 
     def latest_step(self):
+        self.wait()
         return self.manager.latest_step()
 
     def all_steps(self):
+        self.wait()
         return sorted(self.manager.all_steps())
 
     def close(self):
-        self.manager.close()
+        self.manager.close()  # orbax waits for pending saves internally
 
 
 def load_checkpoint(config, logger, template_state, params_only=False):
@@ -121,7 +139,8 @@ def load_checkpoint(config, logger, template_state, params_only=False):
     fresh optimizer state — so decoding a checkpoint never requires
     reproducing the training-time optimizer flags."""
     manager = CheckpointManager(
-        config.path_ckpt, max_to_keep=config.model_ckpt_max_to_keep
+        config.path_ckpt, max_to_keep=config.model_ckpt_max_to_keep,
+        use_async=getattr(config, "tpu_async_ckpt", False),
     )
     step = None
     if config.path_ckpt_epoch is not None and config.path_ckpt_epoch > 0:

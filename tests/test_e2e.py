@@ -226,3 +226,49 @@ def test_mwer_finetune_runs_and_stays_finite(written_corpus, capsys):
     ]
     assert len(mwer_epochs) >= 2
     assert all(np.isfinite(m["loss"]) for m in mwer_epochs)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """--tpu-async-ckpt semantics: save returns before the write is durable,
+    every read path waits first, and a fresh (sync) manager sees exactly
+    the async-written steps."""
+    import jax
+    import jax.numpy as jnp
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    base = {"step": jnp.asarray(0),
+            "params": {"w": jnp.arange(12.0).reshape(3, 4)}}
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2,
+                            use_async=True)
+    for step in (1, 2, 3):
+        mgr.save(step, jax.tree.map(lambda x: x + step, base))
+    assert mgr.latest_step() == 3  # waits for pending writes
+    got = mgr.restore(3, base)
+    np.testing.assert_allclose(
+        got["params"]["w"], np.arange(12.0).reshape(3, 4) + 3
+    )
+    mgr.close()
+    m2 = CheckpointManager(str(tmp_path / "ck"))
+    assert m2.all_steps() == [2, 3]  # max_to_keep honored across async saves
+    m2.close()
+
+
+def test_async_ckpt_cli_trains_resumes_decodes(written_corpus, capsys):
+    """The trainer under --tpu-async-ckpt=True writes durable per-epoch
+    checkpoints: a second invocation resumes from them and decode works."""
+    from srf_tpu import trainer_sr
+
+    ckpt = written_corpus / "ckpt_async"
+    trainer_sr.main(_argv(written_corpus, ckpt, [
+        "--train-max-epoch=2", "--tpu-async-ckpt=True"]))
+    capsys.readouterr()
+    trainer_sr.main(_argv(written_corpus, ckpt, [
+        "--train-max-epoch=3", "--tpu-async-ckpt=True"]))
+    out = capsys.readouterr().out
+    assert "Loaded ckpt" in out or (ckpt / "metrics.jsonl").exists()
+    metrics = [json.loads(l) for l in open(ckpt / "metrics.jsonl") if l.strip()]
+    epochs = [m["epoch"] for m in metrics if m["kind"] == "train_epoch"]
+    assert epochs == [1, 2, 3]  # resumed, not retrained
+    trainer_sr.main(_argv(written_corpus, ckpt, ["--train-max-epoch=0"]))
+    dec = capsys.readouterr().out
+    assert dec.count("UTTID:") == 2

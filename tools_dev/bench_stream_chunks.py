@@ -37,28 +37,30 @@ def main():
         jnp.asarray(raw[None, :64]), jnp.asarray([64]), False,
     )
 
-    for chunk in (4, 8, 16, 32):
-        session = StreamingTranscriber(model, variables, blank_id=62,
-                                       chunk=chunk)
-        chunk_raw = chunk * 4
-        session.push(raw[:chunk_raw]); session.flush()  # warm compile
-        session.reset()
-        lat = []
-        start = time.perf_counter()
-        for lo in range(0, frames, chunk_raw):
-            t0 = time.perf_counter()
-            session.push(raw[lo : lo + chunk_raw])
-            lat.append(time.perf_counter() - t0)
-        session.flush()
-        total = time.perf_counter() - start
-        print(
-            "chunk %2d (%3d ms audio): max push %6.1f ms, mean %6.1f ms, "
-            "RTF %5.2fx" % (
-                chunk, chunk_raw * 10, max(lat) * 1e3,
-                float(np.mean(lat)) * 1e3, frames * 0.01 / total,
-            ),
-            flush=True,
-        )
+    for beam in (None, 100):
+        for chunk in (4, 8, 16, 32):
+            session = StreamingTranscriber(model, variables, blank_id=62,
+                                           chunk=chunk, beam_width=beam)
+            chunk_raw = chunk * 4
+            session.push(raw[:chunk_raw]); session.flush()  # warm compile
+            session.reset()
+            lat = []
+            start = time.perf_counter()
+            for lo in range(0, frames, chunk_raw):
+                t0 = time.perf_counter()
+                session.push(raw[lo : lo + chunk_raw])
+                lat.append(time.perf_counter() - t0)
+            session.flush()
+            total = time.perf_counter() - start
+            print(
+                "%s chunk %2d (%3d ms audio): max push %6.1f ms, "
+                "mean %6.1f ms, RTF %5.2fx" % (
+                    "greedy  " if beam is None else "beam-100",
+                    chunk, chunk_raw * 10, max(lat) * 1e3,
+                    float(np.mean(lat)) * 1e3, frames * 0.01 / total,
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

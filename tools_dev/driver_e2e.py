@@ -103,6 +103,10 @@ def main():
                         choices=["timit", "wsj"])
     parser.add_argument("--out", default=None)
     parser.add_argument("--utts", type=int, default=32)
+    parser.add_argument("--epoch-scale", type=int, default=1,
+                        help="multiply every stage's epoch budget (1 = "
+                             "plumbing smoke; ~8 on the chip makes the "
+                             "scored PER actually drop)")
     args = parser.parse_args()
 
     out = args.out or ("/tmp/srf_driver_e2e_" + args.corpus)
@@ -154,16 +158,18 @@ def main():
             "--model-conv-filter-num=16",
         ]),
     }
+    k = args.epoch_scale
     if args.corpus == "timit":
-        env.update({"E1": "2", "E2": "4"})
+        stage_epochs = [2 * k, 4 * k]
+        env.update({"E1": str(stage_epochs[0]), "E2": str(stage_epochs[1])})
         driver = "egs/script/train_srf_timit.sh"
         cmd = ["bash", driver, "3", "12", "8", "4", "1", "1", "SDR", "1"]
-        stage_epochs = [2, 4]
     else:
-        env.update({"E1": "1", "E2": "2", "E3": "3", "E4": "4"})
+        stage_epochs = [1 * k, 2 * k, 3 * k, 4 * k]
+        env.update({"E%d" % (i + 1): str(e)
+                    for i, e in enumerate(stage_epochs)})
         driver = "egs/script/train_srf_wsj.sh"
         cmd = ["bash", driver, "3", "12", "8", "4", "1", "1"]
-        stage_epochs = [1, 2, 3, 4]
     run(cmd, env=env, log=os.path.join(logs, "driver.log"))
 
     # 4. verify the composed control flow

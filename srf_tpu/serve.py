@@ -98,6 +98,24 @@ class Recognizer:
             self.model, variables, self.blank_id, chunk=chunk
         )
 
+    def streaming_pool(self, slots, chunk=8, beam_width=None):
+        """N concurrent streaming sessions, one fused dispatch per tick.
+
+        Returns a srf_tpu.streaming.StreamingPool bound to the loaded
+        checkpoint: buffer per-stream features with push(slot, frames),
+        advance all live streams with step(), finish a stream with
+        flush(slot) (the slot is then reusable).
+        """
+        from srf_tpu.streaming import StreamingPool
+
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return StreamingPool(
+            self.model, variables, self.blank_id, slots=slots, chunk=chunk,
+            beam_width=beam_width,
+        )
+
     def transcribe(self, feats, beam_width=None, pad_multiple=128,
                    corpus="timit"):
         """feats: [T, feat_dim] numpy -> (ids, text)."""

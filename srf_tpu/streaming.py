@@ -178,9 +178,15 @@ class StreamingTranscriber:
 
         if not self._beam_tape:
             return [], 0.0
-        parents = np.concatenate([p for p, _ in self._beam_tape], axis=0)
-        syms = np.concatenate([s for _, s in self._beam_tape], axis=0)
-        return _backtrace(parents, syms, self._beam_scores)
+        # the tape blocks live on device until here (push never blocks on
+        # them); this is the single host sync of the streamed beam
+        parents = np.concatenate(
+            [np.asarray(p) for p, _ in self._beam_tape], axis=0
+        )
+        syms = np.concatenate(
+            [np.asarray(s) for _, s in self._beam_tape], axis=0
+        )
+        return _backtrace(parents, syms, np.asarray(self._beam_scores))
 
     def _beam_advance(self, limit):
         """Advance the carried beam scan over newly available logit frames
@@ -199,10 +205,12 @@ class StreamingTranscriber:
                 self._beam_state, jnp.asarray(block), jnp.int32(lo),
                 jnp.int32(hi), self.beam_width, self.blank_id,
             )
+            # keep the tape on device — fetching it per push would cost a
+            # blocking round trip each; hypothesis()/flush sync once
             self._beam_tape.append(
-                (np.asarray(parents)[: hi - lo], np.asarray(syms)[: hi - lo])
+                (parents[: hi - lo], syms[: hi - lo])
             )
-            self._beam_scores = np.asarray(scores)
+            self._beam_scores = scores
             self._beam_frames = hi
 
     @property
@@ -230,8 +238,10 @@ class StreamingTranscriber:
             out[: hi - s] = self._raw[s:hi]
         return out[None], s
 
-    def _advance(self, true_len):
-        """Compute one front-end block and cascade it through the layers."""
+    def _advance_inputs(self, true_len):
+        """Host-side prep for the next block: (window, length, lpost,
+        offsets, pos) — split from the device step so StreamingPool can
+        batch many sessions' steps into one dispatch."""
         t0 = self._fe_blocks * self.K
         window, s = self._raw_window(t0)
         if true_len is None:
@@ -245,25 +255,33 @@ class StreamingTranscriber:
                 post0 + self.win // self.div, self.model.caps_primary_num
             )
             pos = full[post0:]
-        lpost = t0 - s // self.div
-        offsets = jnp.asarray(
+        lpost = np.int32(t0 - s // self.div)
+        offsets = np.asarray(
             [t0 - (i + 1) * self.model.rpad
-             for i in range(self.model.enc_num)], jnp.int32
+             for i in range(self.model.enc_num)], np.int32
         )
-        logits, self._bufs, self._vprev = self._step(
-            self.variables, jnp.asarray(window), jnp.asarray(length),
-            jnp.asarray(lpost, jnp.int32), self._bufs, self._vprev,
-            offsets, pos,
-        )
-        self._fe_blocks += 1
+        return window, length, lpost, offsets, pos
 
+    def _advance_commit(self, logits_np):
+        """Host-side post-processing of one block's logits [K, class_n]."""
+        t0 = self._fe_blocks * self.K
+        self._fe_blocks += 1
         # final-layer block covers global frames [offset, offset+K)
         offset = t0 - self.model.enc_num * self.model.rpad
-        logits = np.asarray(logits)[0]
         lo = max(0, -offset)  # skip warm-up frames
         if lo < self.K:
-            self._logits.append(logits[lo:])
+            self._logits.append(logits_np[lo:])
             self._logit_frames += self.K - lo
+
+    def _advance(self, true_len):
+        """Compute one front-end block and cascade it through the layers."""
+        window, length, lpost, offsets, pos = self._advance_inputs(true_len)
+        logits, self._bufs, self._vprev = self._step(
+            self.variables, jnp.asarray(window), jnp.asarray(length),
+            jnp.asarray(lpost), self._bufs, self._vprev,
+            jnp.asarray(offsets), pos,
+        )
+        self._advance_commit(np.asarray(logits)[0])
 
     def _decode_available(self, limit):
         total = self._logit_frames if limit is None else min(
@@ -279,3 +297,163 @@ class StreamingTranscriber:
                 self._tokens.append(frame_id)
             self._prev_id = frame_id
         self._decoded_frames = total
+
+
+class StreamingPool:
+    """N concurrent streaming sessions, ONE fused device dispatch per tick.
+
+    Production serving: many live audio streams share one chip. ``push``
+    only buffers on the host; ``step`` advances EVERY session with a ready
+    block through a single batched (vmapped) ``stream_step`` — and, with
+    ``beam_width`` set, one batched beam advance — instead of one dispatch
+    per stream. Per-session results are bit-identical to a standalone
+    ``StreamingTranscriber`` (vmap of the same function; tested), and
+    ``flush(slot)`` drains that session's tail through its own
+    single-session path, so end-of-utterance handling is shared code.
+
+    Sessions stay authoritative: the pool stacks their carry state per
+    tick and splits the results back, so slots can be flushed/reset
+    independently while others keep streaming. Ticks whose ready-set is
+    smaller than ``slots`` are padded (rows discarded), keeping ONE
+    compiled shape. The einsum SRF flavor is rejected: its per-block
+    positional override varies per session and would defeat the batching.
+    """
+
+    def __init__(self, model, variables, blank_id, slots, chunk=8,
+                 beam_width=None):
+        if model.caps_type == "einsum":
+            raise NotImplementedError(
+                "StreamingPool does not support the einsum flavor "
+                "(per-session pos_enc_override); use StreamingTranscriber"
+            )
+        if slots < 1:
+            raise ValueError("slots must be >= 1")
+        self.sessions = [
+            StreamingTranscriber(model, variables, blank_id, chunk=chunk,
+                                 beam_width=beam_width)
+            for _ in range(slots)
+        ]
+        self.slots = slots
+        self.beam_width = beam_width
+        self._pstep = jax.jit(
+            jax.vmap(
+                lambda w, l, lp, b, v, o: model.apply(
+                    variables, w, l, lp, b, v, o, method="stream_step"
+                )
+            )
+        )
+        if beam_width:
+            from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
+
+            self._pbeam = jax.jit(
+                jax.vmap(beam_chunk_step,
+                         in_axes=(0, 0, 0, 0, None, None)),
+                static_argnums=(4, 5),
+            )
+
+    def push(self, slot, frames):
+        """Buffer raw feature frames [n, feat_dim] for ``slot`` (host only;
+        device work happens in ``step``)."""
+        s = self.sessions[slot]
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim != 2 or frames.shape[1] != s.model.feat_dim:
+            raise ValueError("expected [n, %d] features" % s.model.feat_dim)
+        s._raw = np.concatenate([s._raw, frames], axis=0)
+        s._pushed += frames.shape[0]
+
+    def step(self):
+        """One tick: advance every session with a ready block in one
+        dispatch. Returns {slot: newly decoded greedy ids}."""
+        ready = [
+            i for i, s in enumerate(self.sessions) if s._fe_ready(None)
+        ]
+        if not ready:
+            return {}
+        idx = ready + [ready[0]] * (self.slots - len(ready))
+        preps = [self.sessions[i]._advance_inputs(None) for i in idx]
+        win = jnp.asarray(np.stack([p[0] for p in preps]))
+        length = jnp.asarray(np.asarray([p[1] for p in preps], np.int32))
+        lpost = jnp.asarray(np.asarray([p[2] for p in preps], np.int32))
+        offs = jnp.asarray(np.stack([p[3] for p in preps]))
+        enc_num = self.sessions[0].model.enc_num
+        bufs = [
+            jnp.stack([self.sessions[i]._bufs[l] for i in idx])
+            for l in range(enc_num)
+        ]
+        vpr = [
+            jnp.stack([self.sessions[i]._vprev[l] for i in idx])
+            for l in range(enc_num)
+        ]
+        logits, nb, nv = self._pstep(win, length, lpost, bufs, vpr, offs)
+        logits_np = np.asarray(logits)  # the tick's single host sync
+        out = {}
+        for row, i in enumerate(ready):
+            s = self.sessions[i]
+            s._bufs = [b[row] for b in nb]
+            s._vprev = [v[row] for v in nv]
+            start = len(s._tokens)
+            s._advance_commit(logits_np[row, 0])
+            s._decode_available(limit=None)
+            out[i] = s._tokens[start:]
+        if self.beam_width:
+            self._beam_tick(ready)
+        return out
+
+    def _beam_tick(self, ready):
+        """Advance the carried beam of every session with new frames —
+        one vmapped dispatch, device-resident tape (as the single-session
+        path)."""
+        todo = [
+            i for i in ready
+            if self.sessions[i]._beam_frames < self.sessions[i]._logit_frames
+        ]
+        if not todo:
+            return
+        idx = todo + [todo[0]] * (self.slots - len(todo))
+        sess = [self.sessions[i] for i in idx]
+        K = sess[0].K
+        blocks = np.zeros((self.slots, K, sess[0].model.class_n), np.float32)
+        los = np.zeros((self.slots,), np.int32)
+        his = np.zeros((self.slots,), np.int32)
+        for row, s in enumerate(sess):
+            lo, hi = s._beam_frames, min(s._beam_frames + K, s._logit_frames)
+            blocks[row, : hi - lo] = s.logits[lo:hi]
+            los[row], his[row] = lo, hi
+        states = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[s._beam_state for s in sess]
+        )
+        nstate, parents, syms, scores = self._pbeam(
+            states, jnp.asarray(blocks), jnp.asarray(los), jnp.asarray(his),
+            self.beam_width, self.sessions[0].blank_id,
+        )
+        for row, i in enumerate(todo):
+            s = self.sessions[i]
+            s._beam_state = jax.tree.map(lambda x: x[row], nstate)
+            valid = int(his[row] - los[row])
+            s._beam_tape.append(
+                (parents[row, :valid], syms[row, :valid])
+            )
+            s._beam_scores = scores[row]
+            s._beam_frames = int(his[row])
+
+    def drain(self):
+        """Tick until no session has a ready block."""
+        while self.step():
+            pass
+
+    def hypothesis(self, slot):
+        """Current best streamed-beam hypothesis for ``slot``."""
+        return self.sessions[slot].hypothesis()
+
+    def flush(self, slot):
+        """End of utterance for ``slot``: drain its tail via the session's
+        own single-session path; other slots are untouched. Returns the
+        final hypothesis ((ids, score) with beam, ids otherwise) and
+        resets the slot for reuse. (No pool-wide drain here: the session's
+        own flush advances its remaining front-end blocks AND catches its
+        beam up over every unconsumed frame — other slots are untouched and
+        none of their pending tokens are silently consumed.)"""
+        session = self.sessions[slot]
+        result = session.flush()
+        session.reset()
+        return result

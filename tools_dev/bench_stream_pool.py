@@ -52,27 +52,29 @@ def main():
 
     pool = StreamingPool(model, variables, blank_id=62, slots=args.slots,
                          chunk=args.chunk, beam_width=beam)
-    # warm compiles: one tick + one flush
-    pool.push(0, utts[0][:chunk_raw * 2]); pool.step(); pool.flush(0)
 
-    lat = []
-    start = time.perf_counter()
-    for lo in range(0, args.frames, chunk_raw):
+    def run_pass():
+        lat = []
+        start = time.perf_counter()
+        for lo in range(0, args.frames, chunk_raw):
+            for i in range(args.slots):
+                pool.push(i, utts[i][lo : lo + chunk_raw])
+            t0 = time.perf_counter()
+            pool.step()
+            lat.append(time.perf_counter() - t0)
         for i in range(args.slots):
-            pool.push(i, utts[i][lo : lo + chunk_raw])
-        t0 = time.perf_counter()
-        pool.step()
-        lat.append(time.perf_counter() - t0)
-    for i in range(args.slots):
-        pool.flush(i)
-    total = time.perf_counter() - start
+            pool.flush(i)
+        return lat, time.perf_counter() - start
+
+    run_pass()  # warm pass: compiles + the tunnel's per-shape setup
+    lat, total = run_pass()
     audio = args.slots * args.frames * 0.01
     print(
-        "%s slots=%d chunk=%d: mean tick %6.1f ms, max %6.1f ms, "
-        "aggregate RTF %6.2fx (%.2fx per stream)" % (
+        "%s slots=%d chunk=%d: mean tick %6.1f ms, median %6.1f ms, "
+        "max %6.1f ms, aggregate RTF %6.2fx (%.2fx per stream)" % (
             "beam-%d" % beam if beam else "greedy", args.slots, args.chunk,
-            float(np.mean(lat)) * 1e3, max(lat) * 1e3, audio / total,
-            audio / total / args.slots,
+            float(np.mean(lat)) * 1e3, float(np.median(lat)) * 1e3,
+            max(lat) * 1e3, audio / total, audio / total / args.slots,
         ),
         flush=True,
     )

@@ -43,10 +43,13 @@ def make_corpus(base, corpus, utts, frames=200, feat_dim=123, noise=0.3):
         vocab_path = os.path.join(REPO, "egs/data/wsj_31.vocab")
         feat_type = "graves13"
     tokens = [line.rstrip("\n") for line in open(vocab_path)]
-    # usable symbols: skip PAD (0) and, for wsj, the specials at the front
+    # usable symbols: skip PAD (0) and the BOS/EOS specials. <SPACE> IS
+    # usable for wsj — it gets its own feature direction ("silence"), so
+    # synthetic texts contain real word boundaries and the word-level
+    # scorer grades partial matches instead of all-or-nothing utterances
     usable = [
         i for i, t in enumerate(tokens)
-        if i > 0 and t not in ("$", "@", "<SPACE>", "'")
+        if i > 0 and t not in ("$", "@")
     ]
     protos = rng.randn(len(tokens), feat_dim).astype(np.float32) * 2.0
 
@@ -66,7 +69,11 @@ def make_corpus(base, corpus, utts, frames=200, feat_dim=123, noise=0.3):
             if corpus == "timit":
                 text = " ".join(tokens[p] for p in ids)  # word unit
             else:
-                text = "".join(tokens[p] for p in ids)  # char unit
+                # char unit: literal ' ' in the text maps to <SPACE>
+                text = "".join(
+                    " " if tokens[p] == "<SPACE>" else tokens[p]
+                    for p in ids
+                )
             specs.append({"key": key, "duration": frames / 100.0,
                           "text": text})
         return specs

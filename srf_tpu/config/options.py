@@ -339,6 +339,26 @@ class ParseOption:
                  "(ZeRO-style); XLA inserts the gathers/scatters",
         )
         tpu_group.add_argument(
+            "--tpu-pipeline-stages", type=int, default=1,
+            help="GPipe pipeline parallelism for the STF encoder stack: "
+                 "split the N encoder blocks into this many stages over a "
+                 "'pipe' mesh axis (trainer_tf only; 1 = off). Devices are "
+                 "laid out (data x pipe); model-encoder-num must be "
+                 "divisible by the stage count",
+        )
+        tpu_group.add_argument(
+            "--tpu-pipeline-microbatch", type=int, default=4,
+            help="microbatches streaming through the pipeline per step "
+                 "(bubble fraction (S-1)/(M+S-1)); rounded down per bucket "
+                 "shape to divide the batch",
+        )
+        tpu_group.add_argument(
+            "--tpu-pipeline-remat", type=ParseOption.str2bool,
+            default="False",
+            help="rematerialize each pipeline stage in the backward pass "
+                 "(trades recompute for activation memory)",
+        )
+        tpu_group.add_argument(
             "--tpu-seed", type=int, default=1234,
             help="PRNG seed (the reference leaves dropout unseeded)",
         )

@@ -97,52 +97,70 @@ class ConvEncoder(nn.Module):
         return cls(**kwargs)
 
     @nn.compact
-    def __call__(self, feats, input_lengths, training: bool, mask=None,
-                 attention_penalty_mask=None, in_len_div=4):
-        out = ConvFrontEnd(
-            cnn_n=self.cnn_n,
-            nfilt=self.nfilt,
-            stride=self.stride,
-            init_name=self.init_name,
-            name="conv",
-        )(feats, input_lengths, training)
-        batch, seq_len = out.shape[0], out.shape[1]
-        out = out.reshape(batch, seq_len, -1)
-        out = nn.Dense(
-            self.d_model, kernel_init=get_init(self.init_name),
-            name="linear_projection",
-        )(out)
-        embeddings = feat_mask2(out, input_lengths, in_len_div)
+    def __call__(self, feats, input_lengths=None, training: bool = False,
+                 mask=None, attention_penalty_mask=None, in_len_div=4, *,
+                 stage="all"):
+        """``stage`` partitions the forward for pipeline parallelism
+        (parallel/pipeline.py): "embed" runs the front-end and returns
+        ``(embeddings, impl)``; "head" treats ``feats`` as block outputs
+        and runs the final LayerNorm+Dense; "all" (default) is the whole
+        forward, unchanged. Parameter names are identical in every stage
+        (flax scopes by explicit ``name=``), so one ``variables`` tree
+        serves all three entry points."""
+        if stage in ("all", "embed"):
+            out = ConvFrontEnd(
+                cnn_n=self.cnn_n,
+                nfilt=self.nfilt,
+                stride=self.stride,
+                init_name=self.init_name,
+                name="conv",
+            )(feats, input_lengths, training)
+            batch, seq_len = out.shape[0], out.shape[1]
+            out = out.reshape(batch, seq_len, -1)
+            out = nn.Dense(
+                self.d_model, kernel_init=get_init(self.init_name),
+                name="linear_projection",
+            )(out)
+            embeddings = feat_mask2(out, input_lengths, in_len_div)
 
-        embeddings = embeddings * jnp.sqrt(float(self.d_model))
-        embeddings = embeddings + get_pos_enc(seq_len, self.d_model)
-        embeddings = nn.Dropout(
-            rate=self.input_dropout, deterministic=not training
-        )(embeddings)
+            embeddings = embeddings * jnp.sqrt(float(self.d_model))
+            embeddings = embeddings + get_pos_enc(seq_len, self.d_model)
+            embeddings = nn.Dropout(
+                rate=self.input_dropout, deterministic=not training
+            )(embeddings)
 
-        impl = self.attention_impl
-        if impl == "auto":
-            att_weight_bytes = 4.0 * batch * self.num_heads * seq_len * seq_len
-            if training:
-                impl = "blockwise" if att_weight_bytes > 6e8 else "plain"
-            else:
-                impl = (
-                    "blockwise" if seq_len >= self.auto_blockwise_len
-                    else "plain"
+            impl = self.attention_impl
+            if impl == "auto":
+                att_weight_bytes = (
+                    4.0 * batch * self.num_heads * seq_len * seq_len
                 )
-        if impl in ("blockwise", "ring"):
-            # the dense penalty board is the plain path's input; blockwise/
-            # ring recompute the same values per tile from penalty_params
-            attention_penalty_mask = None
-        for i in range(self.num_layers):
-            embeddings = EncoderBlock(
-                self.d_model, self.num_heads, self.dff,
-                self.inner_dropout, self.residual_dropout,
-                self.attention_dropout, self.init_name,
-                name="enc%d" % i, attention_impl=impl,
-                penalty_params=self.penalty_params,
-                mesh=self.mesh, seq_axis=self.seq_axis,
-            )(embeddings, mask, attention_penalty_mask, training)
+                if training:
+                    impl = "blockwise" if att_weight_bytes > 6e8 else "plain"
+                else:
+                    impl = (
+                        "blockwise" if seq_len >= self.auto_blockwise_len
+                        else "plain"
+                    )
+            if stage == "embed":
+                return embeddings, impl
+        else:  # "head": ``feats`` already holds the block-stack outputs
+            embeddings, impl = feats, None
+
+        if stage == "all":
+            if impl in ("blockwise", "ring"):
+                # the dense penalty board is the plain path's input;
+                # blockwise/ring recompute the same values per tile from
+                # penalty_params
+                attention_penalty_mask = None
+            for i in range(self.num_layers):
+                embeddings = EncoderBlock(
+                    self.d_model, self.num_heads, self.dff,
+                    self.inner_dropout, self.residual_dropout,
+                    self.attention_dropout, self.init_name,
+                    name="enc%d" % i, attention_impl=impl,
+                    penalty_params=self.penalty_params,
+                    mesh=self.mesh, seq_axis=self.seq_axis,
+                )(embeddings, mask, attention_penalty_mask, training)
 
         embeddings = nn.LayerNorm(epsilon=1e-6, name="ln")(embeddings)
         return nn.Dense(self.vocab_n, name="proj")(embeddings)

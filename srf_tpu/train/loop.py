@@ -126,6 +126,14 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         for metrics in jax.device_get(pending):
             valid_loss.update(metrics["loss_sum"], metrics["samples"])
         valid_secs = time.time() - prev
+        if valid_loss.count == 0:
+            # every bucket's remainder was dropped (valid set smaller than
+            # the smallest bucket batch — reference drop_remainder=True,
+            # load_speech_data.py:174): a 0.0000 valid loss would silently
+            # disable early stopping, so say it out loud
+            logger.warning(
+                "Validation yielded NO batches (valid set smaller than the "
+                "bucket batch sizes?); early stopping is inert this epoch")
         better = valid_loss.result() - pre_loss <= (pre_loss * 0.01)
         tolerance = 0 if better else tolerance + 1
         logger.info(

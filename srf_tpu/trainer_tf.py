@@ -75,7 +75,23 @@ def main(argv=None):
         "The modified output Dimension %d, blank index %d", dec_out_dim, blank_idx
     )
 
-    mesh = make_mesh(config.tpu_mesh_data)
+    pipe_stages = getattr(config, "tpu_pipeline_stages", 1) or 1
+    if pipe_stages > 1:
+        # (data x pipe) mesh: encoder blocks stream over 'pipe'
+        # (parallel/pipeline.py), batch shards over 'data'
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices())
+        n_data = max(1, len(devs) // pipe_stages)
+        if config.tpu_mesh_data > 0:
+            n_data = min(n_data, config.tpu_mesh_data)
+        mesh = Mesh(
+            devs[: n_data * pipe_stages].reshape(n_data, pipe_stages),
+            ("data", "pipe"),
+        )
+    else:
+        mesh = make_mesh(config.tpu_mesh_data)
     num_replicas = mesh.shape["data"]
 
     logger.info("Analysing data samples..")
@@ -115,9 +131,30 @@ def main(argv=None):
 
     from srf_tpu.ops.specaugment import make_augment_fn
 
-    apply_fn = make_apply_fn(model, make_stf_extra_kwargs(att_pen, in_len_div),
-                             bf16=config.tpu_bf16,
-                             augment_fn=make_augment_fn(config))
+    if pipe_stages > 1:
+        from srf_tpu.parallel.pipeline import make_pipeline_apply_fn
+
+        if config.model_encoder_num % pipe_stages:
+            raise ValueError(
+                "--tpu-pipeline-stages=%d must divide "
+                "--model-encoder-num=%d"
+                % (pipe_stages, config.model_encoder_num))
+        if config.tpu_bf16 or config.tpu_specaug:
+            logger.warning(
+                "--tpu-bf16/--tpu-specaug are ignored under "
+                "--tpu-pipeline-stages (not yet composed)")
+        apply_fn = make_pipeline_apply_fn(
+            model, mesh, config.tpu_pipeline_microbatch, att_pen,
+            in_len_div, remat=config.tpu_pipeline_remat,
+        )
+        logger.info(
+            "Pipeline parallelism: %d stages x %d data shards, "
+            "<=%d microbatches/step", pipe_stages, num_replicas,
+            config.tpu_pipeline_microbatch)
+    else:
+        apply_fn = make_apply_fn(
+            model, make_stf_extra_kwargs(att_pen, in_len_div),
+            bf16=config.tpu_bf16, augment_fn=make_augment_fn(config))
 
     if config.train_max_epoch == 0:
         test_ptrn = os.path.join(config.path_base, config.path_test_ptrn)

@@ -78,7 +78,10 @@ def make_corpus(base, corpus, utts, frames=200, feat_dim=123, noise=0.3):
                           "text": text})
         return specs
 
-    for split, n in [("train", utts), ("valid", 8), ("test", 8)]:
+    # valid must FILL a bucket batch (the loaders drop remainders like the
+    # reference, load_speech_data.py:174) or the valid pass yields nothing
+    # and early stopping is inert — 16 covers the harness's bucket sizes
+    for split, n in [("train", utts), ("valid", 16), ("test", 8)]:
         with open(os.path.join(base, split + ".json"), "w") as f:
             for spec in gen(n, split):
                 f.write(json.dumps(spec) + "\n")
@@ -160,7 +163,7 @@ def main():
         "JAX_PLATFORMS": os.environ.get("SRF_E2E_PLATFORM", "cpu"),
         "EXTRA_FLAGS": " ".join([
             "--prep-data-num-train=%d" % args.utts,
-            "--prep-data-num-valid=8", "--prep-data-num-test=8",
+            "--prep-data-num-valid=16", "--prep-data-num-test=8",
             "--model-average-num=2",
             "--model-conv-filter-num=16",
             # the recipe's noam warm-up (1200 steps) never ends inside a
@@ -210,17 +213,19 @@ def main():
     )
     assert os.path.isdir(os.path.join(ckpt_root, model_dir, "avg")), \
         "averaging stage did not write $ckpt/avg"
-    for tc in ("test", "valid"):
+    for tc, n_utt in (("test", 8), ("valid", 16)):
         dec = open(next(
             os.path.join(logs, f) for f in os.listdir(logs)
             if f.endswith(".3decode.%s.out" % tc)
         )).read()
-        assert dec.count("UTTID:") == 8, "decode did not emit 8 utterances"
+        assert dec.count("UTTID:") == n_utt, \
+            "decode did not emit %d utterances" % n_utt
         utt = open(next(
             os.path.join(logs, f) for f in os.listdir(logs)
             if f.endswith(".%s.utt" % tc)
         )).read()
-        assert len(utt.strip().splitlines()) == 8, "log2utt lost utterances"
+        assert len(utt.strip().splitlines()) == n_utt, \
+            "log2utt lost utterances"
     driver_out = open(os.path.join(logs, "driver.log")).read()
     scores = re.findall(r"(?:Error Rate|Sum/Avg)[^\n]*", driver_out)
     assert scores, "no score line in driver output"

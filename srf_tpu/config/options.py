@@ -339,6 +339,14 @@ class ParseOption:
                  "(ZeRO-style); XLA inserts the gathers/scatters",
         )
         tpu_group.add_argument(
+            "--tpu-serve-quant", default="none",
+            choices=["none", "int8"],
+            help="serving-time weight quantization (srf_tpu.serve): int8 "
+                 "keeps only an int8 + per-channel-scale weight copy "
+                 "resident and dequantizes inside the jitted forward "
+                 "(4x less weight HBM traffic; training is untouched)",
+        )
+        tpu_group.add_argument(
             "--tpu-pipeline-stages", type=int, default=1,
             help="GPipe pipeline parallelism for the STF encoder stack: "
                  "split the N encoder blocks into this many stages over a "

@@ -69,16 +69,46 @@ class Recognizer:
             raise FileNotFoundError("no checkpoint under %s" % config.path_ckpt)
         restored = manager.restore_partial(step, template)
         manager.close()
+        params = restored["params"]
+        # --tpu-serve-quant=int8: drop the f32 weights for an int8 +
+        # per-channel-scale copy (4x less HBM traffic per forward —
+        # small-batch serving is bandwidth-bound); dequantize happens
+        # inside the jitted forward (ops/quant.py)
+        self.quantized = (
+            getattr(config, "tpu_serve_quant", "none") == "int8"
+        )
+        if self.quantized:
+            from srf_tpu.ops.quant import quantize_tree, quantized_bytes
+
+            params = jax.jit(quantize_tree)(params)
+            q_b, f_b = quantized_bytes(jax.device_get(params))
+            logger.info(
+                "int8 weight quantization: %.1f MB -> %.1f MB resident",
+                f_b / 1e6, q_b / 1e6)
         self.state = TrainState(
             step=jnp.asarray(step, jnp.int32),
-            params=restored["params"],
+            params=params,
             opt_state=None,
             batch_stats=restored.get("batch_stats", {}),
         )
         self._forward = jax.jit(self._apply)
 
+    def _f32_params(self):
+        """Dequantized (or pass-through) f32 params for non-jitted
+        consumers (streaming constructors hold their own variables)."""
+        if self.quantized:
+            from srf_tpu.ops.quant import dequantize_tree
+
+            return jax.jit(dequantize_tree)(self.state.params)
+        return self.state.params
+
     def _apply(self, feats, lengths):
-        variables = {"params": self.state.params}
+        params = self.state.params
+        if self.quantized:
+            from srf_tpu.ops.quant import dequantize_tree
+
+            params = dequantize_tree(params)
+        variables = {"params": params}
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
         return self.model.apply(variables, feats, lengths, False)
@@ -91,7 +121,7 @@ class Recognizer:
         """
         from srf_tpu.streaming import StreamingTranscriber
 
-        variables = {"params": self.state.params}
+        variables = {"params": self._f32_params()}
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
         return StreamingTranscriber(
@@ -108,7 +138,7 @@ class Recognizer:
         """
         from srf_tpu.streaming import StreamingPool
 
-        variables = {"params": self.state.params}
+        variables = {"params": self._f32_params()}
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
         return StreamingPool(

@@ -114,9 +114,17 @@ class CheckpointManager:
                     self.path, step, sorted(extra)[:3],
                 )
             )
+        # explicit restore args from the template's own (current-process)
+        # shardings: without them orbax reads the sharding file written at
+        # SAVE time, which breaks restoring on a different topology (e.g.
+        # train on an 8-device mesh, serve on one chip)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
         return self.manager.restore(
             step,
-            args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
+            args=ocp.args.PyTreeRestore(
+                item=template, restore_args=restore_args,
+                partial_restore=True,
+            ),
         )
 
     def latest_step(self):

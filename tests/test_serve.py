@@ -204,3 +204,39 @@ def test_streaming_session_matches_transcribe(trained_srf):
         got += session.push(feats[start : start + 9])
     got += session.flush()
     assert got == want_ids
+
+
+def test_restore_on_different_topology(trained):
+    """A checkpoint written under this process's 8-virtual-device mesh
+    must restore in a fresh 1-device process (train on a pod, serve on
+    one chip): restore_partial passes the template's own shardings to
+    orbax instead of trusting the save-time sharding file."""
+    import subprocess
+    import sys
+
+    argv, base = trained
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "from srf_tpu.config import Logger, ParseOption\n"
+        "from srf_tpu.serve import Recognizer\n"
+        "import numpy as np\n"
+        "logger = Logger(name='topo', level=Logger.INFO).logger\n"
+        "config = ParseOption(%r, logger, is_print_opts=False).args\n"
+        "rec = Recognizer(config, logger)\n"
+        "ids, text = rec.transcribe(np.load(%r), beam_width=4,\n"
+        "                           corpus='wsj')\n"
+        "print('TOPO_OK', ids)\n" % (list(argv), str(base / "u0.None.npy"))
+    )
+    env = dict(
+        __import__("os").environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        JAX_PLATFORMS="cpu",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, cwd=str(__import__("pathlib").Path(__file__).parent.parent),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "TOPO_OK" in out.stdout

@@ -232,6 +232,35 @@ def main():
     print("driver pipeline OK — scores:", flush=True)
     for s in scores:
         print("  ", s, flush=True)
+    if args.corpus == "wsj":
+        # the scorer is word-level (reference protocol), but synthetic
+        # "words" are random char strings, so any char slip kills the
+        # whole word; report char-level error too so learning is visible
+        from srf_tpu.utils.edit_distance import levenshtein
+
+        def utt_map(path):
+            out_map = {}
+            for line in open(path):
+                m = re.match(r"(.*) \((\S+)\)$", line.strip())
+                if m:
+                    out_map[m.group(2)] = m.group(1)
+            return out_map
+
+        for tc, ref_name in (("test", "test_wsj.ref"),
+                             ("valid", "valid_wsj.ref")):
+            hyp_path = next(
+                os.path.join(logs, f) for f in os.listdir(logs)
+                if f.endswith(".%s.utt" % tc)
+            )
+            hyps = utt_map(hyp_path)
+            refs = utt_map(os.path.join(out, ref_name))
+            errs = chars = 0
+            for key, ref_txt in refs.items():
+                errs += levenshtein(list(hyps.get(key, "")), list(ref_txt))
+                chars += len(ref_txt)
+            print("   %s char error rate: %.2f%% (%d/%d chars)"
+                  % (tc, 100.0 * errs / max(chars, 1), errs, chars),
+                  flush=True)
 
 
 if __name__ == "__main__":

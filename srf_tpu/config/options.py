@@ -301,6 +301,34 @@ class ParseOption:
             help="data-parallel mesh size; -1 = all visible devices",
         )
         tpu_group.add_argument(
+            "--tpu-ckpt-every-steps", type=int, default=0,
+            help="preemption-safe mid-epoch checkpointing: save the full "
+                 "train state (plus epoch/batch position and metric "
+                 "accumulators) every N optimizer steps under "
+                 "$path-ckpt/mid; on restart training resumes mid-epoch "
+                 "bit-exactly. 0 = per-epoch checkpoints only (the "
+                 "reference protocol)",
+        )
+        tpu_group.add_argument(
+            "--tpu-fault-at-step", type=int, default=0,
+            help="fault injection for preemption testing: hard-exit the "
+                 "process (status 42) once the global optimizer step "
+                 "reaches N, without any cleanup — simulates a TPU-pod "
+                 "preemption. 0 = disabled",
+        )
+        tpu_group.add_argument(
+            "--tpu-ema-decay", type=float, default=0.0,
+            help="maintain an exponential moving average of the params "
+                 "inside the train step (ema += (1-decay)*(p-ema), "
+                 "initialized at the initial params); a training-time "
+                 "alternative to last-N checkpoint averaging. 0 = off",
+        )
+        tpu_group.add_argument(
+            "--tpu-decode-ema", type=ParseOption.str2bool, default="False",
+            help="decode/serve with the EMA params recorded by "
+                 "--tpu-ema-decay instead of the raw params",
+        )
+        tpu_group.add_argument(
             "--tpu-routing-kernel", default="auto",
             help="auto | xla | xla_pre | xla_flat | xla_factored | "
                  "wavefront | pallas : "

@@ -107,6 +107,14 @@ class BucketedLoader:
         max_lab = max((l.shape[0] for l in dataset.labels), default=1)
         self.label_caps = [max(c, min(max_lab, w)) for c, w in zip(self.label_caps, self.time_widths)]
 
+    def set_epoch(self, epoch):
+        """Pin the shuffle order to ``epoch``'s (seed+epoch keys the
+        permutation). The train loop calls this each epoch, which makes the
+        order a pure function of (seed, epoch) — so a restarted process
+        (per-epoch resume or mid-epoch preemption resume) replays exactly
+        the order the uninterrupted run would have seen."""
+        self._epoch = int(epoch)
+
     def _bucket_of(self, length):
         for b, boundary in enumerate(self.boundaries):
             if length <= boundary:

@@ -54,6 +54,12 @@ class Recognizer:
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
         }
+        use_ema = getattr(config, "tpu_decode_ema", False)
+        if use_ema:
+            # serve the EMA weights (--tpu-ema-decay training); the
+            # validated partial restore fails loudly if the checkpoint
+            # holds no EMA subtree
+            template["ema_params"] = variables["params"]
         from srf_tpu.utils.checkpoint import CheckpointManager
 
         manager = CheckpointManager(
@@ -69,7 +75,9 @@ class Recognizer:
             raise FileNotFoundError("no checkpoint under %s" % config.path_ckpt)
         restored = manager.restore_partial(step, template)
         manager.close()
-        params = restored["params"]
+        params = restored["ema_params"] if use_ema else restored["params"]
+        if use_ema:
+            logger.info("Serving with EMA params (--tpu-decode-ema)")
         # --tpu-serve-quant=int8: drop the f32 weights for an int8 +
         # per-channel-scale copy (4x less HBM traffic per forward —
         # small-batch serving is bandwidth-bound); dequantize happens

@@ -1,0 +1,262 @@
+"""Dynamic-batching serving daemon: coalesce concurrent requests into one
+TPU dispatch.
+
+The reference has no serving runtime at all — its only inference path is
+the trainer's offline decode mode (reference: tfsr/trainer_sr.py:290-299,
+one process, one file list). TPU serving economics are set by dispatch
+count, not per-request math (BENCH_NOTES: batch-16 beam decoding is 469x
+realtime vs 45-60x at batch 1), so the one host-side feature that matters
+is request coalescing:
+
+- ``BatchingFrontend`` — a thread-safe queue + scheduler thread.
+  ``submit(feats) -> Future``; a batch closes when ``max_batch`` requests
+  are waiting or the oldest has waited ``max_wait_ms``, then ONE
+  ``Recognizer.transcribe_batch`` call (one forward + one batched beam
+  dispatch) services the whole batch.
+- a TCP front-end (``python -m srf_tpu.serve_daemon --port N <model
+  flags>``) with a length-prefixed JSON+raw-f32 protocol and a
+  ``request()`` client helper. Stdlib only — no external serving deps.
+
+Batch shapes are padded to ``max_batch`` rows by default (short dummy
+utterances, results discarded) so XLA compiles one program per padded
+time width instead of one per (count, width) pair — compile stability
+beats the small wasted decode work at partial load.
+"""
+
+import json
+import queue
+import socket
+import socketserver
+import struct
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+_DUMMY_FRAMES = 16
+
+
+class BatchingFrontend:
+    """Coalesces concurrent transcription requests into batched dispatches.
+
+    ``beam_width`` is a server-level setting (one decode program per
+    batch); ``corpus`` rendering is per request (host-side only).
+    """
+
+    def __init__(self, recognizer, max_batch=16, max_wait_ms=10.0,
+                 beam_width=None, pad_batch=True, logger=None):
+        self.rec = recognizer
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
+        self.beam_width = beam_width
+        self.pad_batch = pad_batch
+        self.logger = logger
+        self.stats = {"requests": 0, "batches": 0, "batch_sizes": []}
+        self._q = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, feats, corpus="timit"):
+        """feats: [T, feat_dim] numpy -> Future of (ids, text)."""
+        if self._closed:
+            raise RuntimeError("BatchingFrontend is closed")
+        fut = Future()
+        self._q.put((np.asarray(feats, np.float32), corpus, fut))
+        return fut
+
+    def transcribe(self, feats, corpus="timit", timeout=None):
+        return self.submit(feats, corpus).result(timeout=timeout)
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join()
+
+    # -- scheduler ------------------------------------------------------
+
+    def _gather(self):
+        """Block for the first request, then keep the batch open until it
+        is full or the FIRST request has waited max_wait_ms."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                # propagate shutdown after serving what we have
+                self._q.put(None)
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._gather()
+            if batch is None:
+                return
+            feats_list = [feats for feats, _, _ in batch]
+            n_real = len(feats_list)
+            if self.pad_batch and n_real < self.max_batch:
+                dummy = np.zeros(
+                    (_DUMMY_FRAMES, feats_list[0].shape[1]), np.float32
+                )
+                feats_list = feats_list + [dummy] * (self.max_batch - n_real)
+            try:
+                results = self.rec.transcribe_batch(
+                    feats_list, beam_width=self.beam_width
+                )
+            except Exception as exc:  # propagate to every waiter
+                for _, _, fut in batch:
+                    fut.set_exception(exc)
+                continue
+            from srf_tpu.utils.log2utt import ids_to_utt
+
+            raw_vocab = [
+                t if t != " " else "<SPACE>" for t in self.rec.vocab
+            ]
+            for (ids, _), (_, corpus, fut) in zip(results[:n_real], batch):
+                fut.set_result((ids, ids_to_utt(ids, raw_vocab, corpus)))
+            self.stats["requests"] += n_real
+            self.stats["batches"] += 1
+            self.stats["batch_sizes"].append(n_real)
+            if self.logger:
+                self.logger.info(
+                    "served batch of %d (padded to %d)", n_real,
+                    len(feats_list),
+                )
+
+
+# ---- wire protocol ----------------------------------------------------
+# request:  u32 header_len | header JSON | raw float32 payload
+#           header: {"shape": [T, D], "corpus": "timit"}
+# response: u32 body_len | body JSON {"ids": [...], "text": "..."} or
+#           {"error": "..."}
+
+
+def _read_exact(sock, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf += chunk
+    return buf
+
+
+def _send_msg(sock, obj):
+    body = json.dumps(obj).encode("utf-8")
+    sock.sendall(struct.pack(">I", len(body)) + body)
+
+
+def request(host, port, feats, corpus="timit", timeout=60.0):
+    """Client helper: one transcription round trip. -> (ids, text)."""
+    feats = np.ascontiguousarray(feats, np.float32)
+    header = json.dumps(
+        {"shape": list(feats.shape), "corpus": corpus}
+    ).encode("utf-8")
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(struct.pack(">I", len(header)) + header)
+        sock.sendall(feats.tobytes())
+        (n,) = struct.unpack(">I", _read_exact(sock, 4))
+        body = json.loads(_read_exact(sock, n).decode("utf-8"))
+    if "error" in body:
+        raise RuntimeError("server error: %s" % body["error"])
+    return list(body["ids"]), body["text"]
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        frontend = self.server.frontend
+        try:
+            (n,) = struct.unpack(">I", _read_exact(self.request, 4))
+            header = json.loads(_read_exact(self.request, n).decode("utf-8"))
+            t, d = header["shape"]
+            raw = _read_exact(self.request, int(t) * int(d) * 4)
+            feats = np.frombuffer(raw, np.float32).reshape(int(t), int(d))
+            ids, text = frontend.transcribe(
+                feats, corpus=header.get("corpus", "timit")
+            )
+            _send_msg(self.request, {"ids": [int(i) for i in ids],
+                                     "text": text})
+        except Exception as exc:  # noqa: BLE001 — report to the client
+            try:
+                _send_msg(self.request, {"error": str(exc)})
+            except OSError:
+                pass
+
+
+class DaemonServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, frontend):
+        super().__init__(addr, _Handler)
+        self.frontend = frontend
+
+
+def serve(config, host="127.0.0.1", port=8764, max_batch=16,
+          max_wait_ms=10.0, logger=None, ready_event=None):
+    """Blocking server loop (Ctrl-C to stop)."""
+    from srf_tpu.config import Logger
+    from srf_tpu.serve import Recognizer
+
+    logger = logger or Logger(name="srf_daemon", level=Logger.INFO).logger
+    recognizer = Recognizer(config, logger)
+    beam = config.decoding_beam_width
+    frontend = BatchingFrontend(
+        recognizer, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        beam_width=(beam if beam and beam > 1 else None), logger=logger,
+    )
+    server = DaemonServer((host, port), frontend)
+    logger.info(
+        "serving on %s:%d (max_batch %d, max_wait %.1f ms, beam %s)",
+        host, server.server_address[1], max_batch, max_wait_ms, beam,
+    )
+    if ready_event is not None:
+        ready_event.server = server
+        ready_event.set()
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+        frontend.close()
+
+
+def main(argv=None):
+    import sys
+
+    from srf_tpu.config import Logger, ParseOption
+
+    logger = Logger(name="srf_daemon", level=Logger.INFO).logger
+    argv = list(argv or sys.argv)
+    host, port, max_batch, max_wait = "127.0.0.1", 8764, 16, 10.0
+    filtered = []
+    it = iter(argv)
+    for arg in it:
+        if arg.startswith("--daemon-host="):
+            host = arg.split("=", 1)[1]
+        elif arg.startswith("--daemon-port="):
+            port = int(arg.split("=", 1)[1])
+        elif arg.startswith("--daemon-max-batch="):
+            max_batch = int(arg.split("=", 1)[1])
+        elif arg.startswith("--daemon-max-wait-ms="):
+            max_wait = float(arg.split("=", 1)[1])
+        else:
+            filtered.append(arg)
+    config = ParseOption(filtered, logger, is_print_opts=False).args
+    serve(config, host=host, port=port, max_batch=max_batch,
+          max_wait_ms=max_wait, logger=logger)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,11 +44,32 @@ def device_prefetch(iterator, sharding=None, depth=2):
         yield queue.popleft()
 
 
+def _drain(pending, train_loss, train_samples, num_feats):
+    for fetched in jax.device_get(pending):
+        train_loss.update(fetched["loss_sum"], fetched["samples"])
+        train_samples.update(fetched["samples"])
+        num_feats.update(fetched["frames"])
+    return []
+
+
 def run_training(config, logger, state, train_step, valid_step, train_loader,
                  valid_loader, ckpt_manager, epoch_offset, rng,
                  train_num, schedule_fn=None, metrics_path=None,
-                 state_to_save=None, batch_sharding=None):
-    """Returns the final state."""
+                 state_to_save=None, batch_sharding=None, state_from_tree=None):
+    """Returns the final state.
+
+    Preemption safety (``--tpu-ckpt-every-steps N``, no reference analog —
+    the reference only checkpoints per epoch, trainer_sr.py:280-288): every
+    N optimizer steps the full state plus the loop position (epoch, batch
+    index within the epoch) and the metric/early-stop accumulators are
+    saved under ``$path-ckpt/mid``. A restarted process resumes from the
+    freshest of {last epoch checkpoint, last mid checkpoint}: the epoch's
+    shuffle order is a pure function of (seed, epoch) via
+    ``loader.set_epoch``, the per-step dropout rng is a pure function of
+    the restored ``state.step``, and the already-consumed batches are
+    skipped — so the resumed run replays the uninterrupted run bit-exactly
+    (tests/test_preempt.py kills the process mid-epoch and proves it).
+    """
     writer = MetricsWriter(metrics_path)
     train_loss = MeanMetric()
     valid_loss = MeanMetric()
@@ -58,11 +79,86 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
     profile_dir = getattr(config, "tpu_profile_dir", None)
     pre_loss = 1e9
     tolerance = 0
+
+    # ---- mid-epoch (preemption-safe) checkpointing --------------------
+    mid_every = int(getattr(config, "tpu_ckpt_every_steps", 0) or 0)
+    fault_at = int(getattr(config, "tpu_fault_at_step", 0) or 0)
+    mid_mgr = None
+    resume_epoch, resume_index = -1, 0
+    if mid_every > 0 and config.path_ckpt and state_to_save is not None:
+        import os as _os
+
+        from srf_tpu.utils.checkpoint import CheckpointManager
+
+        mid_mgr = CheckpointManager(
+            _os.path.join(config.path_ckpt, "mid"), max_to_keep=2,
+            use_async=getattr(config, "tpu_async_ckpt", False),
+        )
+        last_mid = mid_mgr.latest_step()
+        if last_mid is not None:
+            template = {
+                "state": state_to_save(state),
+                "resume": {
+                    "epoch": 0, "batch_index": 0,
+                    "train_loss_total": 0.0, "train_loss_count": 0.0,
+                    "num_feats_total": 0.0, "num_feats_count": 0.0,
+                    "train_samples": 0.0,
+                    "pre_loss": 0.0, "tolerance": 0,
+                },
+            }
+            restored = mid_mgr.restore(last_mid, template)
+            meta = restored["resume"]
+            if int(meta["epoch"]) >= epoch_offset:
+                if state_from_tree is None:
+                    raise ValueError(
+                        "mid-epoch checkpoint found but no state_from_tree "
+                        "to rebuild the train state"
+                    )
+                state = state_from_tree(restored["state"])
+                resume_epoch = int(meta["epoch"])
+                resume_index = int(meta["batch_index"])
+                epoch_offset = resume_epoch
+                train_loss.total = float(meta["train_loss_total"])
+                train_loss.count = float(meta["train_loss_count"])
+                num_feats.total = float(meta["num_feats_total"])
+                num_feats.count = float(meta["num_feats_count"])
+                train_samples.total = float(meta["train_samples"])
+                pre_loss = float(meta["pre_loss"])
+                tolerance = int(meta["tolerance"])
+                logger.info(
+                    "Resuming mid-epoch from %s/mid/%d: epoch %d, batch %d",
+                    config.path_ckpt, last_mid, resume_epoch, resume_index,
+                )
+            else:
+                logger.info(
+                    "Ignoring stale mid-epoch checkpoint (epoch %d < "
+                    "resume offset %d)", int(meta["epoch"]), epoch_offset,
+                )
+
+    def save_mid(epoch, next_index):
+        to_save = {
+            "state": state_to_save(state),
+            "resume": {
+                "epoch": epoch, "batch_index": next_index,
+                "train_loss_total": train_loss.total,
+                "train_loss_count": train_loss.count,
+                "num_feats_total": num_feats.total,
+                "num_feats_count": num_feats.count,
+                "train_samples": train_samples.total,
+                "pre_loss": pre_loss, "tolerance": tolerance,
+            },
+        }
+        mid_mgr.save(int(jax.device_get(state.step)), to_save)
+
     for epoch in range(epoch_offset, config.train_max_epoch):
-        train_loss.reset()
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        resuming = epoch == resume_epoch and resume_index > 0
+        if not resuming:
+            train_loss.reset()
+            num_feats.reset()
+            train_samples.reset()
         valid_loss.reset()
-        num_feats.reset()
-        train_samples.reset()
 
         prev = time.time()
         index = 0
@@ -75,15 +171,31 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             trace_cm = profiler_trace(profile_dir)
             trace_cm.__enter__()
             logger.info("Profiler trace -> %s", profile_dir)
-        for batch in device_prefetch(iter(train_loader), batch_sharding):
+        batches = iter(train_loader)
+        if resuming:
+            import itertools
+
+            batches = itertools.islice(batches, resume_index, None)
+            index = resume_index
+        for batch in device_prefetch(batches, batch_sharding):
             state, metrics = train_step(state, batch, rng)
             pending.append(metrics)
-            if index % 50 == 0 and index > 0:
-                for fetched in jax.device_get(pending):
-                    train_loss.update(fetched["loss_sum"], fetched["samples"])
-                    train_samples.update(fetched["samples"])
-                    num_feats.update(fetched["frames"])
-                pending = []
+            index += 1
+            if mid_every > 0 and index % mid_every == 0:
+                pending = _drain(pending, train_loss, train_samples, num_feats)
+                save_mid(epoch, index)
+            if fault_at > 0 and int(jax.device_get(state.step)) >= fault_at:
+                if mid_mgr is not None:
+                    mid_mgr.wait()
+                logger.warning(
+                    "FAULT INJECTION: hard-exit at global step %d "
+                    "(--tpu-fault-at-step)", fault_at,
+                )
+                import os as _os
+
+                _os._exit(42)
+            if (index - 1) % 50 == 0 and (index - 1) > 0:
+                pending = _drain(pending, train_loss, train_samples, num_feats)
                 step_i = int(jax.device_get(state.step))
                 lr = float(schedule_fn(step_i)) if schedule_fn else float(
                     config.train_lr_param_k or 0.0
@@ -98,11 +210,7 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                     ),
                     flush=True,
                 )
-            index += 1
-        for fetched in jax.device_get(pending):
-            train_loss.update(fetched["loss_sum"], fetched["samples"])
-            train_samples.update(fetched["samples"])
-            num_feats.update(fetched["frames"])
+        _drain(pending, train_loss, train_samples, num_feats)
         if tracing:
             trace_cm.__exit__(None, None, None)
         train_secs = time.time() - prev
@@ -166,6 +274,9 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             )
 
     writer.close()
+    if mid_mgr is not None:
+        mid_mgr.wait()
+        mid_mgr.close()
     if hasattr(ckpt_manager, "wait"):
         ckpt_manager.wait()  # async saves must be durable before decode/avg
     return state

@@ -13,14 +13,24 @@ class TrainState:
     params: Any
     opt_state: Any
     batch_stats: Any
+    # EMA of params (--tpu-ema-decay); None keeps the pytree (and therefore
+    # the checkpoint layout) identical to pre-EMA checkpoints
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, tx, batch_stats=None):
+    def create(cls, params, tx, batch_stats=None, with_ema=False):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             batch_stats=batch_stats if batch_stats is not None else {},
+            # initialize at the params (not zeros), so no bias correction is
+            # needed; a REAL copy — aliasing the param buffers would make
+            # donation see the same buffer twice
+            ema_params=(
+                jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+                if with_ema else None
+            ),
         )
 
 

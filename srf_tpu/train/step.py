@@ -72,7 +72,7 @@ def make_apply_fn(model, extra_kwargs_fn=None, bf16=False, augment_fn=None):
 
 
 def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True,
-                    state_sharding=None, accum_steps=1):
+                    state_sharding=None, accum_steps=1, ema_decay=0.0):
     """``accum_steps > 1`` splits the batch into that many microbatches and
     accumulates gradients before the single optimizer update
     (--tpu-grad-accum): live activation memory drops ~accum_steps-fold
@@ -81,6 +81,11 @@ def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True,
     sum(pe)/B_global). BatchNorm running stats advance per microbatch
     (sequential EMA rather than one big-batch update — standard for
     accumulation); dropout draws differ per microbatch.
+
+    ``ema_decay > 0`` (--tpu-ema-decay) additionally tracks
+    ``ema += (1-decay) * (params - ema)`` after the update — one fused
+    elementwise pass per step, so it costs nothing next to the matmuls.
+    Requires ``state.ema_params`` (TrainState.create(with_ema=True)).
     """
 
     def train_step(state, batch, rng):
@@ -135,11 +140,18 @@ def make_train_step(apply_fn, tx, in_len_div, mesh=None, donate=True,
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay > 0.0 and state.ema_params is not None:
+            d = jnp.float32(1.0 - ema_decay)
+            new_ema = jax.tree.map(
+                lambda e, p: e + d * (p - e), state.ema_params, new_params
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             batch_stats=new_stats,
+            ema_params=new_ema,
         )
         metrics = {
             "loss_sum": loss_sum,

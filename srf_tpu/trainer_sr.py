@@ -93,18 +93,27 @@ def state_template(model, config, tx, rng):
     variables = jax.jit(
         lambda rngs, feats, lens: model.init(rngs, feats, lens, False)
     )({"params": rng, "dropout": rng}, dummy_feats, dummy_len)
+    with_ema = (getattr(config, "tpu_ema_decay", 0.0) or 0.0) > 0.0 or (
+        getattr(config, "tpu_decode_ema", False)
+    )
     return TrainState.create(
-        variables["params"], tx, variables.get("batch_stats", {})
+        variables["params"], tx, variables.get("batch_stats", {}),
+        with_ema=with_ema,
     )
 
 
 def state_to_tree(state):
-    return {
+    tree = {
         "step": state.step,
         "params": state.params,
         "opt_state": state.opt_state,
         "batch_stats": state.batch_stats,
     }
+    # keep pre-EMA checkpoint layouts byte-compatible: the subtree exists
+    # only when EMA is on
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
 
 
 def tree_to_state(tree):
@@ -113,6 +122,7 @@ def tree_to_state(tree):
         params=tree["params"],
         opt_state=tree["opt_state"],
         batch_stats=tree["batch_stats"],
+        ema_params=tree.get("ema_params"),
     )
 
 
@@ -175,6 +185,14 @@ def main(argv=None):
             test_ds, batch_size=config.tpu_decode_batch,
             pad_last=config.tpu_decode_pad_last,
         )
+        if config.tpu_decode_ema:
+            if state.ema_params is None:
+                raise ValueError(
+                    "--tpu-decode-ema: the checkpoint holds no EMA params "
+                    "(was it trained with --tpu-ema-decay > 0?)"
+                )
+            state = state.replace(params=state.ema_params)
+            logger.info("Decoding with EMA params (--tpu-decode-ema)")
         logits_fn = make_logits_fn(apply_fn)
         run_decoding(
             config, logger, state, logits_fn, test_loader, in_len_div,
@@ -207,6 +225,12 @@ def main(argv=None):
             logger.warning(
                 "MWER mode ignores --tpu-fsdp sharding (plain jit step)"
             )
+        if config.tpu_ema_decay > 0:
+            logger.warning(
+                "MWER mode does not update --tpu-ema-decay EMA params "
+                "(the EMA from the pre-fine-tune checkpoint is carried "
+                "through unchanged)"
+            )
 
         logits_fn = make_logits_fn(apply_fn)
         # an unset --decoding-beam-width must not mean "unpruned": the
@@ -232,6 +256,7 @@ def main(argv=None):
             apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,
             state_sharding=state_sharding,
             accum_steps=config.tpu_grad_accum,
+            ema_decay=config.tpu_ema_decay,
         )
     valid_step = make_valid_step(
         apply_fn, in_len_div, mesh=mesh, state_sharding=state_sharding
@@ -246,6 +271,7 @@ def main(argv=None):
         schedule_fn=schedule, metrics_path=metrics_path,
         state_to_save=state_to_tree,
         batch_sharding=batch_sharding(mesh),
+        state_from_tree=tree_to_state,
     )
     ckpt_manager.close()
 

@@ -118,8 +118,10 @@ def main(argv=None):
             attention_penalty_mask=None, in_len_div=in_len_div,
         )
     )({"params": rng, "dropout": rng}, dummy_feats, dummy_len)
-    state = TrainState.create(variables["params"], tx,
-                              variables.get("batch_stats", {}))
+    state = TrainState.create(
+        variables["params"], tx, variables.get("batch_stats", {}),
+        with_ema=(config.tpu_ema_decay > 0.0 or config.tpu_decode_ema),
+    )
     logger.info("Model parameters: %d", param_count(state.params))
 
     ckpt_manager, restored, epoch_offset = load_checkpoint(
@@ -162,6 +164,14 @@ def main(argv=None):
             test_ptrn, config.feat_dim, config.prep_max_inp,
             config.prep_max_tar, with_utt_id=True,
         )
+        if config.tpu_decode_ema:
+            if state.ema_params is None:
+                raise ValueError(
+                    "--tpu-decode-ema: the checkpoint holds no EMA params "
+                    "(was it trained with --tpu-ema-decay > 0?)"
+                )
+            state = state.replace(params=state.ema_params)
+            logger.info("Decoding with EMA params (--tpu-decode-ema)")
         run_decoding(
             config, logger, state, make_logits_fn(apply_fn),
             EvalLoader(test_ds, batch_size=config.tpu_decode_batch,
@@ -185,6 +195,7 @@ def main(argv=None):
     train_step = make_train_step(
         apply_fn, tx, in_len_div, mesh=mesh, donate=config.tpu_donate,
         state_sharding=state_sharding, accum_steps=config.tpu_grad_accum,
+        ema_decay=config.tpu_ema_decay,
     )
     valid_step = make_valid_step(
         apply_fn, in_len_div, mesh=mesh, state_sharding=state_sharding
@@ -211,6 +222,7 @@ def main(argv=None):
         schedule_fn=schedule, metrics_path=metrics_path,
         state_to_save=state_to_tree,
         batch_sharding=batch_sharding(mesh),
+        state_from_tree=tree_to_state,
     )
     ckpt_manager.close()
 

@@ -162,8 +162,8 @@ def load_checkpoint(config, logger, template_state, params_only=False):
     if params_only:
         subset = {
             k: template_state[k]
-            for k in ("step", "params", "batch_stats")
-            if k in template_state
+            for k in ("step", "params", "batch_stats", "ema_params")
+            if template_state.get(k) is not None
         }
         restored = dict(template_state)
         restored.update(manager.restore_partial(step, subset))

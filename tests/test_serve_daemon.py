@@ -1,0 +1,110 @@
+"""Dynamic-batching serving daemon: coalescing, TCP round trip, latency.
+
+The daemon has no reference analog (the reference's only inference path is
+the trainer's offline decode mode, tfsr/trainer_sr.py:290-299); its
+correctness contract is: batched answers == one-by-one answers, single
+requests are flushed by the wait timeout, and concurrent requests coalesce
+into fewer dispatches.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from tests.test_serve import trained  # noqa: F401  (shared trained model)
+
+
+@pytest.fixture(scope="module")
+def recognizer(trained):  # noqa: F811
+    argv, base = trained
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="daemon-test", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    return Recognizer(config, logger), base
+
+
+def test_coalesced_batches_match_single_requests(recognizer):
+    from srf_tpu.serve_daemon import BatchingFrontend
+
+    rec, base = recognizer
+    feats = [np.load(base / ("u%d.None.npy" % i)) for i in range(4)]
+    want = [rec.transcribe(f, beam_width=4, corpus="wsj") for f in feats]
+
+    frontend = BatchingFrontend(rec, max_batch=4, max_wait_ms=500,
+                                beam_width=4)
+    try:
+        barrier = threading.Barrier(4)
+        futures = [None] * 4
+
+        def client(i):
+            barrier.wait()
+            futures[i] = frontend.submit(feats[i], corpus="wsj")
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        got = [f.result(timeout=120) for f in futures]
+    finally:
+        frontend.close()
+
+    assert [ids for ids, _ in got] == [ids for ids, _ in want]
+    assert [txt for _, txt in got] == [txt for _, txt in want]
+    # the concurrent submits coalesced (fewer dispatches than requests)
+    assert frontend.stats["requests"] == 4
+    assert max(frontend.stats["batch_sizes"]) > 1
+
+
+def test_single_request_flushed_by_timeout(recognizer):
+    from srf_tpu.serve_daemon import BatchingFrontend
+
+    rec, base = recognizer
+    frontend = BatchingFrontend(rec, max_batch=16, max_wait_ms=5,
+                                beam_width=4)
+    try:
+        feats = np.load(base / "u0.None.npy")
+        ids, text = frontend.transcribe(feats, corpus="wsj", timeout=120)
+    finally:
+        frontend.close()
+    want_ids, want_text = rec.transcribe(feats, beam_width=4, corpus="wsj")
+    assert ids == want_ids and text == want_text
+    # pad_batch keeps the dispatch shape at max_batch rows
+    assert frontend.stats["batch_sizes"] == [1]
+
+
+def test_tcp_round_trip(recognizer, trained):  # noqa: F811
+    import srf_tpu.serve_daemon as sd
+    from srf_tpu.config import Logger, ParseOption
+
+    argv, base = trained
+    rec, _ = recognizer
+    logger = Logger(name="daemon-tcp", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+
+    ready = threading.Event()
+    thread = threading.Thread(
+        target=sd.serve,
+        kwargs=dict(config=config, host="127.0.0.1", port=0, max_batch=4,
+                    max_wait_ms=5, logger=logger, ready_event=ready),
+        daemon=True,
+    )
+    thread.start()
+    assert ready.wait(timeout=300)
+    server = ready.server
+    port = server.server_address[1]
+    try:
+        for i in range(2):
+            feats = np.load(base / ("u%d.None.npy" % i))
+            ids, text = sd.request("127.0.0.1", port, feats, corpus="wsj")
+            want_ids, want_text = rec.transcribe(
+                feats, beam_width=4, corpus="wsj"
+            )
+            assert ids == want_ids and text == want_text
+    finally:
+        server.shutdown()
+        thread.join(timeout=30)

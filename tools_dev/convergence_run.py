@@ -186,12 +186,12 @@ def main():
                                      "%03d " % args.epochs in line):
             print(line.strip(), flush=True)
 
-    def decode_and_score(tag):
+    def decode_and_score(tag, decode_extra=()):
         decode_log = os.path.join(base, "decode%s.log" % tag)
         run([sys.executable, "-m", trainer] + common + [
             "--train-opti-type=adam", "--train-lr-param-k=0.001",
             "--train-max-epoch=0",
-        ], log=decode_log)
+        ] + list(decode_extra), log=decode_log)
         # scrape hypotheses and score (timit-style: space-joined tokens;
         # the 61->39 map passes unknown tokens through)
         hyp = run([sys.executable, "-m", "srf_tpu.utils.log2utt", decode_log,
@@ -210,6 +210,10 @@ def main():
         return score
 
     decode_and_score("")
+    # trained with an EMA? also score the EMA weights (raw-vs-EMA A/B)
+    ema_flags = [e for e in args.extra if e.startswith("--tpu-ema-decay")]
+    if ema_flags:
+        decode_and_score("_ema", ema_flags + ["--tpu-decode-ema=True"])
     if args.mwer_epochs > 0:
         # MWER fine-tune from the CTC checkpoint, then re-score
         run([sys.executable, "-m", trainer] + common + [

@@ -317,6 +317,28 @@ class ParseOption:
                  "preemption. 0 = disabled",
         )
         tpu_group.add_argument(
+            "--tpu-watchdog-secs", type=float, default=0,
+            help="hang detection: if no optimizer step completes for N "
+                 "seconds, dump all thread stacks and exit 43 so a "
+                 "supervisor restarts the job (exact resume with "
+                 "--tpu-ckpt-every-steps). Armed after the first step of "
+                 "the process (so initial compilation is exempt); size N "
+                 "above the slowest legitimate step + eval compile. 0 = off",
+        )
+        tpu_group.add_argument(
+            "--tpu-fault-hang-at-step", type=int, default=0,
+            help="fault injection for watchdog testing: the host loop "
+                 "sleeps forever once the global step reaches N. 0 = off",
+        )
+        tpu_group.add_argument(
+            "--tpu-fault-signal-at-step", type=int, default=0,
+            help="fault injection for graceful-preemption testing: the "
+                 "process sends ITSELF a real SIGTERM at global step N "
+                 "(cloud TPU preemption notice); with "
+                 "--tpu-ckpt-every-steps the loop saves a mid-epoch "
+                 "checkpoint and exits 143. 0 = off",
+        )
+        tpu_group.add_argument(
             "--tpu-ema-decay", type=float, default=0.0,
             help="maintain an exponential moving average of the params "
                  "inside the train step (ema += (1-decay)*(p-ema), "

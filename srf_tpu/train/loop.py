@@ -150,129 +150,221 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         }
         mid_mgr.save(int(jax.device_get(state.step)), to_save)
 
-    for epoch in range(epoch_offset, config.train_max_epoch):
-        if hasattr(train_loader, "set_epoch"):
-            train_loader.set_epoch(epoch)
-        resuming = epoch == resume_epoch and resume_index > 0
-        if not resuming:
-            train_loss.reset()
-            num_feats.reset()
-            train_samples.reset()
-        valid_loss.reset()
+    # ---- failure detection -------------------------------------------
+    # SIGTERM = the cloud preemption notice: flag it, save a mid
+    # checkpoint at the next step boundary, exit 143 (the supervisor
+    # restarts and resumes exactly). Installed only when mid-epoch
+    # checkpointing gives the handler somewhere to save.
+    hang_at = int(getattr(config, "tpu_fault_hang_at_step", 0) or 0)
+    sig_at = int(getattr(config, "tpu_fault_signal_at_step", 0) or 0)
+    check_step = fault_at > 0 or hang_at > 0 or sig_at > 0
+    sigterm_seen = {"flag": False}
+    sig_installed = False
+    if mid_mgr is not None:
+        import signal as _signal
 
-        prev = time.time()
-        index = 0
-        pending = []  # device metrics, fetched lazily so steps pipeline
-        tracing = bool(profile_dir) and epoch == epoch_offset
-        if tracing:
-            # profile the first trained epoch (TensorBoard-loadable)
-            from srf_tpu.utils.profiler import trace as profiler_trace
+        def _on_sigterm(signum, frame):
+            sigterm_seen["flag"] = True
 
-            trace_cm = profiler_trace(profile_dir)
-            trace_cm.__enter__()
-            logger.info("Profiler trace -> %s", profile_dir)
-        batches = iter(train_loader)
-        if resuming:
-            import itertools
+        try:
+            _prev_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+            sig_installed = True
+        except ValueError:  # not the main thread
+            pass
 
-            batches = itertools.islice(batches, resume_index, None)
-            index = resume_index
-        for batch in device_prefetch(batches, batch_sharding):
-            state, metrics = train_step(state, batch, rng)
-            pending.append(metrics)
-            index += 1
-            if mid_every > 0 and index % mid_every == 0:
-                pending = _drain(pending, train_loss, train_samples, num_feats)
-                save_mid(epoch, index)
-            if fault_at > 0 and int(jax.device_get(state.step)) >= fault_at:
-                if mid_mgr is not None:
-                    mid_mgr.wait()
-                logger.warning(
-                    "FAULT INJECTION: hard-exit at global step %d "
-                    "(--tpu-fault-at-step)", fault_at,
-                )
-                import os as _os
+    # Watchdog (hang -> crash -> restart -> exact resume): armed lazily
+    # after the FIRST optimizer step completes, so initial compilation
+    # never trips it.
+    watchdog_secs = float(getattr(config, "tpu_watchdog_secs", 0) or 0)
+    watchdog = None
 
-                _os._exit(42)
-            if (index - 1) % 50 == 0 and (index - 1) > 0:
-                pending = _drain(pending, train_loss, train_samples, num_feats)
-                step_i = int(jax.device_get(state.step))
-                lr = float(schedule_fn(step_i)) if schedule_fn else float(
-                    config.train_lr_param_k or 0.0
-                )
-                print(
-                    "STEP %d %.6f %.6f %.8f"
-                    % (
-                        step_i,
-                        train_samples.result() / max(train_num, 1) * 100.0,
-                        train_loss.result(),
-                        lr,
-                    ),
-                    flush=True,
-                )
-        _drain(pending, train_loss, train_samples, num_feats)
-        if tracing:
-            trace_cm.__exit__(None, None, None)
-        train_secs = time.time() - prev
-        step_i = int(jax.device_get(state.step))
-        logger.info(
-            "Epoch %03d Train Loss %.4f, %.3f secs, %d feats/step, %d/%d steps",
-            epoch + 1, train_loss.result(), train_secs,
-            int(num_feats.result()), step_i, config.train_max_step,
-        )
-        writer.write(
-            {"kind": "train_epoch", "epoch": epoch + 1,
-             "loss": train_loss.result(), "secs": train_secs, "step": step_i,
-             "samples": train_samples.result()}
-        )
+    def kick_watchdog():
+        nonlocal watchdog
+        if watchdog_secs <= 0:
+            return
+        if watchdog is None:
+            from srf_tpu.utils.watchdog import Watchdog
 
-        prev = time.time()
-        pending = [
-            valid_step(state, batch)
-            for batch in device_prefetch(iter(valid_loader), batch_sharding)
-        ]
-        for metrics in jax.device_get(pending):
-            valid_loss.update(metrics["loss_sum"], metrics["samples"])
-        valid_secs = time.time() - prev
-        if valid_loss.count == 0:
-            # every bucket's remainder was dropped (valid set smaller than
-            # the smallest bucket batch — reference drop_remainder=True,
-            # load_speech_data.py:174): a 0.0000 valid loss would silently
-            # disable early stopping, so say it out loud
-            logger.warning(
-                "Validation yielded NO batches (valid set smaller than the "
-                "bucket batch sizes?); early stopping is inert this epoch")
-        better = valid_loss.result() - pre_loss <= (pre_loss * 0.01)
-        tolerance = 0 if better else tolerance + 1
-        logger.info(
-            "Epoch %03d Valid Loss %.4f, %.3f secs%s",
-            epoch + 1, valid_loss.result(), valid_secs,
-            ", improved" if better else ", tolerance %d" % tolerance,
-        )
-        writer.write(
-            {"kind": "valid_epoch", "epoch": epoch + 1,
-             "loss": valid_loss.result(), "secs": valid_secs,
-             "better": bool(better), "tolerance": tolerance}
-        )
-        pre_loss = valid_loss.result()
+            watchdog = Watchdog(watchdog_secs, logger=logger).start()
+        watchdog.kick()
 
-        # early stop BEFORE saving: the regressed final epoch gets no
-        # checkpoint, so checkpoint averaging sees the same last-N set as
-        # the reference (reference: tfsr/trainer_sr.py:277-288)
-        if 0 < config.train_es_tolerance <= tolerance:
-            logger.info("early stopped!")
-            break
-        if config.train_ckpt_saving_per > 0:
-            to_save = state_to_save(state) if state_to_save else state
-            path = ckpt_manager.save(epoch + 1, to_save)
-            logger.info("Saving a ckpt for the last epoch at %s", path)
-        else:
-            logger.warning(
-                "Not saved since train-ckpt-saving-per is %d, it needs to be "
-                "bigger than 0 if you want save checkpoints",
-                config.train_ckpt_saving_per,
+    def teardown():
+        if watchdog is not None:
+            watchdog.stop()
+        if sig_installed:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGTERM, _prev_sigterm)
+
+    try:
+        for epoch in range(epoch_offset, config.train_max_epoch):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            resuming = epoch == resume_epoch and resume_index > 0
+            if not resuming:
+                train_loss.reset()
+                num_feats.reset()
+                train_samples.reset()
+            valid_loss.reset()
+
+            prev = time.time()
+            index = 0
+            pending = []  # device metrics, fetched lazily so steps pipeline
+            tracing = bool(profile_dir) and epoch == epoch_offset
+            if tracing:
+                # profile the first trained epoch (TensorBoard-loadable)
+                from srf_tpu.utils.profiler import trace as profiler_trace
+
+                trace_cm = profiler_trace(profile_dir)
+                trace_cm.__enter__()
+                logger.info("Profiler trace -> %s", profile_dir)
+            batches = iter(train_loader)
+            if resuming:
+                import itertools
+
+                batches = itertools.islice(batches, resume_index, None)
+                index = resume_index
+            for batch in device_prefetch(batches, batch_sharding):
+                state, metrics = train_step(state, batch, rng)
+                pending.append(metrics)
+                index += 1
+                kick_watchdog()
+                if mid_every > 0 and index % mid_every == 0:
+                    pending = _drain(pending, train_loss, train_samples, num_feats)
+                    save_mid(epoch, index)
+                if check_step:
+                    # exact-equality triggers: a supervised restart resumes
+                    # PAST the fault step, so the injection fires once per
+                    # job, not once per restart (tools/supervise.py e2e)
+                    gstep = int(jax.device_get(state.step))
+                    if fault_at > 0 and gstep == fault_at:
+                        if mid_mgr is not None:
+                            mid_mgr.wait()
+                        logger.warning(
+                            "FAULT INJECTION: hard-exit at global step %d "
+                            "(--tpu-fault-at-step)", fault_at,
+                        )
+                        import os as _os
+
+                        _os._exit(42)
+                    if hang_at > 0 and gstep == hang_at:
+                        logger.warning(
+                            "FAULT INJECTION: hanging the host loop at global "
+                            "step %d (--tpu-fault-hang-at-step)", hang_at,
+                        )
+                        while True:
+                            time.sleep(60)
+                    if sig_at > 0 and gstep == sig_at:
+                        import os as _os
+                        import signal as _signal
+
+                        logger.warning(
+                            "FAULT INJECTION: raising SIGTERM to self at "
+                            "global step %d (--tpu-fault-signal-at-step)",
+                            sig_at,
+                        )
+                        sig_at = 0  # once
+                        _os.kill(_os.getpid(), _signal.SIGTERM)
+                if sigterm_seen["flag"]:
+                    pending = _drain(pending, train_loss, train_samples, num_feats)
+                    if mid_mgr is not None:
+                        save_mid(epoch, index)
+                        mid_mgr.wait()
+                        logger.warning(
+                            "SIGTERM: saved mid-epoch checkpoint at global step "
+                            "%d (epoch %d, batch %d); exiting 143 — restart "
+                            "resumes exactly",
+                            int(jax.device_get(state.step)), epoch, index,
+                        )
+                    else:  # pragma: no cover — handler only installed with mid_mgr
+                        logger.warning("SIGTERM: no mid-epoch checkpointing; "
+                                       "exiting 143")
+                    import os as _os
+
+                    _os._exit(143)
+                if (index - 1) % 50 == 0 and (index - 1) > 0:
+                    pending = _drain(pending, train_loss, train_samples, num_feats)
+                    step_i = int(jax.device_get(state.step))
+                    lr = float(schedule_fn(step_i)) if schedule_fn else float(
+                        config.train_lr_param_k or 0.0
+                    )
+                    print(
+                        "STEP %d %.6f %.6f %.8f"
+                        % (
+                            step_i,
+                            train_samples.result() / max(train_num, 1) * 100.0,
+                            train_loss.result(),
+                            lr,
+                        ),
+                        flush=True,
+                    )
+            _drain(pending, train_loss, train_samples, num_feats)
+            if tracing:
+                trace_cm.__exit__(None, None, None)
+            train_secs = time.time() - prev
+            step_i = int(jax.device_get(state.step))
+            logger.info(
+                "Epoch %03d Train Loss %.4f, %.3f secs, %d feats/step, %d/%d steps",
+                epoch + 1, train_loss.result(), train_secs,
+                int(num_feats.result()), step_i, config.train_max_step,
+            )
+            writer.write(
+                {"kind": "train_epoch", "epoch": epoch + 1,
+                 "loss": train_loss.result(), "secs": train_secs, "step": step_i,
+                 "samples": train_samples.result()}
             )
 
+            prev = time.time()
+            pending = []
+            for batch in device_prefetch(iter(valid_loader), batch_sharding):
+                pending.append(valid_step(state, batch))
+                kick_watchdog()
+            for metrics in jax.device_get(pending):
+                valid_loss.update(metrics["loss_sum"], metrics["samples"])
+            kick_watchdog()
+            valid_secs = time.time() - prev
+            if valid_loss.count == 0:
+                # every bucket's remainder was dropped (valid set smaller than
+                # the smallest bucket batch — reference drop_remainder=True,
+                # load_speech_data.py:174): a 0.0000 valid loss would silently
+                # disable early stopping, so say it out loud
+                logger.warning(
+                    "Validation yielded NO batches (valid set smaller than the "
+                    "bucket batch sizes?); early stopping is inert this epoch")
+            better = valid_loss.result() - pre_loss <= (pre_loss * 0.01)
+            tolerance = 0 if better else tolerance + 1
+            logger.info(
+                "Epoch %03d Valid Loss %.4f, %.3f secs%s",
+                epoch + 1, valid_loss.result(), valid_secs,
+                ", improved" if better else ", tolerance %d" % tolerance,
+            )
+            writer.write(
+                {"kind": "valid_epoch", "epoch": epoch + 1,
+                 "loss": valid_loss.result(), "secs": valid_secs,
+                 "better": bool(better), "tolerance": tolerance}
+            )
+            pre_loss = valid_loss.result()
+
+            # early stop BEFORE saving: the regressed final epoch gets no
+            # checkpoint, so checkpoint averaging sees the same last-N set as
+            # the reference (reference: tfsr/trainer_sr.py:277-288)
+            if 0 < config.train_es_tolerance <= tolerance:
+                logger.info("early stopped!")
+                break
+            if config.train_ckpt_saving_per > 0:
+                to_save = state_to_save(state) if state_to_save else state
+                path = ckpt_manager.save(epoch + 1, to_save)
+                logger.info("Saving a ckpt for the last epoch at %s", path)
+                kick_watchdog()
+            else:
+                logger.warning(
+                    "Not saved since train-ckpt-saving-per is %d, it needs to be "
+                    "bigger than 0 if you want save checkpoints",
+                    config.train_ckpt_saving_per,
+                )
+
+    finally:
+        teardown()
     writer.close()
     if mid_mgr is not None:
         mid_mgr.wait()

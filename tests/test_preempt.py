@@ -98,10 +98,28 @@ def written_corpus(corpus):
     return corpus
 
 
+def _child_env():
+    """Env for subprocess trainers that actually honors the test platform.
+
+    The deployment's sitecustomize force-registers the remote-TPU ('axon')
+    backend whenever PALLAS_AXON_POOL_IPS is set, PREPENDING it to
+    jax_platforms — so a child with JAX_PLATFORMS=cpu in its env still
+    runs over the remote tunnel (slow, and it can wedge mid-transfer,
+    which is a real hang the watchdog tests would then non-
+    deterministically catch). Dropping the activation var makes the
+    sitecustomize a no-op and the inherited JAX_PLATFORMS=cpu effective.
+    SRF_TEST_PLATFORM=axon keeps the tunnel (run-the-suite-on-chip mode).
+    """
+    env = dict(os.environ)
+    if os.environ.get("SRF_TEST_PLATFORM", "cpu") != "axon":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
 def _run_trainer(argv, expect_code=0):
     out = subprocess.run(
         [sys.executable, "-m", "srf_tpu.trainer_sr"] + argv[1:],
-        capture_output=True, text=True, env=dict(os.environ),
+        capture_output=True, text=True, env=_child_env(),
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         timeout=1200,
     )

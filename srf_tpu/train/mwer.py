@@ -79,9 +79,35 @@ def hypothesis_errors(labels, tar_len, hyps, hyp_lens):
     return errors
 
 
+def _process_local_rows(arr):
+    """The leading-axis rows of a (possibly multi-process) global array
+    that THIS process hosts, as one numpy block in global-index order.
+
+    Inverse of ``parallel.mesh.put_sharded``'s multi-process assembly:
+    the block returned here round-trips through
+    ``jax.make_array_from_process_local_data`` back to the same global
+    rows, which is what keeps per-row host work (n-best decode, edit
+    distances) aligned with the device-resident batch. Duplicate shards
+    (replicated axes) are deduped by global start index."""
+    uniq = {}
+    for s in arr.addressable_shards:
+        start = (s.index[0].start or 0) if s.index else 0
+        if start not in uniq:
+            uniq[start] = np.asarray(s.data)
+    return np.concatenate([uniq[k] for k in sorted(uniq)], axis=0)
+
+
 def make_mwer_train_step(apply_fn, logits_fn, tx, in_len_div, beam_width,
-                         n_best, blank_id, lam_ctc=0.1, accum_steps=1):
+                         n_best, blank_id, lam_ctc=0.1, accum_steps=1,
+                         mesh=None):
     """Returns train_step(state, batch, rng) running one MWER update.
+
+    Multi-process (``jax.process_count() > 1``, requires ``mesh``): the
+    host n-best decode is embarrassingly parallel per utterance, so each
+    process decodes ONLY the logit rows it hosts (no cross-host logit
+    gather) and the per-row hypothesis/error arrays are reassembled into
+    global arrays with the same 'data'-axis sharding as the batch; the
+    jitted update then runs SPMD exactly like the single-process path.
 
     ``accum_steps > 1`` (--tpu-grad-accum) microbatches the jitted update:
     the n-best scoring forward (N+1 CTC lattices per example — the memory-
@@ -177,18 +203,37 @@ def make_mwer_train_step(apply_fn, logits_fn, tx, in_len_div, beam_width,
     def train_step(state, batch, rng):
         # host round-trip: decode the n-best under the CURRENT parameters
         logits = logits_fn(state, batch)
-        logit_lens = np.maximum(
-            1, -(-np.asarray(batch["inp_len"]) // in_len_div)
-        )
-        logit_lens = np.minimum(logit_lens, np.asarray(logits).shape[1])
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            if mesh is None:
+                raise ValueError("multi-process MWER needs mesh=")
+            # this process's rows only: decode is per-utterance work
+            host_logits = _process_local_rows(logits)
+            host_inp_len = _process_local_rows(batch["inp_len"])
+            host_labels = _process_local_rows(batch["labels"])
+            host_tar_len = _process_local_rows(batch["tar_len"])
+        else:
+            host_logits = np.asarray(logits)
+            host_inp_len = np.asarray(batch["inp_len"])
+            host_labels = np.asarray(batch["labels"])
+            host_tar_len = np.asarray(batch["tar_len"])
+        logit_lens = np.maximum(1, -(-host_inp_len // in_len_div))
+        logit_lens = np.minimum(logit_lens, host_logits.shape[1])
         # static hypothesis width per bucket: labels cap + slack
         hyps, hyp_lens = decode_nbest(
-            logits, logit_lens, beam_width, n_best, blank_id,
+            host_logits, logit_lens, beam_width, n_best, blank_id,
             pad_to=int(batch["labels"].shape[1]) + 8,
         )
-        errors = hypothesis_errors(
-            batch["labels"], batch["tar_len"], hyps, hyp_lens
-        )
+        errors = hypothesis_errors(host_labels, host_tar_len, hyps, hyp_lens)
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(mesh, P("data"))
+            hyps, hyp_lens, errors = (
+                jax.make_array_from_process_local_data(data, a)
+                for a in (hyps, hyp_lens, errors)
+            )
+            return _update(state, batch, hyps, hyp_lens, errors, rng)
         return _update(
             state, batch, jnp.asarray(hyps), jnp.asarray(hyp_lens),
             jnp.asarray(errors), rng,

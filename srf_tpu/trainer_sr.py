@@ -217,9 +217,10 @@ def main(argv=None):
         from srf_tpu.train.mwer import make_mwer_train_step
 
         if jax.process_count() > 1:
-            raise ValueError(
-                "--train-is-mwer is single-host: the n-best decode runs "
-                "on the host and needs every logit shard addressable"
+            logger.info(
+                "MWER multi-process: each host n-best-decodes only its "
+                "own logit shards; hypothesis arrays reassemble onto the "
+                "'data' axis (train/mwer.py)"
             )
         if config.tpu_fsdp:
             logger.warning(
@@ -244,6 +245,7 @@ def main(argv=None):
             n_best=config.tpu_mwer_nbest, blank_id=blank_idx,
             lam_ctc=config.tpu_mwer_lam_ctc,
             accum_steps=config.tpu_grad_accum,
+            mesh=mesh,
         )
         logger.info(
             "MWER fine-tune: beam %d, n-best %d, lambda-CTC %.3f, "

@@ -82,30 +82,15 @@ def _write_corpus(path, n_utt=4, feat_dim=10):
             }))
 
 
-def test_two_process_dp_matches_single(tmp_path):
-    """Two real processes (jax.distributed over localhost CPU, 2 local
-    devices each) must produce the same summed loss and post-update param
-    fingerprint as one process training on the same 4 utterances."""
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from srf_tpu.data.loader import EvalLoader, SpeechDataset
-    from srf_tpu.models.srf import SequenceRouter
-    from srf_tpu.parallel.mesh import make_mesh, shard_batch
-    from srf_tpu.train.state import TrainState
-    from srf_tpu.train.step import make_apply_fn, make_train_step
-
-    record = tmp_path / "dist-corpus.tfrecord"
-    _write_corpus(record)
-
-    # pick a free localhost port for the coordinator
+def _launch_two_process(worker_basename, record):
+    """Run a 2-process jax.distributed worker over a localhost
+    coordinator; return both processes' parsed JSON fingerprints."""
     sock = socket.socket()
     sock.bind(("127.0.0.1", 0))
     port = sock.getsockname()[1]
     sock.close()
 
-    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    worker = os.path.join(os.path.dirname(__file__), worker_basename)
     procs = []
     for pid in range(2):
         env = dict(
@@ -126,6 +111,26 @@ def test_two_process_dp_matches_single(tmp_path):
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, err[-3000:]
         results.append(json.loads(out.strip().splitlines()[-1]))
+    return results
+
+
+def test_two_process_dp_matches_single(tmp_path):
+    """Two real processes (jax.distributed over localhost CPU, 2 local
+    devices each) must produce the same summed loss and post-update param
+    fingerprint as one process training on the same 4 utterances."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from srf_tpu.data.loader import EvalLoader, SpeechDataset
+    from srf_tpu.models.srf import SequenceRouter
+    from srf_tpu.parallel.mesh import make_mesh, shard_batch
+    from srf_tpu.train.state import TrainState
+    from srf_tpu.train.step import make_apply_fn, make_train_step
+
+    record = tmp_path / "dist-corpus.tfrecord"
+    _write_corpus(record)
+    results = _launch_two_process("_distributed_worker.py", record)
 
     # both processes observe the same global loss / updated params
     assert abs(results[0]["loss_sum"] - results[1]["loss_sum"]) < 1e-4
@@ -168,6 +173,78 @@ def test_two_process_dp_matches_single(tmp_path):
     )
     train_step = make_train_step(make_apply_fn(model), tx, 4, mesh=mesh,
                                  donate=False)
+    new_state, metrics = train_step(state, batch, rng)
+    want_loss = float(jax.device_get(metrics["loss_sum"]))
+    want_fp = float(jax.device_get(
+        sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(new_state.params))
+    ))
+    got = results[0]
+    assert got["loss_sum"] == pytest.approx(want_loss, rel=1e-4)
+    assert got["param_fp"] == pytest.approx(want_fp, rel=1e-5)
+
+
+def test_two_process_mwer_matches_single(tmp_path):
+    """MWER fine-tuning across 2 real processes: each host n-best-decodes
+    only its own logit shards (train/mwer.py _process_local_rows), the
+    hypothesis/error arrays reassemble onto the 'data' mesh axis, and the
+    SPMD expected-word-error update matches a single-process oracle on the
+    identical examples."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from srf_tpu.data.loader import EvalLoader, SpeechDataset
+    from srf_tpu.models.srf import SequenceRouter
+    from srf_tpu.parallel.mesh import make_mesh, shard_batch
+    from srf_tpu.train.mwer import make_mwer_train_step
+    from srf_tpu.train.state import TrainState
+    from srf_tpu.train.step import make_apply_fn, make_logits_fn
+
+    record = tmp_path / "mwer-dist-corpus.tfrecord"
+    _write_corpus(record)
+    results = _launch_two_process("_mwer_distributed_worker.py", record)
+
+    # both processes observe the same global loss / updated params
+    assert abs(results[0]["loss_sum"] - results[1]["loss_sum"]) < 1e-4
+    assert abs(results[0]["param_fp"] - results[1]["param_fp"]) < 1e-4
+
+    # single-process oracle, rows permuted to the multi-process global
+    # interleave (same convention as test_two_process_dp_matches_single)
+    ds = SpeechDataset(str(record), 10)
+    local = next(iter(EvalLoader(ds, batch_size=4, pad_multiple=32)))
+    perm = np.array([0, 2, 1, 3])
+    local = {
+        k: (v[perm] if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+            else v)
+        for k, v in local.items()
+    }
+    model = SequenceRouter(
+        feat_dim=10, class_n=7, enc_num=2, caps_primary_num=6,
+        caps_primary_dim=4, caps_conv_num=5, caps_conv_dim=4,
+        caps_class_dim=4, caps_iter=1, lpad=1, rpad=1, is_context=True,
+        conv_layer_num=2, conv_filter_num=8, caps_type="naive",
+    )
+    rng = jax.random.PRNGKey(11)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 32, 10)), jnp.array([32]), False,
+    )
+    tx = optax.adam(1e-3)
+    state = TrainState.create(
+        variables["params"], tx, variables.get("batch_stats", {})
+    )
+    mesh = make_mesh(num_data=4, devices=jax.devices()[:4])
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    batch = shard_batch(
+        mesh, {k: local[k] for k in ("feats", "labels", "inp_len", "tar_len")}
+    )
+    apply_fn = make_apply_fn(model)
+    train_step = make_mwer_train_step(
+        apply_fn, make_logits_fn(apply_fn), tx, in_len_div=4,
+        beam_width=4, n_best=2, blank_id=6, lam_ctc=0.1, mesh=mesh,
+    )
     new_state, metrics = train_step(state, batch, rng)
     want_loss = float(jax.device_get(metrics["loss_sum"]))
     want_fp = float(jax.device_get(

@@ -85,6 +85,15 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
     fault_at = int(getattr(config, "tpu_fault_at_step", 0) or 0)
     mid_mgr = None
     resume_epoch, resume_index = -1, 0
+    # batch-geometry signature: ``resume.batch_index`` counts BATCHES, so
+    # it only names the same data position if the bucket batch sizes are
+    # unchanged. An elastic restart on a different mesh can legally change
+    # them (round_batch_sizes to the new replica count) — then the mid
+    # checkpoint must be refused (epoch restart), not half-trusted.
+    batch_sig = float(sum(
+        (i + 1) * int(s) for i, s in enumerate(
+            getattr(train_loader, "batch_sizes", None) or [])
+    ))
     if mid_every > 0 and config.path_ckpt and state_to_save is not None:
         import os as _os
 
@@ -104,11 +113,23 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                     "num_feats_total": 0.0, "num_feats_count": 0.0,
                     "train_samples": 0.0,
                     "pre_loss": 0.0, "tolerance": 0,
+                    "batch_sig": 0.0,
                 },
             }
             restored = mid_mgr.restore(last_mid, template)
             meta = restored["resume"]
-            if int(meta["epoch"]) >= epoch_offset:
+            if float(meta["batch_sig"]) != batch_sig:
+                logger.warning(
+                    "Ignoring mid-epoch checkpoint %s/mid/%d: it was "
+                    "written under a different batch geometry (signature "
+                    "%.0f vs %.0f — elastic mesh change rounded the bucket "
+                    "batch sizes?); its batch index does not name the same "
+                    "data position, so resuming from the last epoch "
+                    "checkpoint instead",
+                    config.path_ckpt, last_mid,
+                    float(meta["batch_sig"]), batch_sig,
+                )
+            elif int(meta["epoch"]) >= epoch_offset:
                 if state_from_tree is None:
                     raise ValueError(
                         "mid-epoch checkpoint found but no state_from_tree "
@@ -146,6 +167,7 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 "num_feats_count": num_feats.count,
                 "train_samples": train_samples.total,
                 "pre_loss": pre_loss, "tolerance": tolerance,
+                "batch_sig": batch_sig,
             },
         }
         mid_mgr.save(int(jax.device_get(state.step)), to_save)

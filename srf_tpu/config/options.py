@@ -458,6 +458,18 @@ class ParseOption:
                  "the source's ckpt-N name)",
         )
         tpu_group.add_argument(
+            "--tpu-export-dst", default=None,
+            help="directory to write a REFERENCE-format TF checkpoint "
+                 "(tools/export_tf_ckpt): the inverse of --tpu-import-src, "
+                 "so models trained here migrate BACK to the reference",
+        )
+        tpu_group.add_argument(
+            "--tpu-export-ref-repo", default=None,
+            help="path to a checkout of the reference (sephiroce/srf) whose "
+                 "model classes receive the exported weights; defaults to "
+                 "$SRF_REF_REPO",
+        )
+        tpu_group.add_argument(
             "--tpu-specaug", type=ParseOption.str2bool, default="False",
             help="SpecAugment time/freq masking during training "
                  "(Park et al. 2019; no reference analog)",

@@ -13,6 +13,12 @@ PROJ_DIM=${5:-2048}
 STRIDE=${6:-2}
 IS_MP=${7:-False}
 
+E1=${E1:-27}
+E2=${E2:-200}
+OUT_BASE=${OUT_BASE:-.}
+CKPT_BASE=${CKPT_BASE:-./checkpoint}
+REF_DIR=${REF_DIR:-.}
+
 NAME=CNN_L${LAYER}_NFILT${FILT_INP}_${FILT_INN}_PROJ${PROJ_NUM}_${PROJ_DIM}
 
 run() {
@@ -25,7 +31,7 @@ run() {
   python -u -m ${MODULE} \
     --path-base=${DATA_BASE} \
     --config=egs/conf/wsj.conf \
-    --path-ckpt=./checkpoint/${NAME}${AVG} \
+    --path-ckpt=${CKPT_BASE}/${NAME}${AVG} \
     --model-type=cnn \
     --model-conv-inp-nfilt=${FILT_INP} \
     --model-conv-inn-nfilt=${FILT_INN} \
@@ -38,17 +44,18 @@ run() {
     --train-max-epoch=${MAX_EPOCH} \
     --path-test-ptrn=${TEST_TFRD} \
     --model-dimension=1 \
-    --model-encoder-num=${LAYER}
+    --model-encoder-num=${LAYER} \
+    ${EXTRA_FLAGS}
 }
 
-run srf_tpu.trainer_sr 0.5  27 dummy dummy  27 &>  ${NAME}.1train.out
-run srf_tpu.trainer_sr 0.1 200 dummy dummy 200 &>> ${NAME}.1train.out
-rm -rf ./checkpoint/${NAME}/avg
-run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${NAME}.2avg.out
-run srf_tpu.trainer_sr 1e-6 0 /avg test 0 &> ${NAME}.3decode.test.out
-run srf_tpu.trainer_sr 1e-6 0 /avg dev  0 &> ${NAME}.3decode.valid.out
+run srf_tpu.trainer_sr 0.5 ${E1} dummy dummy ${E1} &>  ${OUT_BASE}/${NAME}.1train.out
+run srf_tpu.trainer_sr 0.1 ${E2} dummy dummy ${E2} &>> ${OUT_BASE}/${NAME}.1train.out
+rm -rf "${CKPT_BASE:?}/${NAME}/avg"
+run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${OUT_BASE}/${NAME}.2avg.out
+run srf_tpu.trainer_sr 1e-6 0 /avg test 0 &> ${OUT_BASE}/${NAME}.3decode.test.out
+run srf_tpu.trainer_sr 1e-6 0 /avg dev  0 &> ${OUT_BASE}/${NAME}.3decode.valid.out
 
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.test.out egs/data/wsj_31.vocab --corpus wsj > ${NAME}.test.utt
-egs/script/sclite.sh test_wsj.ref ${NAME}.test.utt
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.valid.out egs/data/wsj_31.vocab --corpus wsj > ${NAME}.valid.utt
-egs/script/sclite.sh valid_wsj.ref ${NAME}.valid.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.test.out egs/data/wsj_31.vocab --corpus wsj > ${OUT_BASE}/${NAME}.test.utt
+egs/script/sclite.sh ${REF_DIR}/test_wsj.ref ${OUT_BASE}/${NAME}.test.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.valid.out egs/data/wsj_31.vocab --corpus wsj > ${OUT_BASE}/${NAME}.valid.utt
+egs/script/sclite.sh ${REF_DIR}/valid_wsj.ref ${OUT_BASE}/${NAME}.valid.utt

@@ -12,6 +12,11 @@ CNNFE=${4:-True}
 LR=${5:-1e-4}
 FRAME=24000
 
+E1=${E1:-80}
+OUT_BASE=${OUT_BASE:-.}
+CKPT_BASE=${CKPT_BASE:-./checkpoint}
+REF_DIR=${REF_DIR:-.}
+
 NAME=LSTM_L${LAYER}_${TYPE}_D${DIM}
 
 run() {
@@ -25,7 +30,7 @@ run() {
   python -u -m ${MODULE} \
     --path-base=${DATA_BASE} \
     --config=egs/conf/wsj.conf \
-    --path-ckpt=./checkpoint/${NAME}${AVG} \
+    --path-ckpt=${CKPT_BASE}/${NAME}${AVG} \
     --train-inn-dropout=0.4 \
     --train-inp-dropout=0.3 \
     --model-type=${TYPE} \
@@ -37,16 +42,17 @@ run() {
     --train-es-tolerance=${TOLERANCE} \
     --train-max-epoch=${MAX_EPOCH} \
     --path-test-ptrn=${TEST_TFRD} \
-    --model-encoder-num=${LAYER}
+    --model-encoder-num=${LAYER} \
+    ${EXTRA_FLAGS}
 }
 
-run srf_tpu.trainer_sr ${LR} 80 dummy dummy 80 &> ${NAME}.1train.out
-rm -rf ./checkpoint/${NAME}/avg
-run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${NAME}.2avg.out
-run srf_tpu.trainer_sr 1e-6 0 /avg test 0 &> ${NAME}.3decode.test.out
-run srf_tpu.trainer_sr 1e-6 0 /avg dev  0 &> ${NAME}.3decode.valid.out
+run srf_tpu.trainer_sr ${LR} ${E1} dummy dummy ${E1} &> ${OUT_BASE}/${NAME}.1train.out
+rm -rf "${CKPT_BASE:?}/${NAME}/avg"
+run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${OUT_BASE}/${NAME}.2avg.out
+run srf_tpu.trainer_sr 1e-6 0 /avg test 0 &> ${OUT_BASE}/${NAME}.3decode.test.out
+run srf_tpu.trainer_sr 1e-6 0 /avg dev  0 &> ${OUT_BASE}/${NAME}.3decode.valid.out
 
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.test.out egs/data/wsj_31.vocab --corpus wsj > ${NAME}.test.utt
-egs/script/sclite.sh test_wsj.ref ${NAME}.test.utt
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.valid.out egs/data/wsj_31.vocab --corpus wsj > ${NAME}.valid.utt
-egs/script/sclite.sh valid_wsj.ref ${NAME}.valid.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.test.out egs/data/wsj_31.vocab --corpus wsj > ${OUT_BASE}/${NAME}.test.utt
+egs/script/sclite.sh ${REF_DIR}/test_wsj.ref ${OUT_BASE}/${NAME}.test.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.valid.out egs/data/wsj_31.vocab --corpus wsj > ${OUT_BASE}/${NAME}.valid.utt
+egs/script/sclite.sh ${REF_DIR}/valid_wsj.ref ${OUT_BASE}/${NAME}.valid.utt

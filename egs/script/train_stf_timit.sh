@@ -9,6 +9,12 @@ LAYER=${1:-20}
 DIM=${2:-128}
 INN=${3:-1024}
 
+E1=${E1:-27}
+E2=${E2:-200}
+OUT_BASE=${OUT_BASE:-.}
+CKPT_BASE=${CKPT_BASE:-./checkpoint}
+REF_DIR=${REF_DIR:-.}
+
 NAME=TF_L${LAYER}_D${DIM}_H${INN}
 
 run() {
@@ -21,7 +27,7 @@ run() {
   python -u -m ${MODULE} \
     --path-base=${DATA_BASE} \
     --config=egs/conf/timit.conf \
-    --path-ckpt=./checkpoint/${NAME}${AVG} \
+    --path-ckpt=${CKPT_BASE}/${NAME}${AVG} \
     --model-type=stf \
     --model-inner-dim=${INN} \
     --train-att-dropout=0.3 \
@@ -41,17 +47,18 @@ run() {
     --train-es-tolerance=${TOLERANCE} \
     --train-max-epoch=${MAX_EPOCH} \
     --path-test-ptrn=${TEST_TFRD} \
-    --model-encoder-num=${LAYER}
+    --model-encoder-num=${LAYER} \
+    ${EXTRA_FLAGS}
 }
 
-run srf_tpu.trainer_tf 1.5  27 dummy dummy  27 &>  ${NAME}.1train.out
-run srf_tpu.trainer_tf 0.5 200 dummy dummy 200 &>> ${NAME}.1train.out
-rm -rf ./checkpoint/${NAME}/avg
-run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${NAME}.2avg.out
-run srf_tpu.trainer_tf 1e-6 0 /avg test 0 &> ${NAME}.3decode.test.out
-run srf_tpu.trainer_tf 1e-6 0 /avg dev  0 &> ${NAME}.3decode.valid.out
+run srf_tpu.trainer_tf 1.5 ${E1} dummy dummy ${E1} &>  ${OUT_BASE}/${NAME}.1train.out
+run srf_tpu.trainer_tf 0.5 ${E2} dummy dummy ${E2} &>> ${OUT_BASE}/${NAME}.1train.out
+rm -rf "${CKPT_BASE:?}/${NAME}/avg"
+run srf_tpu.tools.average_ckpt 1e-6 1 dummy dummy 0 &> ${OUT_BASE}/${NAME}.2avg.out
+run srf_tpu.trainer_tf 1e-6 0 /avg test 0 &> ${OUT_BASE}/${NAME}.3decode.test.out
+run srf_tpu.trainer_tf 1e-6 0 /avg dev  0 &> ${OUT_BASE}/${NAME}.3decode.valid.out
 
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.test.out egs/data/timit_62.vocab --corpus timit > ${NAME}.test.utt
-egs/script/sclite.sh test.ref ${NAME}.test.utt
-python -m srf_tpu.utils.log2utt ${NAME}.3decode.valid.out egs/data/timit_62.vocab --corpus timit > ${NAME}.valid.utt
-egs/script/sclite.sh valid.ref ${NAME}.valid.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.test.out egs/data/timit_62.vocab --corpus timit > ${OUT_BASE}/${NAME}.test.utt
+egs/script/sclite.sh ${REF_DIR}/test.ref ${OUT_BASE}/${NAME}.test.utt
+python -m srf_tpu.utils.log2utt ${OUT_BASE}/${NAME}.3decode.valid.out egs/data/timit_62.vocab --corpus timit > ${OUT_BASE}/${NAME}.valid.utt
+egs/script/sclite.sh ${REF_DIR}/valid.ref ${OUT_BASE}/${NAME}.valid.utt

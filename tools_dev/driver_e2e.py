@@ -15,8 +15,11 @@ env overrides, and verifies:
 - both decodes emit scrapeable UTTID logs,
 - log2utt + the sclite wrapper produce a scored PER/WER report.
 
-Run: python tools_dev/driver_e2e.py [--corpus timit|wsj] [--out DIR]
-Exit 0 = the whole composed pipeline ran and scored.
+Run: python tools_dev/driver_e2e.py [--corpus timit|wsj]
+         [--family srf|stf|lstm|cnn] [--out DIR]
+Exit 0 = the whole composed pipeline ran and scored. All SEVEN reference
+train drivers are reachable: srf x {timit,wsj}, stf x {timit,wsj},
+cnn x {timit,wsj}, lstm x wsj.
 """
 
 import argparse
@@ -30,6 +33,7 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # srf_tpu imports (char scoring) when run as a script
 
 
 def make_corpus(base, corpus, utts, frames=200, feat_dim=123, noise=0.3):
@@ -111,6 +115,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus", default="timit",
                         choices=["timit", "wsj"])
+    parser.add_argument("--family", default="srf",
+                        choices=["srf", "stf", "lstm", "cnn"],
+                        help="which egs/script driver family to run "
+                             "(lstm exists for wsj only)")
     parser.add_argument("--out", default=None)
     parser.add_argument("--utts", type=int, default=32)
     parser.add_argument("--epoch-scale", type=int, default=1,
@@ -118,8 +126,11 @@ def main():
                              "plumbing smoke; ~8 on the chip makes the "
                              "scored PER actually drop)")
     args = parser.parse_args()
+    if args.family == "lstm" and args.corpus != "wsj":
+        parser.error("the reference ships an LSTM driver for wsj only")
 
-    out = args.out or ("/tmp/srf_driver_e2e_" + args.corpus)
+    out = args.out or ("/tmp/srf_driver_e2e_%s_%s"
+                       % (args.family, args.corpus))
     if os.path.exists(out):
         shutil.rmtree(out)
     data = os.path.join(out, "data")
@@ -180,17 +191,36 @@ def main():
         ]),
     }
     k = args.epoch_scale
-    if args.corpus == "timit":
+    if args.family == "srf":
+        if args.corpus == "timit":
+            stage_epochs = [2 * k, 4 * k]
+            driver = "egs/script/train_srf_timit.sh"
+            cmd = ["bash", driver, "3", "12", "8", "4", "1", "1", "SDR", "1"]
+        else:
+            stage_epochs = [1 * k, 2 * k, 3 * k, 4 * k]
+            driver = "egs/script/train_srf_wsj.sh"
+            cmd = ["bash", driver, "3", "12", "8", "4", "1", "1"]
+    elif args.family == "stf":
         stage_epochs = [2 * k, 4 * k]
-        env.update({"E1": str(stage_epochs[0]), "E2": str(stage_epochs[1])})
-        driver = "egs/script/train_srf_timit.sh"
-        cmd = ["bash", driver, "3", "12", "8", "4", "1", "1", "SDR", "1"]
-    else:
-        stage_epochs = [1 * k, 2 * k, 3 * k, 4 * k]
-        env.update({"E%d" % (i + 1): str(e)
-                    for i, e in enumerate(stage_epochs)})
-        driver = "egs/script/train_srf_wsj.sh"
-        cmd = ["bash", driver, "3", "12", "8", "4", "1", "1"]
+        driver = "egs/script/train_stf_%s.sh" % args.corpus
+        cmd = ["bash", driver, "2", "16", "32"]  # LAYER DIM INN
+    elif args.family == "lstm":
+        stage_epochs = [4 * k]
+        driver = "egs/script/train_lstm_wsj.sh"
+        # LAYER TYPE DIM CNNFE LR (plain adam: K IS the learning rate)
+        cmd = ["bash", driver, "1", "blstm", "8", "False", "0.02"]
+    else:  # cnn: timit = maxpool/stride-1 variant, wsj = stride-2
+        # PROJ_DIM must be >= the post-frontend freq dim (123/3 or
+        # ceil(123/4)) or the last conv layer's computed filter count
+        # (proj_dim // fe_dim * 2, reference cnn_encoder.py) rounds to 0
+        stage_epochs = [2 * k, 4 * k]
+        driver = "egs/script/train_cnn_%s.sh" % args.corpus
+        if args.corpus == "timit":
+            cmd = ["bash", driver, "5", "8", "12", "2", "64", "1", "True"]
+        else:
+            cmd = ["bash", driver, "5", "8", "12", "2", "64", "2", "False"]
+    env.update({"E%d" % (i + 1): str(e)
+                for i, e in enumerate(stage_epochs)})
     run(cmd, env=env, log=os.path.join(logs, "driver.log"))
 
     # 4. verify the composed control flow

@@ -256,3 +256,38 @@ def test_export_stf_roundtrip(tmp_path):
     fwd()  # build vars
     _restore_reference(ref, dst)
     np.testing.assert_allclose(fwd(), ours, rtol=2e-3, atol=2e-4)
+
+
+def test_export_cnn_maxpool_roundtrip(tmp_path):
+    import types
+
+    _write_vocab(tmp_path)
+    argv = _base_argv(tmp_path, [
+        "--model-type=cnn", "--model-encoder-num=6",
+        "--model-conv-inp-nfilt=8", "--model-conv-inn-nfilt=12",
+        "--model-conv-proj-num=3", "--model-conv-proj-dim=24",
+        "--model-conv-is-mp=True", "--model-conv-stride=2",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=4",
+    ])
+    ours, feats, inp_len, _ = _save_ours(tmp_path, argv)
+    dst = _export(tmp_path, argv)
+
+    from tfsr.model.cnn_encoder import CNNEncoder as RefCNN
+
+    config = types.SimpleNamespace(
+        model_initializer="glorot_uniform", model_encoder_num=6,
+        model_conv_inp_nfilt=8, model_conv_inn_nfilt=12,
+        model_conv_proj_num=3, model_conv_proj_dim=24,
+        model_conv_stride=2, model_conv_layer_num=2,
+        model_conv_filter_num=4, feat_dim=12,
+        train_inn_dropout=0.0, train_inp_dropout=0.0,
+    )
+    ref = RefCNN(config, _Log(), class_n=8)
+    ref.call(tf.constant(feats), input_lengths=tf.constant(inp_len),
+             training=False)
+    _restore_reference(ref, dst)
+    ref_out = ref.call(
+        tf.constant(feats), input_lengths=tf.constant(inp_len),
+        training=False,
+    ).numpy()
+    np.testing.assert_allclose(ref_out, ours, rtol=2e-3, atol=2e-4)

@@ -151,10 +151,13 @@ def supervise(command, max_restarts=16, backoff_secs=0.0,
 
 def main(argv=None):
     args, command = parse_args(sys.argv[1:] if argv is None else argv)
-    return supervise(
+    code = supervise(
         command, max_restarts=args.max_restarts,
         backoff_secs=args.backoff_secs, restart_codes=args.restart_codes,
     )
+    # a signal-killed child reports -S; sys.exit(-S) would be truncated
+    # modulo 256 (e.g. -9 -> 247), so report the conventional 128+S
+    return 128 - code if code < 0 else code
 
 
 if __name__ == "__main__":

@@ -116,9 +116,23 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                     "batch_sig": 0.0,
                 },
             }
-            restored = mid_mgr.restore(last_mid, template)
-            meta = restored["resume"]
-            if float(meta["batch_sig"]) != batch_sig:
+            try:
+                restored = mid_mgr.restore(last_mid, template)
+            except Exception as exc:
+                # e.g. a mid checkpoint from an older release whose resume
+                # schema lacks batch_sig — refuse it rather than crash the
+                # restart (the supervisor treats a traceback as fatal)
+                logger.warning(
+                    "Ignoring mid-epoch checkpoint %s/mid/%d (unreadable "
+                    "with this release's resume schema: %s); deleting it",
+                    config.path_ckpt, last_mid, exc,
+                )
+                mid_mgr.purge()
+                restored = None
+            meta = restored["resume"] if restored is not None else None
+            if meta is None:
+                pass
+            elif float(meta["batch_sig"]) != batch_sig:
                 logger.warning(
                     "Ignoring mid-epoch checkpoint %s/mid/%d: it was "
                     "written under a different batch geometry (signature "
@@ -129,6 +143,11 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                     config.path_ckpt, last_mid,
                     float(meta["batch_sig"]), batch_sig,
                 )
+                # delete it: the restarted run's global step restarts
+                # BELOW this step, and orbax silently drops saves at
+                # steps <= the latest existing one — leaving it in place
+                # would silently disable mid-epoch checkpointing
+                mid_mgr.purge()
             elif int(meta["epoch"]) >= epoch_offset:
                 if state_from_tree is None:
                     raise ValueError(
@@ -153,8 +172,10 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             else:
                 logger.info(
                     "Ignoring stale mid-epoch checkpoint (epoch %d < "
-                    "resume offset %d)", int(meta["epoch"]), epoch_offset,
+                    "resume offset %d); deleting it",
+                    int(meta["epoch"]), epoch_offset,
                 )
+                mid_mgr.purge()
 
     def save_mid(epoch, next_index):
         to_save = {
@@ -193,6 +214,29 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             sig_installed = True
         except ValueError:  # not the main thread
             pass
+
+    def handle_sigterm_if_seen(epoch, index):
+        """Act on a pending preemption notice: save a mid checkpoint at
+        the current loop position and exit 143. Called at every progress
+        point — train steps, validation batches, epoch boundary — so the
+        grace window is never burned waiting for the next train step."""
+        if not sigterm_seen["flag"]:
+            return
+        if mid_mgr is not None:
+            save_mid(epoch, index)
+            mid_mgr.wait()
+            logger.warning(
+                "SIGTERM: saved mid-epoch checkpoint at global step "
+                "%d (epoch %d, batch %d); exiting 143 — restart "
+                "resumes exactly",
+                int(jax.device_get(state.step)), epoch, index,
+            )
+        else:  # pragma: no cover — handler only installed with mid_mgr
+            logger.warning("SIGTERM: no mid-epoch checkpointing; "
+                           "exiting 143")
+        import os as _os
+
+        _os._exit(143)
 
     # Watchdog (hang -> crash -> restart -> exact resume): armed lazily
     # after the FIRST optimizer step completes, so initial compilation
@@ -289,21 +333,7 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                         _os.kill(_os.getpid(), _signal.SIGTERM)
                 if sigterm_seen["flag"]:
                     pending = _drain(pending, train_loss, train_samples, num_feats)
-                    if mid_mgr is not None:
-                        save_mid(epoch, index)
-                        mid_mgr.wait()
-                        logger.warning(
-                            "SIGTERM: saved mid-epoch checkpoint at global step "
-                            "%d (epoch %d, batch %d); exiting 143 — restart "
-                            "resumes exactly",
-                            int(jax.device_get(state.step)), epoch, index,
-                        )
-                    else:  # pragma: no cover — handler only installed with mid_mgr
-                        logger.warning("SIGTERM: no mid-epoch checkpointing; "
-                                       "exiting 143")
-                    import os as _os
-
-                    _os._exit(143)
+                    handle_sigterm_if_seen(epoch, index)
                 if (index - 1) % 50 == 0 and (index - 1) > 0:
                     pending = _drain(pending, train_loss, train_samples, num_feats)
                     step_i = int(jax.device_get(state.step))
@@ -341,9 +371,16 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             for batch in device_prefetch(iter(valid_loader), batch_sharding):
                 pending.append(valid_step(state, batch))
                 kick_watchdog()
-            for metrics in jax.device_get(pending):
+                handle_sigterm_if_seen(epoch, index)
+            # drain INCREMENTALLY: each fetch blocks only for one batch's
+            # compute, so the watchdog sees progress per batch instead of
+            # one device_get spanning the whole validation pass, and a
+            # preemption notice is acted on between batches
+            for p in pending:
+                metrics = jax.device_get(p)
                 valid_loss.update(metrics["loss_sum"], metrics["samples"])
-            kick_watchdog()
+                kick_watchdog()
+                handle_sigterm_if_seen(epoch, index)
             valid_secs = time.time() - prev
             if valid_loss.count == 0:
                 # every bucket's remainder was dropped (valid set smaller than
@@ -378,6 +415,10 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 path = ckpt_manager.save(epoch + 1, to_save)
                 logger.info("Saving a ckpt for the last epoch at %s", path)
                 kick_watchdog()
+                # a notice during valid/save: the mid written here is
+                # older than the epoch ckpt just saved, so the restart
+                # ignores it (stale) and resumes at epoch+1 cleanly
+                handle_sigterm_if_seen(epoch, index)
             else:
                 logger.warning(
                     "Not saved since train-ckpt-saving-per is %d, it needs to be "

@@ -131,6 +131,19 @@ class CheckpointManager:
         self.wait()
         return self.manager.latest_step()
 
+    def purge(self):
+        """Delete every checkpoint under this manager.
+
+        Needed when an existing checkpoint is REFUSED (e.g. a mid-epoch
+        checkpoint whose batch geometry no longer matches after an
+        elastic mesh change): orbax silently skips saves at steps <= the
+        latest existing step, so a refused-but-present checkpoint would
+        silently disable all subsequent saves from the restarted run,
+        whose global step restarts lower."""
+        self.wait()
+        for step in self.manager.all_steps():
+            self.manager.delete(step)
+
     def all_steps(self):
         self.wait()
         return sorted(self.manager.all_steps())

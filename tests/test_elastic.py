@@ -127,3 +127,27 @@ def test_mid_resume_refused_on_changed_batch_geometry(written_corpus):  # noqa: 
     assert "different batch geometry" in log
     assert "Resuming mid-epoch" not in log
     assert _restore_tree(ckpt, 2) is not None  # completed from epoch ckpt
+
+    # the refused mid must have been PURGED and replaced by the resumed
+    # run's own mid checkpoints: orbax silently drops saves at steps <=
+    # the latest existing one, so leaving the refused mid in place would
+    # silently disable mid-epoch checkpointing for the restarted run
+    # (whose global steps restart lower). Proof: the latest mid's
+    # batch_sig matches the RESUMED run's geometry (batch 8), not the
+    # killed run's (batch 4).
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    mid = CheckpointManager(str(ckpt / "mid"))
+    last = mid.latest_step()
+    assert last is not None, "resumed run wrote no mid checkpoints"
+    _i = lambda: np.zeros((), np.int64)      # noqa: E731
+    _f = lambda: np.zeros((), np.float64)    # noqa: E731
+    meta = mid.restore_partial(last, {"resume": {
+        "epoch": _i(), "batch_index": _i(),
+        "train_loss_total": _f(), "train_loss_count": _f(),
+        "num_feats_total": _f(), "num_feats_count": _f(),
+        "train_samples": _f(), "pre_loss": _f(),
+        "tolerance": _i(), "batch_sig": _f(),
+    }})
+    mid.close()
+    assert meta["resume"]["batch_sig"] == 8.0, meta["resume"]

@@ -136,3 +136,16 @@ def test_supervised_trainer_survives_hang(written_corpus):  # noqa: F811
     assert "Resuming mid-epoch" in log
     assert "SUPERVISE: command succeeded after 1 restart(s)" in log
     assert _restore_tree(ckpt, 2) is not None  # both epochs completed
+
+
+def test_main_converts_signal_codes(tmp_path):
+    """A signal-killed final status must exit as 128+S (e.g. SIGKILL ->
+    137), not a modulo-256 truncation of the negative Popen code."""
+    from srf_tpu.tools.supervise import main
+
+    rc = main([
+        "--max-restarts=0", "--",
+        sys.executable, "-c",
+        "import os, signal; os.kill(os.getpid(), signal.SIGKILL)",
+    ])
+    assert rc == 137

@@ -50,56 +50,100 @@ class Recognizer:
         # inference needs params (+ BN stats) only: partial restore skips
         # the optimizer state, so serving never has to reproduce the
         # training-time optimizer flags
-        template = {
+        self._template = {
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
         }
-        use_ema = getattr(config, "tpu_decode_ema", False)
-        if use_ema:
+        self._use_ema = getattr(config, "tpu_decode_ema", False)
+        if self._use_ema:
             # serve the EMA weights (--tpu-ema-decay training); the
             # validated partial restore fails loudly if the checkpoint
             # holds no EMA subtree
-            template["ema_params"] = variables["params"]
-        from srf_tpu.utils.checkpoint import CheckpointManager
-
-        manager = CheckpointManager(
-            config.path_ckpt, max_to_keep=config.model_ckpt_max_to_keep
+            self._template["ema_params"] = variables["params"]
+        self.quantized = (
+            getattr(config, "tpu_serve_quant", "none") == "int8"
         )
+        self._logger = logger
+        self._reload_lock = __import__("threading").Lock()
         epoch_flag = getattr(config, "path_ckpt_epoch", None)
         # same guard as utils/checkpoint.load_checkpoint: non-positive
         # values fall back to the latest step
-        step = (epoch_flag if epoch_flag and epoch_flag > 0
-                else manager.latest_step())
+        step = epoch_flag if epoch_flag and epoch_flag > 0 else None
+        self.state = self._load_state(step, required=True)
+        # params/batch_stats are ARGUMENTS of the jitted forward, not
+        # closure captures: jit bakes captured arrays into the compiled
+        # program as constants, which would silently pin the weights of
+        # the FIRST trace across hot reloads
+        self._forward = jax.jit(self._apply)
+
+    def _load_state(self, step, required=False):
+        """Restore (params [+EMA selection, +quantization], batch_stats)
+        at ``step`` (None = latest) into a serving TrainState."""
+        from srf_tpu.utils.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(
+            self.config.path_ckpt,
+            max_to_keep=self.config.model_ckpt_max_to_keep,
+        )
+        step = step if step is not None else manager.latest_step()
         if step is None:
             manager.close()
-            raise FileNotFoundError("no checkpoint under %s" % config.path_ckpt)
-        restored = manager.restore_partial(step, template)
+            if required:
+                raise FileNotFoundError(
+                    "no checkpoint under %s" % self.config.path_ckpt)
+            return None
+        restored = manager.restore_partial(step, self._template)
         manager.close()
-        params = restored["ema_params"] if use_ema else restored["params"]
-        if use_ema:
-            logger.info("Serving with EMA params (--tpu-decode-ema)")
+        params = restored["ema_params"] if self._use_ema else restored["params"]
+        if self._use_ema:
+            self._logger.info("Serving with EMA params (--tpu-decode-ema)")
         # --tpu-serve-quant=int8: drop the f32 weights for an int8 +
         # per-channel-scale copy (4x less HBM traffic per forward —
         # small-batch serving is bandwidth-bound); dequantize happens
         # inside the jitted forward (ops/quant.py)
-        self.quantized = (
-            getattr(config, "tpu_serve_quant", "none") == "int8"
-        )
         if self.quantized:
             from srf_tpu.ops.quant import quantize_tree, quantized_bytes
 
             params = jax.jit(quantize_tree)(params)
             q_b, f_b = quantized_bytes(jax.device_get(params))
-            logger.info(
+            self._logger.info(
                 "int8 weight quantization: %.1f MB -> %.1f MB resident",
                 f_b / 1e6, q_b / 1e6)
-        self.state = TrainState(
+        return TrainState(
             step=jnp.asarray(step, jnp.int32),
             params=params,
             opt_state=None,
             batch_stats=restored.get("batch_stats", {}),
         )
-        self._forward = jax.jit(self._apply)
+
+    def reload(self, step=None):
+        """Hot-swap to a newer checkpoint without restarting the server.
+
+        ``step=None`` polls the checkpoint directory's latest step and
+        swaps only if it is newer than the one being served; an explicit
+        ``step`` always swaps. The swap is a single attribute assignment
+        (in-flight requests finish on the old weights; the next batch
+        uses the new ones) and never recompiles — the jitted forward
+        takes the params as arguments. Streaming sessions hold their own
+        variable copies: a reload affects NEW sessions only. Returns the
+        new step, or None if nothing changed. No reference analog (the
+        reference has no serving runtime at all)."""
+        with self._reload_lock:
+            current = int(jax.device_get(self.state.step))
+            if step is None:
+                from srf_tpu.utils.checkpoint import CheckpointManager
+
+                manager = CheckpointManager(self.config.path_ckpt)
+                latest = manager.latest_step()
+                manager.close()
+                if latest is None or latest <= current:
+                    return None
+                step = latest
+            new_state = self._load_state(step, required=True)
+            self.state = new_state
+            self._logger.info(
+                "Hot-reloaded checkpoint: step %d -> %d", current, step)
+            return step
 
     def _f32_params(self):
         """Dequantized (or pass-through) f32 params for non-jitted
@@ -110,15 +154,14 @@ class Recognizer:
             return jax.jit(dequantize_tree)(self.state.params)
         return self.state.params
 
-    def _apply(self, feats, lengths):
-        params = self.state.params
+    def _apply(self, params, batch_stats, feats, lengths):
         if self.quantized:
             from srf_tpu.ops.quant import dequantize_tree
 
             params = dequantize_tree(params)
         variables = {"params": params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         return self.model.apply(variables, feats, lengths, False)
 
     def streaming_session(self, chunk=8):
@@ -178,7 +221,10 @@ class Recognizer:
                           np.float32)
         for i, f in enumerate(feats_list):
             padded[i, : f.shape[0]] = f
-        logits = self._forward(jnp.asarray(padded), jnp.asarray(lengths))
+        logits = self._forward(
+            self.state.params, self.state.batch_stats,
+            jnp.asarray(padded), jnp.asarray(lengths),
+        )
         dec_lens = np.maximum(lengths // self.in_len_div, 1)
         if beam_width and beam_width > 1:
             from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax

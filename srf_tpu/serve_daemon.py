@@ -204,8 +204,33 @@ class DaemonServer(socketserver.ThreadingTCPServer):
         self.frontend = frontend
 
 
+def start_reload_poller(recognizer, interval_s, logger=None,
+                        stop_event=None):
+    """Hot-reload poller: every ``interval_s`` seconds ask the recognizer
+    to swap to a newer checkpoint if one appeared (training runs
+    alongside serving; a new epoch/average lands and the daemon picks it
+    up without a restart). Errors are logged and polling continues — a
+    half-written checkpoint must not kill the server."""
+    stop_event = stop_event or threading.Event()
+
+    def _poll():
+        while not stop_event.wait(interval_s):
+            try:
+                new = recognizer.reload()
+                if new is not None and logger:
+                    logger.info("reload poller: now serving step %d", new)
+            except Exception as exc:  # noqa: BLE001 — keep serving
+                if logger:
+                    logger.warning("reload poll failed (will retry): %s",
+                                   exc)
+
+    thread = threading.Thread(target=_poll, name="srf-reload", daemon=True)
+    thread.start()
+    return stop_event, thread
+
+
 def serve(config, host="127.0.0.1", port=8764, max_batch=16,
-          max_wait_ms=10.0, logger=None, ready_event=None):
+          max_wait_ms=10.0, reload_secs=0.0, logger=None, ready_event=None):
     """Blocking server loop (Ctrl-C to stop)."""
     from srf_tpu.config import Logger
     from srf_tpu.serve import Recognizer
@@ -217,6 +242,12 @@ def serve(config, host="127.0.0.1", port=8764, max_batch=16,
         recognizer, max_batch=max_batch, max_wait_ms=max_wait_ms,
         beam_width=(beam if beam and beam > 1 else None), logger=logger,
     )
+    stop_reload = None
+    if reload_secs and reload_secs > 0:
+        stop_reload, _ = start_reload_poller(
+            recognizer, reload_secs, logger=logger)
+        logger.info("hot reload: polling for new checkpoints every %.1f s",
+                    reload_secs)
     server = DaemonServer((host, port), frontend)
     logger.info(
         "serving on %s:%d (max_batch %d, max_wait %.1f ms, beam %s)",
@@ -228,6 +259,8 @@ def serve(config, host="127.0.0.1", port=8764, max_batch=16,
     try:
         server.serve_forever()
     finally:
+        if stop_reload is not None:
+            stop_reload.set()
         server.server_close()
         frontend.close()
 
@@ -240,6 +273,7 @@ def main(argv=None):
     logger = Logger(name="srf_daemon", level=Logger.INFO).logger
     argv = list(argv or sys.argv)
     host, port, max_batch, max_wait = "127.0.0.1", 8764, 16, 10.0
+    reload_secs = 0.0
     filtered = []
     it = iter(argv)
     for arg in it:
@@ -251,11 +285,13 @@ def main(argv=None):
             max_batch = int(arg.split("=", 1)[1])
         elif arg.startswith("--daemon-max-wait-ms="):
             max_wait = float(arg.split("=", 1)[1])
+        elif arg.startswith("--daemon-reload-secs="):
+            reload_secs = float(arg.split("=", 1)[1])
         else:
             filtered.append(arg)
     config = ParseOption(filtered, logger, is_print_opts=False).args
     serve(config, host=host, port=port, max_batch=max_batch,
-          max_wait_ms=max_wait, logger=logger)
+          max_wait_ms=max_wait, reload_secs=reload_secs, logger=logger)
 
 
 if __name__ == "__main__":

@@ -240,3 +240,86 @@ def test_restore_on_different_topology(trained):
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "TOPO_OK" in out.stdout
+
+
+def test_hot_reload_swaps_params(trained):
+    """Recognizer.reload() serves a NEWLY SAVED checkpoint without
+    restarting: the jitted forward takes params as arguments (not baked
+    closure constants), so the swap changes the logits and matches a
+    fresh Recognizer built on the new checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    argv, base = trained
+    logger = Logger(name="reload", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    rec = Recognizer(config, logger)
+    step0 = int(jax.device_get(rec.state.step))
+
+    rng = np.random.RandomState(11)
+    feats = rng.randn(18, FEAT_DIM).astype(np.float32)
+    before = np.asarray(rec._forward(
+        rec.state.params, rec.state.batch_stats,
+        jnp.asarray(feats[None]), jnp.asarray([18]),
+    ))
+
+    # nothing newer yet -> no-op
+    assert rec.reload() is None
+
+    # write a perturbed checkpoint at step+1 (a "new epoch" landing)
+    mgr = CheckpointManager(config.path_ckpt)
+    # perturb the live params and save them as the next step
+    perturbed = jax.tree.map(lambda x: x + 0.1, rec.state.params)
+    mgr.save(step0 + 1, {
+        "step": np.asarray(step0 + 1, np.int32),
+        "params": jax.device_get(perturbed),
+        "batch_stats": jax.device_get(rec.state.batch_stats),
+    })
+    mgr.close()
+
+    assert rec.reload() == step0 + 1
+    assert int(jax.device_get(rec.state.step)) == step0 + 1
+    after = np.asarray(rec._forward(
+        rec.state.params, rec.state.batch_stats,
+        jnp.asarray(feats[None]), jnp.asarray([18]),
+    ))
+    assert not np.allclose(before, after), "reload did not change weights"
+
+    # a fresh Recognizer on the new checkpoint agrees exactly
+    rec2 = Recognizer(config, logger)
+    fresh = np.asarray(rec2._forward(
+        rec2.state.params, rec2.state.batch_stats,
+        jnp.asarray(feats[None]), jnp.asarray([18]),
+    ))
+    np.testing.assert_allclose(after, fresh, rtol=1e-6, atol=1e-7)
+
+    # transcription still runs end to end after the swap
+    ids, text = rec.transcribe(feats, beam_width=4)
+    assert isinstance(text, str)
+
+
+def test_reload_poller_calls_reload():
+    from srf_tpu.serve_daemon import start_reload_poller
+
+    class Stub:
+        def __init__(self):
+            self.calls = 0
+
+        def reload(self):
+            self.calls += 1
+            return 7 if self.calls == 1 else None
+
+    stub = Stub()
+    stop, thread = start_reload_poller(stub, 0.05)
+    import time as _time
+
+    deadline = _time.monotonic() + 5.0
+    while stub.calls < 3 and _time.monotonic() < deadline:
+        _time.sleep(0.02)
+    stop.set()
+    thread.join(timeout=5.0)
+    assert stub.calls >= 3

@@ -139,6 +139,7 @@ class BatchingFrontend:
 # ---- wire protocol ----------------------------------------------------
 # request:  u32 header_len | header JSON | raw float32 payload
 #           header: {"shape": [T, D], "corpus": "timit"}
+#           or {"op": "stats"} (no payload) -> health/metrics snapshot
 # response: u32 body_len | body JSON {"ids": [...], "text": "..."} or
 #           {"error": "..."}
 
@@ -174,12 +175,35 @@ def request(host, port, feats, corpus="timit", timeout=60.0):
     return list(body["ids"]), body["text"]
 
 
+def stats_request(host, port, timeout=10.0):
+    """Client helper: health/metrics snapshot (no model dispatch)."""
+    header = json.dumps({"op": "stats"}).encode("utf-8")
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(struct.pack(">I", len(header)) + header)
+        (n,) = struct.unpack(">I", _read_exact(sock, 4))
+        return json.loads(_read_exact(sock, n).decode("utf-8"))
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         frontend = self.server.frontend
         try:
             (n,) = struct.unpack(">I", _read_exact(self.request, 4))
             header = json.loads(_read_exact(self.request, n).decode("utf-8"))
+            if header.get("op") == "stats":
+                import jax as _jax
+
+                sizes = frontend.stats["batch_sizes"]
+                _send_msg(self.request, {
+                    "requests": frontend.stats["requests"],
+                    "batches": frontend.stats["batches"],
+                    "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
+                    "serving_step": int(_jax.device_get(
+                        frontend.rec.state.step)),
+                    "quantized": bool(frontend.rec.quantized),
+                    "max_batch": frontend.max_batch,
+                })
+                return
             t, d = header["shape"]
             raw = _read_exact(self.request, int(t) * int(d) * 4)
             feats = np.frombuffer(raw, np.float32).reshape(int(t), int(d))

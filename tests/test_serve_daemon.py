@@ -105,6 +105,12 @@ def test_tcp_round_trip(recognizer, trained):  # noqa: F811
                 feats, beam_width=4, corpus="wsj"
             )
             assert ids == want_ids and text == want_text
+        stats = sd.stats_request("127.0.0.1", port)
+        assert stats["requests"] == 2
+        assert stats["batches"] >= 1
+        assert stats["serving_step"] >= 1
+        assert stats["max_batch"] == 4
+        assert stats["quantized"] is False
     finally:
         server.shutdown()
         thread.join(timeout=30)

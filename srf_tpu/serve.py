@@ -15,6 +15,7 @@ CLI:
 """
 
 import sys
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,7 @@ class Recognizer:
             getattr(config, "tpu_serve_quant", "none") == "int8"
         )
         self._logger = logger
-        self._reload_lock = __import__("threading").Lock()
+        self._reload_lock = threading.Lock()
         epoch_flag = getattr(config, "path_ckpt_epoch", None)
         # same guard as utils/checkpoint.load_checkpoint: non-positive
         # values fall back to the latest step

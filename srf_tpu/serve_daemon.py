@@ -193,11 +193,12 @@ class _Handler(socketserver.BaseRequestHandler):
             if header.get("op") == "stats":
                 import jax as _jax
 
-                sizes = frontend.stats["batch_sizes"]
+                n_req = frontend.stats["requests"]
+                n_bat = frontend.stats["batches"]
                 _send_msg(self.request, {
-                    "requests": frontend.stats["requests"],
-                    "batches": frontend.stats["batches"],
-                    "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
+                    "requests": n_req,
+                    "batches": n_bat,
+                    "mean_batch": n_req / n_bat if n_bat else 0.0,
                     "serving_step": int(_jax.device_get(
                         frontend.rec.state.step)),
                     "quantized": bool(frontend.rec.quantized),

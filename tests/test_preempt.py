@@ -116,12 +116,12 @@ def _child_env():
     return env
 
 
-def _run_trainer(argv, expect_code=0):
+def _run_trainer(argv, expect_code=0, timeout=1200):
     out = subprocess.run(
         [sys.executable, "-m", "srf_tpu.trainer_sr"] + argv[1:],
         capture_output=True, text=True, env=_child_env(),
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=1200,
+        timeout=timeout,
     )
     assert out.returncode == expect_code, (
         "rc=%d\n%s" % (out.returncode, (out.stderr or out.stdout)[-4000:])

@@ -1,8 +1,5 @@
 """Watchdog hang detection + graceful SIGTERM checkpointing."""
 
-import os
-import subprocess
-import sys
 import time
 
 import numpy as np
@@ -12,6 +9,7 @@ from tests.test_preempt import (  # noqa: F401  (shared corpus harness)
     _argv,
     _child_env,
     _restore_tree,
+    _run_trainer,
     corpus,
     jax_flat,
     written_corpus,
@@ -46,19 +44,6 @@ def test_watchdog_stop_disarms():
     dog.stop()
     time.sleep(0.5)
     assert not fired
-
-
-def _run_trainer(argv, expect_code=0, timeout=1200):
-    out = subprocess.run(
-        [sys.executable, "-m", "srf_tpu.trainer_sr"] + argv[1:],
-        capture_output=True, text=True, env=_child_env(),
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=timeout,
-    )
-    assert out.returncode == expect_code, (
-        "rc=%d\n%s" % (out.returncode, (out.stderr or out.stdout)[-4000:])
-    )
-    return out
 
 
 @pytest.fixture(scope="module")

@@ -99,7 +99,7 @@ def _restore_reference(ref, dst):
     return status
 
 
-@pytest.mark.parametrize("flavor", ["naive", "einsum"])
+@pytest.mark.parametrize("flavor", ["naive", "einsum", "lowmemory"])
 def test_export_srf_roundtrip(tmp_path, flavor):
     _write_vocab(tmp_path)
     argv = _base_argv(tmp_path, [
@@ -116,6 +116,10 @@ def test_export_srf_roundtrip(tmp_path, flavor):
 
     if flavor == "einsum":
         from tfsr.model.sequence_router_einsum import SequenceRouter as Ref
+    elif flavor == "lowmemory":
+        from tfsr.model.sequence_router_lowmemory import (
+            SequenceRouter as Ref,
+        )
     else:
         from tfsr.model.sequence_router_naive import SequenceRouter as Ref
     config = _ref_config(model_caps_context=True)

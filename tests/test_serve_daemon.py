@@ -114,3 +114,61 @@ def test_tcp_round_trip(recognizer, trained):  # noqa: F811
     finally:
         server.shutdown()
         thread.join(timeout=30)
+
+
+def test_daemon_hot_reload_over_tcp(recognizer, trained):  # noqa: F811
+    """The reload poller swaps to a checkpoint saved WHILE the daemon is
+    serving: stats' serving_step bumps without a restart."""
+    import jax
+    import numpy as np
+
+    import srf_tpu.serve_daemon as sd
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    argv, base = trained
+    logger = Logger(name="daemon-reload", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+
+    ready = threading.Event()
+    thread = threading.Thread(
+        target=sd.serve,
+        kwargs=dict(config=config, host="127.0.0.1", port=0, max_batch=4,
+                    max_wait_ms=5, reload_secs=0.2, logger=logger,
+                    ready_event=ready),
+        daemon=True,
+    )
+    thread.start()
+    assert ready.wait(timeout=300)
+    server = ready.server
+    port = server.server_address[1]
+    try:
+        step0 = sd.stats_request("127.0.0.1", port)["serving_step"]
+
+        # land a new checkpoint while serving
+        rec, _ = recognizer
+        mgr = CheckpointManager(config.path_ckpt)
+        mgr.save(step0 + 1, {
+            "step": np.asarray(step0 + 1, np.int32),
+            "params": jax.device_get(
+                jax.tree.map(lambda x: x + 0.05, rec.state.params)),
+            "batch_stats": jax.device_get(rec.state.batch_stats),
+        })
+        mgr.close()
+
+        import time as _time
+
+        deadline = _time.monotonic() + 60
+        serving = step0
+        while serving != step0 + 1 and _time.monotonic() < deadline:
+            _time.sleep(0.2)
+            serving = sd.stats_request("127.0.0.1", port)["serving_step"]
+        assert serving == step0 + 1, "poller never swapped to the new ckpt"
+
+        # requests still served after the swap
+        feats = np.load(base / "u0.None.npy")
+        ids, text = sd.request("127.0.0.1", port, feats, corpus="wsj")
+        assert isinstance(text, str)
+    finally:
+        server.shutdown()
+        thread.join(timeout=30)

@@ -23,7 +23,25 @@ import numpy as np
 
 from srf_tpu.config import Logger, ParseOption
 from srf_tpu.models.registry import build_model
-from srf_tpu.ops.ctc_decode import greedy_decode
+import functools
+
+from srf_tpu.ops.ctc_decode import greedy_decode_jit
+
+
+@functools.lru_cache(maxsize=1)
+def _quantize_fn():
+    """One jitted quantize_tree for the process (a fresh jax.jit wrapper
+    per call would re-trace on every hot reload)."""
+    from srf_tpu.ops.quant import quantize_tree
+
+    return jax.jit(quantize_tree)
+
+
+@functools.lru_cache(maxsize=1)
+def _dequantize_fn():
+    from srf_tpu.ops.quant import dequantize_tree
+
+    return jax.jit(dequantize_tree)
 from srf_tpu.train.state import TrainState
 from srf_tpu.utils.log2utt import ids_to_utt
 from srf_tpu.utils.vocab import get_file_path, load_vocab
@@ -103,9 +121,9 @@ class Recognizer:
         # small-batch serving is bandwidth-bound); dequantize happens
         # inside the jitted forward (ops/quant.py)
         if self.quantized:
-            from srf_tpu.ops.quant import quantize_tree, quantized_bytes
+            from srf_tpu.ops.quant import quantized_bytes
 
-            params = jax.jit(quantize_tree)(params)
+            params = _quantize_fn()(params)
             q_b, f_b = quantized_bytes(jax.device_get(params))
             self._logger.info(
                 "int8 weight quantization: %.1f MB -> %.1f MB resident",
@@ -146,14 +164,18 @@ class Recognizer:
                 "Hot-reloaded checkpoint: step %d -> %d", current, step)
             return step
 
-    def _f32_params(self):
-        """Dequantized (or pass-through) f32 params for non-jitted
-        consumers (streaming constructors hold their own variables)."""
-        if self.quantized:
-            from srf_tpu.ops.quant import dequantize_tree
-
-            return jax.jit(dequantize_tree)(self.state.params)
-        return self.state.params
+    def _f32_variables(self):
+        """Dequantized (or pass-through) {'params', 'batch_stats'} for
+        non-jitted consumers (streaming constructors hold their own
+        variable copies). Snapshots ``self.state`` ONCE so a concurrent
+        hot reload cannot mix checkpoints."""
+        state = self.state
+        params = (_dequantize_fn()(state.params) if self.quantized
+                  else state.params)
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return variables
 
     def _apply(self, params, batch_stats, feats, lengths):
         if self.quantized:
@@ -173,11 +195,8 @@ class Recognizer:
         """
         from srf_tpu.streaming import StreamingTranscriber
 
-        variables = {"params": self._f32_params()}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
         return StreamingTranscriber(
-            self.model, variables, self.blank_id, chunk=chunk
+            self.model, self._f32_variables(), self.blank_id, chunk=chunk
         )
 
     def streaming_pool(self, slots, chunk=8, beam_width=None):
@@ -190,12 +209,9 @@ class Recognizer:
         """
         from srf_tpu.streaming import StreamingPool
 
-        variables = {"params": self._f32_params()}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
         return StreamingPool(
-            self.model, variables, self.blank_id, slots=slots, chunk=chunk,
-            beam_width=beam_width,
+            self.model, self._f32_variables(), self.blank_id, slots=slots,
+            chunk=chunk, beam_width=beam_width,
         )
 
     def transcribe(self, feats, beam_width=None, pad_multiple=128,
@@ -216,14 +232,25 @@ class Recognizer:
         if not feats_list:
             return []
         feats_list = [np.asarray(f, np.float32) for f in feats_list]
+        feat_dim = self.config.feat_dim
+        for i, f in enumerate(feats_list):
+            if f.ndim != 2 or f.shape[1] != feat_dim:
+                # reject precisely (a daemon batch fails EVERY co-batched
+                # request on an exception — name the offender)
+                raise ValueError(
+                    "request %d: expected [T, %d] features, got %s"
+                    % (i, feat_dim, f.shape)
+                )
         lengths = np.array([f.shape[0] for f in feats_list], np.int32)
         width = -(-int(lengths.max()) // pad_multiple) * pad_multiple
-        padded = np.zeros((len(feats_list), width, feats_list[0].shape[1]),
-                          np.float32)
+        padded = np.zeros((len(feats_list), width, feat_dim), np.float32)
         for i, f in enumerate(feats_list):
             padded[i, : f.shape[0]] = f
+        # snapshot ONCE: a concurrent hot reload() swaps self.state between
+        # attribute reads otherwise — mixed-checkpoint params/batch_stats
+        state = self.state
         logits = self._forward(
-            self.state.params, self.state.batch_stats,
+            state.params, state.batch_stats,
             jnp.asarray(padded), jnp.asarray(lengths),
         )
         dec_lens = np.maximum(lengths // self.in_len_div, 1)
@@ -234,8 +261,8 @@ class Recognizer:
                 logits, dec_lens, beam_width, self.blank_id
             )]
         else:
-            out, lens = greedy_decode(
-                jnp.asarray(logits), jnp.asarray(dec_lens), self.blank_id
+            out, lens = greedy_decode_jit(
+                logits, jnp.asarray(dec_lens), blank_id=self.blank_id
             )
             out, lens = np.asarray(out), np.asarray(lens)
             decoded = [
@@ -258,7 +285,10 @@ def main(argv=None):
     it = iter(argv)
     for arg in it:
         if arg == "--feats":
-            feats_paths.append(next(it))
+            path = next(it, None)
+            if path is None:
+                raise SystemExit("--feats requires a value")
+            feats_paths.append(path)
         elif arg.startswith("--feats="):
             feats_paths.append(arg.split("=", 1)[1])
         elif arg.startswith("--corpus="):

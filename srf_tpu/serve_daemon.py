@@ -59,11 +59,21 @@ class BatchingFrontend:
         self._worker.start()
 
     def submit(self, feats, corpus="timit"):
-        """feats: [T, feat_dim] numpy -> Future of (ids, text)."""
+        """feats: [T, feat_dim] numpy -> Future of (ids, text).
+
+        Shape-validates HERE so one malformed request is rejected alone
+        instead of failing every co-batched request when the batched
+        forward raises."""
         if self._closed:
             raise RuntimeError("BatchingFrontend is closed")
+        feats = np.asarray(feats, np.float32)
+        feat_dim = self.rec.config.feat_dim
+        if feats.ndim != 2 or feats.shape[1] != feat_dim:
+            raise ValueError(
+                "expected [T, %d] features, got %s" % (feat_dim, feats.shape)
+            )
         fut = Future()
-        self._q.put((np.asarray(feats, np.float32), corpus, fut))
+        self._q.put((feats, corpus, fut))
         return fut
 
     def transcribe(self, feats, corpus="timit", timeout=None):

@@ -46,6 +46,78 @@ from srf_tpu.models.srf import SequenceRouter
 from srf_tpu.ops.pos_enc import get_pos_enc
 
 
+@functools.lru_cache(maxsize=8)
+def _stream_step_fn(model):
+    """ONE compiled stream_step per model, shared by every session.
+
+    A per-session ``jax.jit`` wrapper would re-trace (and cold-cache
+    re-compile) on each new session — a per-utterance latency spike in
+    serving, where a session is constructed per request. flax modules are
+    frozen dataclasses, so the model itself is the cache key."""
+
+    def step(v, win, length, lpost, bufs, vprevs, offs, pos):
+        return model.apply(
+            v, win, length, lpost, bufs, vprevs, offs,
+            pos_enc_override=pos, method="stream_step",
+        )
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=8)
+def _pool_step_fn(model):
+    """One compiled batched (vmapped) stream_step per model for
+    StreamingPool ticks; variables are an argument so pools share it."""
+    enc_num = model.enc_num
+
+    @jax.jit
+    def _pstep(variables, win, length, lpost, offs, bufs_list, vpr_list):
+        bufs = [
+            jnp.stack([b[l] for b in bufs_list])
+            for l in range(enc_num)
+        ]
+        vpr = [
+            jnp.stack([v[l] for v in vpr_list])
+            for l in range(enc_num)
+        ]
+        logits, nb, nv = jax.vmap(
+            lambda w, l, lp, b, v, o: model.apply(
+                variables, w, l, lp, b, v, o, method="stream_step"
+            )
+        )(win, length, lpost, bufs, vpr, offs)
+        n = win.shape[0]
+        new_bufs = [[nb[l][i] for l in range(enc_num)]
+                    for i in range(n)]
+        new_vpr = [[nv[l][i] for l in range(enc_num)]
+                   for i in range(n)]
+        return logits, new_bufs, new_vpr
+
+    return _pstep
+
+
+def _pool_beam_fn():
+    from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
+
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def _pbeam(states_list, blocks, los, his, W, blank):
+        states = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *states_list
+        )
+        nstate, parents, syms, scores = jax.vmap(
+            beam_chunk_step, in_axes=(0, 0, 0, 0, None, None)
+        )(states, blocks, los, his, W, blank)
+        n = blocks.shape[0]
+        out_states = [
+            jax.tree.map(lambda x: x[i], nstate) for i in range(n)
+        ]
+        return out_states, parents, syms, scores
+
+    return _pbeam
+
+
+_pool_beam_fn = functools.lru_cache(maxsize=1)(_pool_beam_fn)
+
+
 class StreamingTranscriber:
     """Chunked inference session over a trained SequenceRouter.
 
@@ -85,17 +157,14 @@ class StreamingTranscriber:
 
         # the whole per-chunk cascade is ONE jitted dispatch (front-end +
         # every capsule layer + output head): per-layer dispatch latency
-        # dominates otherwise (measured 152 -> ~30 ms/chunk on v5e)
-        self._step = jax.jit(
-            lambda v, win, length, lpost, bufs, vprevs, offs, pos: model.apply(
-                v, win, length, lpost, bufs, vprevs, offs,
-                pos_enc_override=pos, method="stream_step",
-            )
-        )
+        # dominates otherwise (measured 152 -> ~30 ms/chunk on v5e).
+        # Shared per model across sessions (no per-session re-trace).
+        self._step = _stream_step_fn(model)
         self.reset()
 
     def reset(self):
         self._raw = np.zeros((0, self.model.feat_dim), np.float32)
+        self._raw_base = 0  # absolute index of self._raw[0]
         self._pushed = 0
         self._fe_blocks = 0  # next front-end block index
         shapes = self.model.layer_shapes()
@@ -123,15 +192,27 @@ class StreamingTranscriber:
 
     # ------------------------------------------------------------------ io
 
-    def push(self, frames):
-        """Feed raw feature frames [n, feat_dim]; returns newly decoded ids."""
+    def _append_raw(self, frames):
+        """Validate + buffer raw frames, dropping rows no future window
+        can read (before the next block's window start) so session memory
+        and per-push copying stay BOUNDED for arbitrarily long streams
+        (retained = unprocessed backlog + receptive-field margin)."""
         frames = np.asarray(frames, np.float32)
         if frames.ndim != 2 or frames.shape[1] != self.model.feat_dim:
             raise ValueError("expected [n, %d] features" % self.model.feat_dim)
+        keep_from = self._win_start(self._fe_blocks * self.K)
+        drop = keep_from - self._raw_base
+        if drop > 0:
+            self._raw = self._raw[drop:]
+            self._raw_base = keep_from
         self._raw = np.concatenate([self._raw, frames], axis=0)
         self._pushed += frames.shape[0]
+
+    def push(self, frames):
+        """Feed raw feature frames [n, feat_dim]; returns newly decoded ids."""
+        self._append_raw(frames)
         start = len(self._tokens)
-        while self._fe_ready(true_len=None):
+        while self._fe_ready():
             self._advance(true_len=None)
         self._decode_available(limit=None)
         if self.beam_width:
@@ -202,7 +283,7 @@ class StreamingTranscriber:
             lo = self._beam_frames
             hi = min(lo + self.K, total)
             block = np.zeros((self.K, self.model.class_n), np.float32)
-            block[: hi - lo] = self.logits[lo:hi]
+            block[: hi - lo] = self.logits_slice(lo, hi)
             self._beam_state, parents, syms, scores = beam_chunk_step(
                 self._beam_state, jnp.asarray(block), jnp.int32(lo),
                 jnp.int32(hi), self.beam_width, self.blank_id,
@@ -217,10 +298,32 @@ class StreamingTranscriber:
 
     @property
     def logits(self):
-        """Accumulated final logits [frames, class_n] (valid frames only)."""
+        """Accumulated final logits [frames, class_n] (valid frames only).
+
+        Full concatenation — whole-utterance consumers only (offline
+        rescore at flush, tests). Incremental consumers use
+        ``logits_slice`` so per-tick host cost stays O(slice), not O(T)."""
         if not self._logits:
             return np.zeros((0, self.model.class_n), np.float32)
         return np.concatenate(self._logits, axis=0)
+
+    def logits_slice(self, lo, hi):
+        """Rows [lo, hi) of the accumulated logits without concatenating
+        the whole history (a per-tick O(T) rebuild would make long-lived
+        streams quadratic on the host)."""
+        out = np.zeros((hi - lo, self.model.class_n), np.float32)
+        offset = 0
+        for block in self._logits:
+            n = block.shape[0]
+            b_lo, b_hi = max(lo - offset, 0), min(hi - offset, n)
+            if b_lo < b_hi:
+                out[offset + b_lo - lo : offset + b_hi - lo] = (
+                    block[b_lo:b_hi]
+                )
+            offset += n
+            if offset >= hi:
+                break
+        return out
 
     # ------------------------------------------------------------- internal
 
@@ -229,15 +332,16 @@ class StreamingTranscriber:
         # padding at the true utterance start is reproduced exactly
         return max(0, self.div * t0 - self.lmargin)
 
-    def _fe_ready(self, true_len):
+    def _fe_ready(self):
         return self._pushed >= self._win_start(self._fe_blocks * self.K) + self.win
 
     def _raw_window(self, t0):
         s = self._win_start(t0)
         out = np.zeros((self.win, self.model.feat_dim), np.float32)
-        hi = min(s + self.win, self._raw.shape[0])
-        if hi > s:
-            out[: hi - s] = self._raw[s:hi]
+        rel_s = s - self._raw_base
+        hi = min(rel_s + self.win, self._raw.shape[0])
+        if hi > rel_s:
+            out[: hi - rel_s] = self._raw[rel_s:hi]
         return out[None], s
 
     def _advance_inputs(self, true_len):
@@ -291,7 +395,7 @@ class StreamingTranscriber:
         )
         if total <= self._decoded_frames:
             return
-        logits = self.logits[self._decoded_frames : total]
+        logits = self.logits_slice(self._decoded_frames, total)
         ids = np.argmax(logits, axis=-1)
         for frame_id in ids:
             frame_id = int(frame_id)
@@ -341,66 +445,23 @@ class StreamingPool:
         # vmapped step, and the split back into per-session rows all fuse
         # into a single jitted call — host-side jnp.stack/slicing would
         # cost an eager dispatch (a tunnel round trip) each (measured:
-        # ~900 ms/tick host-composed vs one fused call)
-        enc_num = model.enc_num
-
-        @jax.jit
-        def _pstep(win, length, lpost, offs, bufs_list, vpr_list):
-            bufs = [
-                jnp.stack([b[l] for b in bufs_list])
-                for l in range(enc_num)
-            ]
-            vpr = [
-                jnp.stack([v[l] for v in vpr_list])
-                for l in range(enc_num)
-            ]
-            logits, nb, nv = jax.vmap(
-                lambda w, l, lp, b, v, o: model.apply(
-                    variables, w, l, lp, b, v, o, method="stream_step"
-                )
-            )(win, length, lpost, bufs, vpr, offs)
-            n = win.shape[0]
-            new_bufs = [[nb[l][i] for l in range(enc_num)]
-                        for i in range(n)]
-            new_vpr = [[nv[l][i] for l in range(enc_num)]
-                       for i in range(n)]
-            return logits, new_bufs, new_vpr
-
-        self._pstep = _pstep
+        # ~900 ms/tick host-composed vs one fused call). Shared per model
+        # across pools; variables ride as an argument.
+        self.variables = variables
+        self._pstep = _pool_step_fn(model)
         if beam_width:
-            from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
-
-            @functools.partial(jax.jit, static_argnums=(4, 5))
-            def _pbeam(states_list, blocks, los, his, W, blank):
-                states = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *states_list
-                )
-                nstate, parents, syms, scores = jax.vmap(
-                    beam_chunk_step, in_axes=(0, 0, 0, 0, None, None)
-                )(states, blocks, los, his, W, blank)
-                n = blocks.shape[0]
-                out_states = [
-                    jax.tree.map(lambda x: x[i], nstate) for i in range(n)
-                ]
-                return out_states, parents, syms, scores
-
-            self._pbeam = _pbeam
+            self._pbeam = _pool_beam_fn()
 
     def push(self, slot, frames):
         """Buffer raw feature frames [n, feat_dim] for ``slot`` (host only;
         device work happens in ``step``)."""
-        s = self.sessions[slot]
-        frames = np.asarray(frames, np.float32)
-        if frames.ndim != 2 or frames.shape[1] != s.model.feat_dim:
-            raise ValueError("expected [n, %d] features" % s.model.feat_dim)
-        s._raw = np.concatenate([s._raw, frames], axis=0)
-        s._pushed += frames.shape[0]
+        self.sessions[slot]._append_raw(frames)
 
     def step(self):
         """One tick: advance every session with a ready block in one
         dispatch. Returns {slot: newly decoded greedy ids}."""
         ready = [
-            i for i, s in enumerate(self.sessions) if s._fe_ready(None)
+            i for i, s in enumerate(self.sessions) if s._fe_ready()
         ]
         if not ready:
             return {}
@@ -411,7 +472,7 @@ class StreamingPool:
         lpost = np.asarray([p[2] for p in preps], np.int32)
         offs = np.stack([p[3] for p in preps])
         logits, nb, nv = self._pstep(
-            win, length, lpost, offs,
+            self.variables, win, length, lpost, offs,
             [self.sessions[i]._bufs for i in idx],
             [self.sessions[i]._vprev for i in idx],
         )
@@ -447,7 +508,7 @@ class StreamingPool:
         his = np.zeros((self.slots,), np.int32)
         for row, s in enumerate(sess):
             lo, hi = s._beam_frames, min(s._beam_frames + K, s._logit_frames)
-            blocks[row, : hi - lo] = s.logits[lo:hi]
+            blocks[row, : hi - lo] = s.logits_slice(lo, hi)
             los[row], his[row] = lo, hi
         nstates, parents, syms, scores = self._pbeam(
             [s._beam_state for s in sess], blocks, los, his,

@@ -100,7 +100,7 @@ def test_recognizer_int8_matches_f32(trained):
     q_ids, _ = rec.transcribe(feats, beam_width=4, corpus="wsj")
     assert q_ids == f32_ids
     # non-jitted consumers (streaming constructors) get f32 params back
-    f32_tree = rec._f32_params()
+    f32_tree = rec._f32_variables()["params"]
     assert all(leaf.dtype == jnp.float32
                for leaf in jax.tree.leaves(f32_tree))
 

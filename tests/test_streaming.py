@@ -333,3 +333,24 @@ def test_pool_slot_flush_is_independent():
     toks[1].extend(pool.flush(1))
     assert toks[1] == single(b)
     assert toks[0] + c_toks == single(a) + single(c)
+
+
+def test_long_stream_buffers_stay_bounded():
+    """Production liveness: arbitrarily long streams must not grow the raw
+    buffer (frames behind the next window start are dropped) — the
+    session retains only the unprocessed backlog + receptive-field
+    margin, so per-push copying is O(bounded), not O(stream length)."""
+    model, variables = _build()
+    rng = np.random.RandomState(9)
+    s = StreamingTranscriber(model, variables, blank_id=VOCAB + 1, chunk=4)
+    bound = s.win + s.K * s.div + s.lmargin
+    for _ in range(100):
+        s.push(rng.randn(40, FEAT).astype(np.float32))
+        assert s._raw.shape[0] <= bound + 40, s._raw.shape
+    # absolute bookkeeping intact: base + retained == pushed
+    assert s._raw_base + s._raw.shape[0] == s._pushed
+    # and the incremental slice path agrees with the full concatenation
+    total = s._logit_frames
+    np.testing.assert_array_equal(
+        s.logits_slice(total - 7, total), s.logits[total - 7 : total]
+    )

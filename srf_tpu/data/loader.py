@@ -88,7 +88,7 @@ class BucketedLoader:
 
     def __init__(self, dataset, bucket_boundaries, bucket_batch_sizes,
                  shuffle=False, seed=0, drop_remainder=True,
-                 label_cap_divisor=2, prefetch=2):
+                 label_cap_divisor=2, prefetch=2, global_sync=False):
         assert len(bucket_batch_sizes) == len(bucket_boundaries) + 1
         self.ds = dataset
         self.boundaries = list(bucket_boundaries)
@@ -98,13 +98,49 @@ class BucketedLoader:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._epoch = 0
+        self._max_batches = None
         # Static time width per bucket = its boundary; overflow bucket uses
         # the data max. Static label width = time width / label_cap_divisor.
         max_len = max((f.shape[0] for f in dataset.feats), default=1)
+        max_lab = max((l.shape[0] for l in dataset.labels), default=1)
+        if global_sync:
+            # multi-process SPMD lockstep: every process must emit the
+            # SAME static shapes in the SAME order and the SAME number of
+            # batches per epoch, or make_array_from_process_local_data
+            # gets mismatched shapes / one process runs an extra step and
+            # the collectives deadlock. Shapes: agree on the overflow
+            # width and label cap via a global max (each process's shard
+            # has different data maxima). Count: cap every process at the
+            # global-min emittable batches. Restricted to a single bucket
+            # — with several buckets the per-process shuffle assigns
+            # different bucket SEQUENCES, which no shape agreement fixes.
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                if self.boundaries:
+                    raise NotImplementedError(
+                        "multi-process training with bucketed (dynamic) "
+                        "batches is not supported: per-process shuffles "
+                        "emit different bucket-shape sequences; use a "
+                        "fixed batch size (--train-batch-dynamic=False)"
+                    )
+                import numpy as _np
+                from jax.experimental import multihost_utils
+
+                local = _np.asarray(
+                    [max_len, max_lab, len(dataset)], _np.int64
+                )
+                gathered = _np.asarray(
+                    multihost_utils.process_allgather(local)
+                )
+                max_len = int(gathered[:, 0].max())
+                max_lab = int(gathered[:, 1].max())
+                self._max_batches = (
+                    int(gathered[:, 2].min()) // self.batch_sizes[0]
+                )
         self.time_widths = self.boundaries + [max(max_len, (self.boundaries[-1] if self.boundaries else 1))]
         self.label_caps = [max(8, -(-w // label_cap_divisor)) for w in self.time_widths]
         # guard: label never exceeds its cap
-        max_lab = max((l.shape[0] for l in dataset.labels), default=1)
         self.label_caps = [max(c, min(max_lab, w)) for c, w in zip(self.label_caps, self.time_widths)]
 
     def set_epoch(self, epoch):
@@ -137,6 +173,7 @@ class BucketedLoader:
         self._epoch += 1
         pools = [[] for _ in self.batch_sizes]
         skipped = 0
+        emitted = 0
         for idx in order:
             f = ds.feats[idx]
             b = self._bucket_of(f.shape[0])
@@ -145,7 +182,10 @@ class BucketedLoader:
                 continue
             pools[b].append(idx)
             if len(pools[b]) == self.batch_sizes[b]:
+                if self._max_batches is not None and emitted >= self._max_batches:
+                    break  # lockstep cap: every process stops together
                 yield self._emit(pools[b], b)
+                emitted += 1
                 pools[b] = []
         if skipped:
             # operator-visible: the reference pipeline pads to the batch
@@ -157,7 +197,10 @@ class BucketedLoader:
                 "BucketedLoader: skipped %d example(s) whose label length "
                 "exceeds the bucket's static cap this epoch", skipped,
             )
-        if not self.drop_remainder:
+        # remainder batches are per-process-count dependent — never emit
+        # them in lockstep mode (one process having a remainder while
+        # another does not would desync the step counts)
+        if not self.drop_remainder and self._max_batches is None:
             for b, pool in enumerate(pools):
                 if pool:
                     yield self._emit(pool, b)
@@ -182,11 +225,17 @@ class BucketedLoader:
             return
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        failure = []
 
         def producer():
+            # a producer-thread error must REACH the consumer: putting the
+            # sentinel alone would look like a clean end-of-epoch and the
+            # trainer would silently continue on a truncated epoch
             try:
                 for item in self._iter_epoch():
                     q.put(item)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                failure.append(exc)
             finally:
                 q.put(sentinel)
 
@@ -198,6 +247,8 @@ class BucketedLoader:
                 break
             yield item
         thread.join()
+        if failure:
+            raise failure[0]
 
 
 class EvalLoader:

@@ -177,13 +177,18 @@ def convert_to_tfrecord(logger, config, data_set, cmvn):
 
 
 def shuffle_records(tfrecord_file, seed=None):
-    """Shuffle records within a single shard file."""
-    tmp_fname = tfrecord_file + ".unshuffled"
-    os.replace(tfrecord_file, tmp_fname)
-    records = list(read_records(tmp_fname))
+    """Shuffle records within a single shard file.
+
+    Atomic: the shuffled records are written to a temp name and
+    os.replace'd over the shard in one step. The previous in-place
+    rewrite could be interrupted mid-write, leaving a TRUNCATED shard
+    that the all-shards-exist skip check (convert_to_tfrecord) would
+    then accept as complete — silently losing training data."""
+    records = list(read_records(tfrecord_file))
     rng = random.Random(seed)
     rng.shuffle(records)
-    with TFRecordWriter(tfrecord_file) as writer:
+    tmp_fname = tfrecord_file + ".shuffling"
+    with TFRecordWriter(tmp_fname) as writer:
         for record in records:
             writer.write(record)
-    os.remove(tmp_fname)
+    os.replace(tmp_fname, tfrecord_file)

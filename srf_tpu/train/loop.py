@@ -94,6 +94,12 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         (i + 1) * int(s) for i, s in enumerate(
             getattr(train_loader, "batch_sizes", None) or [])
     ))
+    if mid_every > 0 and not (config.path_ckpt and state_to_save is not None):
+        logger.warning(
+            "--tpu-ckpt-every-steps=%d has nothing to save to (no "
+            "--path-ckpt / state serializer); mid-epoch checkpointing "
+            "is DISABLED for this run", mid_every,
+        )
     if mid_every > 0 and config.path_ckpt and state_to_save is not None:
         import os as _os
 
@@ -295,7 +301,7 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 pending.append(metrics)
                 index += 1
                 kick_watchdog()
-                if mid_every > 0 and index % mid_every == 0:
+                if mid_mgr is not None and index % mid_every == 0:
                     pending = _drain(pending, train_loss, train_samples, num_feats)
                     save_mid(epoch, index)
                 if check_step:

@@ -204,10 +204,24 @@ def make_valid_step(apply_fn, in_len_div, mesh=None, state_sharding=None):
 
 
 def make_logits_fn(apply_fn):
-    """Jitted inference logits for decoding."""
+    """Jitted inference logits for decoding.
 
-    def logits_fn(state, batch):
-        logits, _ = apply_fn(state.params, state.batch_stats, batch, False, None)
+    Only feats/inp_len cross the jit boundary: jax.jit keys its cache on
+    the avals of EVERY input, and eval batches pad labels to each batch's
+    exact max label length (data/loader.py _pad_batch) — passing the
+    (unused) labels through would recompile per unique transcript length,
+    defeating the pad_multiple shape bounding on the decode path."""
+
+    def logits_fn(params, batch_stats, feats, inp_len):
+        batch = {"feats": feats, "inp_len": inp_len}
+        logits, _ = apply_fn(params, batch_stats, batch, False, None)
         return logits
 
-    return jax.jit(logits_fn)
+    jitted = jax.jit(logits_fn)
+
+    def call(state, batch):
+        return jitted(
+            state.params, state.batch_stats, batch["feats"], batch["inp_len"]
+        )
+
+    return call

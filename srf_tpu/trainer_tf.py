@@ -57,6 +57,28 @@ def make_stf_extra_kwargs(att_pen, in_len_div):
     return extra
 
 
+def stf_state_template(model, config, tx, rng, in_len_div):
+    """Fresh STF TrainState from a dummy forward — the SINGLE source of
+    the checkpoint tree layout for both the trainer and tools
+    (tools/average_ckpt.py): keeping a copy there drifted once already
+    (the EMA subtree was missing from the averaging template, so
+    averaging an --tpu-ema-decay run's checkpoints failed)."""
+    import jax.numpy as jnp
+
+    dummy_feats = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
+    dummy_len = jnp.full((1,), 20, jnp.int32)
+    variables = jax.jit(
+        lambda rngs, feats, lens: model.init(
+            rngs, feats, lens, False, mask=None,
+            attention_penalty_mask=None, in_len_div=in_len_div,
+        )
+    )({"params": rng, "dropout": rng}, dummy_feats, dummy_len)
+    return TrainState.create(
+        variables["params"], tx, variables.get("batch_stats", {}),
+        with_ema=(config.tpu_ema_decay > 0.0 or config.tpu_decode_ema),
+    )
+
+
 def main(argv=None):
     from srf_tpu.parallel.distributed import maybe_initialize
     from srf_tpu.utils.compilation_cache import enable_compilation_cache
@@ -108,20 +130,7 @@ def main(argv=None):
     tx, schedule = get_optimizer(config)
 
     rng = jax.random.PRNGKey(config.tpu_seed)
-    import jax.numpy as jnp
-
-    dummy_feats = jnp.zeros((1, 20, config.feat_dim), jnp.float32)
-    dummy_len = jnp.full((1,), 20, jnp.int32)
-    variables = jax.jit(
-        lambda rngs, feats, lens: model.init(
-            rngs, feats, lens, False, mask=None,
-            attention_penalty_mask=None, in_len_div=in_len_div,
-        )
-    )({"params": rng, "dropout": rng}, dummy_feats, dummy_len)
-    state = TrainState.create(
-        variables["params"], tx, variables.get("batch_stats", {}),
-        with_ema=(config.tpu_ema_decay > 0.0 or config.tpu_decode_ema),
-    )
+    state = stf_state_template(model, config, tx, rng, in_len_div)
     logger.info("Model parameters: %d", param_count(state.params))
 
     ckpt_manager, restored, epoch_offset = load_checkpoint(

@@ -272,3 +272,37 @@ def test_async_ckpt_cli_trains_resumes_decodes(written_corpus, capsys):
     trainer_sr.main(_argv(written_corpus, ckpt, ["--train-max-epoch=0"]))
     dec = capsys.readouterr().out
     assert dec.count("UTTID:") == 2
+
+
+def test_stf_state_template_includes_ema():
+    """The averaging tool restores checkpoints through the SAME template
+    builder as trainer_tf (a drifted copy once dropped the ema_params
+    subtree, so averaging an --tpu-ema-decay STF run failed)."""
+    import types
+
+    import jax
+
+    from srf_tpu.models.stf import ConvEncoder
+    from srf_tpu.train.optimizer import get_optimizer
+    from srf_tpu.trainer_tf import stf_state_template
+
+    config = types.SimpleNamespace(
+        model_encoder_num=1, model_dimension=8, model_att_head_num=2,
+        model_inner_dim=16, feat_dim=8, train_inp_dropout=0.0,
+        train_inn_dropout=0.0, train_res_dropout=0.0,
+        train_att_dropout=0.0, model_conv_filter_num=4,
+        model_conv_layer_num=2, model_initializer="glorot_uniform",
+        model_ap_encoder=False, model_ap_decoder=False,
+        model_ap_encdec=False, model_ap_width_zero=0,
+        model_ap_width_stripe=0, model_ap_scale=0.0,
+        tpu_attention_kernel="auto",
+        tpu_ema_decay=0.999, tpu_decode_ema=False,
+        train_opti_type="adam", train_lr_param_k=0.001,
+        model_dimension_k=None, train_warmup_n=100, train_adam_beta1=0.9,
+        train_adam_beta2=0.98, train_adam_epsilon=1e-9, train_max_lr=1e9,
+    )
+    tx, _ = get_optimizer(config)
+    model = ConvEncoder.from_config(config, 8)
+    state = stf_state_template(model, config, tx, jax.random.PRNGKey(0),
+                               in_len_div=4)
+    assert state.ema_params is not None  # rides the checkpoint tree

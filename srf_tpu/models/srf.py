@@ -43,7 +43,15 @@ from srf_tpu.models.initializers import get_init, routing_weight_init
 from srf_tpu.models.layers import ConvFrontEnd
 from srf_tpu.ops.masking import feat_mask
 from srf_tpu.ops.pos_enc import get_pos_enc
-from srf_tpu.ops.routing import route_layer, wavefront_sdr_stack, window_stack
+from srf_tpu.ops.routing import (
+    dynamic_routing,
+    predict_capsules,
+    route_layer,
+    sequential_routing,
+    wavefront_sdr_stack,
+    window_slide,
+    window_stack,
+)
 from srf_tpu.ops.squash import capsule_length, squash
 
 
@@ -94,6 +102,10 @@ class SequenceRouter(nn.Module):
             inn_dropout=config.train_inn_dropout,
             init_name=config.model_initializer,
             caps_type=config.model_caps_type,
+            # forward the stride: the registry computes in_len_div from
+            # config.model_conv_stride, so dropping it here would
+            # mis-size every CTC length on non-default strides
+            stride=config.model_conv_stride,
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -218,11 +230,6 @@ class SequenceRouter(nn.Module):
         (t < 0) in both the emitted block and the SDR carry, matching the
         batch implementation's window zero padding.
         """
-        from srf_tpu.ops.routing import (
-            dynamic_routing, predict_capsules, sequential_routing,
-            window_slide,
-        )
-
         num_iter = 1 if self.caps_type == "lowmemory" else self.caps_iter
         wgt = self.routing_weights[layer_idx]
         bias = self.routing_biases[layer_idx]
@@ -294,6 +301,12 @@ class SequenceRouter(nn.Module):
 
         shapes = self.layer_shapes()
         if self.is_context and self.routing_impl == "wavefront":
+            if self.routing_bf16 or (self.time_chunk and self.time_chunk > 1):
+                # fail loudly rather than benchmark f32 believing it's bf16
+                raise ValueError(
+                    "--tpu-routing-kernel=wavefront does not support bf16 "
+                    "routing or time chunking; use auto/xla/xla_pre"
+                )
             # whole capsule stack as ONE scan over time (see
             # ops/routing.py wavefront_sdr_stack); the per-layer LayerNorm
             # params are materialized by a dummy call and applied manually

@@ -140,28 +140,33 @@ def _sdr_step_factored(u_t, wgt, bias, v_prev, num_iter, pad_mask):
     per-timestep slivers. Exact same math as _sdr_step for every
     num_iter (iterations re-derive R from the updated v).
     """
+    # bf16 mode: wgt/bias/u_t arrive pre-cast — v and c must be cast to
+    # the same compute dtype per product or jnp.einsum type-promotes every
+    # operand back to f32, silently discarding the mixed-precision mode
+    # (logits accumulation, softmax, squash and the carried v stay f32)
+    cd = u_t.dtype
     b_acc = jnp.zeros(
         (u_t.shape[0], u_t.shape[1], wgt.shape[1]), jnp.float32
     )
     v = v_prev
     for _ in range(num_iter):
-        r = jnp.einsum("noij,boi->bnoj", wgt, v,
+        r = jnp.einsum("noij,boi->bnoj", wgt, v.astype(cd),
                        preferred_element_type=jnp.float32)
         b_acc = b_acc + (
-            jnp.einsum("bnoj,bnj->bno", r, u_t,
+            jnp.einsum("bnoj,bnj->bno", r.astype(cd), u_t,
                        preferred_element_type=jnp.float32)
-            + jnp.einsum("noi,boi->bno", bias, v,
+            + jnp.einsum("noi,boi->bno", bias, v.astype(cd),
                          preferred_element_type=jnp.float32)
         )
         if pad_mask is not None:
             b_acc = b_acc + pad_mask
         c = jax.nn.softmax(b_acc, axis=2)
-        p = jnp.einsum("bno,bnj->bonj", c, u_t,
+        p = jnp.einsum("bno,bnj->bonj", c.astype(cd), u_t,
                        preferred_element_type=jnp.float32)
         s = (
             jnp.einsum("bonj,noij->boi", p, wgt,
                        preferred_element_type=jnp.float32)
-            + jnp.einsum("bno,noi->boi", c, bias,
+            + jnp.einsum("bno,noi->boi", c.astype(cd), bias,
                          preferred_element_type=jnp.float32)
         )
         v = squash(s, axis=-1)
@@ -235,8 +240,13 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
         # timestep's prediction vectors, then a scan that only routes
         # (reference: sequence_router_naive.py:154-159). Trades HBM traffic
         # (u_hat is [B,T,in_n,out_n,out_d]) for a batched matmul.
+        # compute_dtype: the batched prediction runs (and u_hat is stored)
+        # in the requested dtype — previously silently ignored here.
+        cdp = compute_dtype or jnp.float32
         u_hat_all = jnp.moveaxis(
-            predict_capsules(u, wgt, bias), 1, 0
+            predict_capsules(
+                u.astype(cdp), wgt.astype(cdp), bias.astype(cdp)
+            ).astype(cdp), 1, 0
         )  # [T, B, in_n, out_n, out_d]
 
         def route_body(v_prev, u_hat_t):
@@ -279,7 +289,9 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
         return jnp.moveaxis(vs, 0, 1).astype(in_dtype)
 
     # chunked: precompute u_hat for `time_chunk` steps at once (MXU batch),
-    # then scan the routing recurrence inside the chunk.
+    # then scan the routing recurrence inside the chunk. Chunking IS the
+    # materialized plan, so `factored` does not apply here; remat,
+    # compute_dtype and unroll are honored like the plain scan path.
     seq_len = u.shape[1]
     pad_t = (-seq_len) % time_chunk
     if pad_t:
@@ -287,12 +299,15 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
     n_chunks = u.shape[1] // time_chunk
     u_chunks = u.reshape(batch, n_chunks, time_chunk, *u.shape[2:])
     u_chunks = jnp.moveaxis(u_chunks, 1, 0)  # [C, B, tc, in_n, in_d]
+    cdc = compute_dtype or jnp.float32
+    wgt_cc = wgt.astype(cdc)
+    bias_cc = bias.astype(cdc)
 
     def chunk_body(v_prev, u_c):
         u_hat_c = (
-            jnp.einsum("noij,btnj->btnoi", wgt, u_c,
-                       preferred_element_type=jnp.float32)
-            + bias[None, None]
+            jnp.einsum("noij,btnj->btnoi", wgt_cc, u_c.astype(cdc),
+                       preferred_element_type=cdc)
+            + bias_cc[None, None]
         )  # [B, tc, in_n, out_n, out_d]
         u_hat_t_major = jnp.moveaxis(u_hat_c, 1, 0)
 
@@ -303,7 +318,9 @@ def sequential_routing(u, wgt, bias, num_iter, mask_pad_capsule,
         v_last, vs = jax.lax.scan(step, v_prev, u_hat_t_major)
         return v_last, jnp.moveaxis(vs, 0, 1)
 
-    _, vs = jax.lax.scan(chunk_body, v0, u_chunks)
+    if remat:
+        chunk_body = jax.checkpoint(chunk_body)
+    _, vs = jax.lax.scan(chunk_body, v0, u_chunks, unroll=unroll)
     vs = jnp.moveaxis(vs, 0, 1).reshape(batch, -1, out_n, out_d)
     return vs[:, :seq_len].astype(in_dtype)
 
@@ -636,14 +653,32 @@ def route_layer(u, wgt, bias, num_iter, is_context, is_last_layer,
     always plain XLA (fully parallel over time, nothing to fuse beyond
     what XLA already does).
     """
+    if num_iter < 1:
+        raise ValueError(
+            "routing needs --model-caps-iter >= 1 (got %d): with 0 "
+            "iterations DR has no output and SDR would silently emit the "
+            "zero carry for every frame" % num_iter
+        )
     if is_context:
+        unsupported = (compute_dtype is not None
+                       or (time_chunk is not None and time_chunk > 1))
         if impl == "pallas":
+            if unsupported:
+                raise ValueError(
+                    "--tpu-routing-kernel=pallas does not support bf16 "
+                    "routing or time chunking; use auto/xla/xla_pre"
+                )
             from srf_tpu.ops.routing_pallas import sequential_routing_pallas
 
             return sequential_routing_pallas(
                 u, wgt, bias, num_iter, is_last_layer
             )
         if impl == "xla_flat":
+            if unsupported:
+                raise ValueError(
+                    "--tpu-routing-kernel=xla_flat does not support bf16 "
+                    "routing or time chunking; use auto/xla/xla_pre"
+                )
             return _sequential_routing_flat(
                 u, wgt, bias, num_iter, mask_pad_capsule=is_last_layer,
                 remat=remat, unroll=unroll,

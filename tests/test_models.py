@@ -243,3 +243,26 @@ def test_srf_wavefront_training_mode_runs(batch):
     )
     assert out.shape == (2, 10, 63)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_srf_from_config_forwards_stride():
+    """The registry computes in_len_div from model_conv_stride; dropping
+    the stride in from_config would silently mis-size every CTC length on
+    non-default strides (review finding)."""
+    import types
+
+    from srf_tpu.models.srf import SequenceRouter
+
+    config = types.SimpleNamespace(
+        feat_dim=8, model_encoder_num=2, model_caps_primary_num=4,
+        model_caps_primary_dim=4, model_caps_convolution_num=4,
+        model_caps_convolution_dim=4, model_caps_class_dim=4,
+        model_caps_iter=1, model_caps_window_lpad=1,
+        model_caps_window_rpad=1, model_caps_context=True,
+        model_conv_layer_num=2, model_conv_filter_num=4,
+        train_inp_dropout=0.0, train_inn_dropout=0.0,
+        model_initializer="glorot_uniform", model_caps_type="naive",
+        model_conv_stride=3,
+    )
+    model = SequenceRouter.from_config(config, 6)
+    assert model.stride == 3

@@ -103,6 +103,7 @@ class MultiHeadAttention(nn.Module):
     penalty_params: Optional[tuple] = None
     mesh: Optional[object] = None  # jax Mesh (ring path)
     seq_axis: str = "seq"
+    batch_axis: Optional[str] = None  # ring: shard batch too (dp x sp)
 
     @nn.compact
     def __call__(self, value, key, query, mask, attention_dropout, att_pen_mask,
@@ -153,9 +154,15 @@ class MultiHeadAttention(nn.Module):
                     "whose '%s' axis shards the time dimension)"
                     % self.seq_axis
                 )
+            # on a dp x sp mesh, also shard the batch over the data axis:
+            # without it shard_map's replicated batch spec makes every
+            # data-parallel group compute the FULL global batch's ring
+            ba = self.batch_axis
+            if ba is None and dict(self.mesh.shape).get("data", 1) > 1:
+                ba = "data"
             attended = ring_attention(
                 q, k, v, self.mesh, mask=mask, penalty=self.penalty_params,
-                axis_name=self.seq_axis,
+                axis_name=self.seq_axis, batch_axis=ba,
             )
             weights = None
         else:

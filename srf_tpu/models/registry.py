@@ -42,6 +42,25 @@ def stf_in_len_div(config, logger=None):
     return true_div
 
 
+def validate_stf_attention_kernel(config):
+    """CLI-side validation of --tpu-attention-kernel, shared by
+    build_model and trainer_tf (which constructs ConvEncoder directly —
+    without this, a typo'd kernel name silently ran the plain path,
+    exactly the OOM the flag exists to avoid). Returns the kernel."""
+    att_kernel = getattr(config, "tpu_attention_kernel", "auto")
+    if att_kernel == "ring":
+        raise ValueError(
+            "--tpu-attention-kernel=ring is programmatic-only: ring "
+            "(sequence-parallel) attention needs a device mesh, which "
+            "the CLI trainers do not construct for the time axis. "
+            "Build ConvEncoder(attention_impl='ring', mesh=...) "
+            "directly (see srf_tpu/ops/ring_attention.py)."
+        )
+    if att_kernel not in ("auto", "plain", "blockwise"):
+        raise ValueError("unknown --tpu-attention-kernel %r" % att_kernel)
+    return att_kernel
+
+
 def build_model(config, dec_out_dim, logger=None, **overrides):
     """Returns (model, in_len_div)."""
     model_type = (config.model_type or "srf").lower()
@@ -60,17 +79,7 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
             model = CNNStrideEncoder.from_config(config, dec_out_dim, **overrides)
     elif model_type == "stf":
         in_len_div = stf_in_len_div(config, logger)
-        att_kernel = getattr(config, "tpu_attention_kernel", "auto")
-        if att_kernel == "ring":
-            raise ValueError(
-                "--tpu-attention-kernel=ring is programmatic-only: ring "
-                "(sequence-parallel) attention needs a device mesh, which "
-                "the CLI trainers do not construct for the time axis. "
-                "Build ConvEncoder(attention_impl='ring', mesh=...) "
-                "directly (see srf_tpu/ops/ring_attention.py)."
-            )
-        if att_kernel not in ("auto", "plain", "blockwise"):
-            raise ValueError("unknown --tpu-attention-kernel %r" % att_kernel)
+        validate_stf_attention_kernel(config)
         model = ConvEncoder.from_config(config, dec_out_dim, **overrides)
     else:
         in_len_div = config.model_conv_stride**config.model_conv_layer_num

@@ -107,6 +107,12 @@ class ConvEncoder(nn.Module):
         forward, unchanged. Parameter names are identical in every stage
         (flax scopes by explicit ``name=``), so one ``variables`` tree
         serves all three entry points."""
+        if stage not in ("all", "embed", "head"):
+            raise ValueError(
+                "unknown stage %r (expected 'all', 'embed' or 'head'); a "
+                "typo here would silently run the head on raw features"
+                % (stage,)
+            )
         if stage in ("all", "embed"):
             out = ConvFrontEnd(
                 cnn_n=self.cnn_n,

@@ -49,6 +49,44 @@ def _tile_penalty(q_pos, k_pos, pen: PenaltyParams):
     return jnp.log1p(count * pen.scale) * -1.0  # additive score term
 
 
+def online_softmax_step(carry, q_scaled, q_pos, k_blk, v_blk, msk_blk,
+                        k_pos, penalty, dropout_rng=None, dropout_rate=0.0,
+                        drop_key=None):
+    """One flash-attention accumulation step over a key block.
+
+    The SINGLE implementation of the online-softmax recurrence, shared by
+    blockwise_attention's scan body and ring_attention's per-shard loop
+    (ops/ring_attention.py) — the two must stay bit-identical (the ring
+    parity tests assert it), so the math lives in one place.
+
+    carry: (m_run [B,H,Q], l_run [B,H,Q], acc [B,H,Q,D]) running max /
+    denominator / numerator. Returns the updated carry.
+    """
+    m_run, l_run, acc = carry
+    s = jnp.einsum("bhqd,bhkd->bhqk", q_scaled, k_blk,
+                   preferred_element_type=jnp.float32)
+    if penalty is not None:
+        s = s + _tile_penalty(q_pos, k_pos, penalty)[None, None]
+    s = s + msk_blk.astype(jnp.float32) * -1e9
+    m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
+    alpha = jnp.exp(m_run - m_new)
+    p = jnp.exp(s - m_new[..., None])
+    l_run = l_run * alpha + jnp.sum(p, axis=-1)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(
+            jax.random.fold_in(dropout_rng, drop_key),
+            1.0 - dropout_rate, p.shape,
+        )
+        p_use = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    else:
+        p_use = p
+    acc = acc * alpha[..., None] + jnp.einsum(
+        "bhqk,bhkd->bhqd", p_use, v_blk,
+        preferred_element_type=jnp.float32,
+    )
+    return m_new, l_run, acc
+
+
 def blockwise_attention(query, key, value, mask=None,
                         penalty: Optional[PenaltyParams] = None,
                         block_k: int = 256, dropout_rate: float = 0.0,
@@ -96,31 +134,14 @@ def blockwise_attention(query, key, value, mask=None,
     q_scaled = query.astype(jnp.float32) * scale
 
     def body(carry, x):
-        m_run, l_run, acc = carry
         k_blk, v_blk, msk_blk, blk_idx = x
-        s = jnp.einsum("bhqd,bhkd->bhqk", q_scaled, k_blk,
-                       preferred_element_type=jnp.float32)
-        if penalty is not None:
-            k_pos = blk_idx * block_k + jnp.arange(block_k)
-            s = s + _tile_penalty(q_pos, k_pos, penalty)[None, None]
-        s = s + msk_blk * -1e9
-        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
-        alpha = jnp.exp(m_run - m_new)
-        p = jnp.exp(s - m_new[..., None])
-        l_run = l_run * alpha + jnp.sum(p, axis=-1)
-        if dropout_rng is not None and dropout_rate > 0.0:
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(dropout_rng, blk_idx),
-                1.0 - dropout_rate, p.shape,
-            )
-            p_use = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-        else:
-            p_use = p
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p_use, v_blk,
-            preferred_element_type=jnp.float32,
+        k_pos = blk_idx * block_k + jnp.arange(block_k)
+        carry = online_softmax_step(
+            carry, q_scaled, q_pos, k_blk, v_blk, msk_blk, k_pos, penalty,
+            dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+            drop_key=blk_idx,
         )
-        return (m_new, l_run, acc), None
+        return carry, None
 
     m0 = jnp.full((batch, heads, seq_len), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((batch, heads, seq_len), jnp.float32)

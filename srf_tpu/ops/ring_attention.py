@@ -31,7 +31,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from srf_tpu.ops.blockwise_attention import PenaltyParams, _tile_penalty
+from srf_tpu.ops.blockwise_attention import (
+    PenaltyParams,
+    online_softmax_step,
+)
 
 
 def ring_attention_local(query, key, value, kv_mask=None,
@@ -66,21 +69,14 @@ def ring_attention_local(query, key, value, kv_mask=None,
     k_blk, v_blk, msk_blk = key, value, kv_mask
     for step in range(n_shards):
         src_idx = (my_idx + step) % n_shards
-        s = jnp.einsum("bhqd,bhkd->bhqk", q_scaled, k_blk,
-                       preferred_element_type=jnp.float32)
-        if penalty is not None:
-            k_pos = src_idx * t_local + jnp.arange(t_local)
-            s = s + _tile_penalty(q_pos, k_pos, penalty)[None, None]
-        s = s + msk_blk.astype(jnp.float32) * -1e9
-        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
-        alpha = jnp.exp(m_run - m_new)
-        p = jnp.exp(s - m_new[..., None])
-        l_run = l_run * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v_blk,
-            preferred_element_type=jnp.float32,
+        k_pos = src_idx * t_local + jnp.arange(t_local)
+        # the SAME online-softmax recurrence as blockwise_attention —
+        # shared helper so the two kernels cannot drift (the parity
+        # tests assert bit-equality of their outputs)
+        m_run, l_run, acc = online_softmax_step(
+            (m_run, l_run, acc), q_scaled, q_pos, k_blk, v_blk, msk_blk,
+            k_pos, penalty,
         )
-        m_run = m_new
         if step + 1 < n_shards:
             # rotate: receive the next shard from the right neighbor while
             # this step's compute retires (XLA overlaps ppermute with the

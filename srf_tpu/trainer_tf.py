@@ -122,9 +122,23 @@ def main(argv=None):
         "Data number: Train %s, Valid %s, Test %s", train_num, valid_num, test_num
     )
 
-    att_pen = create_attention_penalty(config, logger)
-    from srf_tpu.models.registry import stf_in_len_div
+    from srf_tpu.models.registry import (
+        stf_in_len_div, validate_stf_attention_kernel,
+    )
 
+    att_kernel = validate_stf_attention_kernel(config)
+    att_pen = create_attention_penalty(config, logger)
+    if att_kernel == "blockwise" and att_pen is not None:
+        # the dense [1,T',T'] penalty board is the PLAIN path's input;
+        # blockwise recomputes the same values per tile from
+        # penalty_params, so building (and baking ~T'^2 floats into every
+        # compiled bucket) would be pure waste in the long-sequence
+        # regime blockwise exists for
+        logger.info(
+            "attention penalty: closed-form per-tile (blockwise kernel); "
+            "the dense board is not materialized"
+        )
+        att_pen = None
     in_len_div = stf_in_len_div(config, logger)
     model = ConvEncoder.from_config(config, dec_out_dim)
     tx, schedule = get_optimizer(config)
@@ -154,9 +168,19 @@ def main(argv=None):
             logger.warning(
                 "--tpu-bf16/--tpu-specaug are ignored under "
                 "--tpu-pipeline-stages (not yet composed)")
+        # the pipeline block fn compiles ONE static kernel; 'auto' cannot
+        # resolve per bucket there, so it falls to plain with a note
+        pipe_impl = "blockwise" if att_kernel == "blockwise" else "plain"
+        if att_kernel == "auto":
+            logger.info(
+                "pipeline: --tpu-attention-kernel=auto resolves to "
+                "'plain' under --tpu-pipeline-stages (per-bucket auto "
+                "selection is not composed); pass =blockwise explicitly "
+                "for long sequences"
+            )
         apply_fn = make_pipeline_apply_fn(
             model, mesh, config.tpu_pipeline_microbatch, att_pen,
-            in_len_div, remat=config.tpu_pipeline_remat,
+            in_len_div, remat=config.tpu_pipeline_remat, impl=pipe_impl,
         )
         logger.info(
             "Pipeline parallelism: %d stages x %d data shards, "

@@ -100,7 +100,7 @@ class ParseOption:
             self.logger.critical("--path-base is required")
             return False
 
-        if not os.path.isdir(args.path_base) or os.path.isfile(args.path_base):
+        if not os.path.isdir(args.path_base):
             self.logger.critical(
                 "--path-base %s is not an existing directory",
                 args.path_base,
@@ -148,6 +148,12 @@ class ParseOption:
         parser = argparse.ArgumentParser(
             description="TPU-native Sequential Routing Framework",
             fromfile_prefix_chars="@",
+            # abbreviated flags would desync argparse's parse from the
+            # string-derived command_keys set that implements the
+            # "command line wins over conf file" merge: --train-max-epo=50
+            # would parse as train_max_epoch yet be OVERWRITTEN by the
+            # conf value. Full flag names only.
+            allow_abbrev=False,
         )
         parser.add_argument("--config", help="options can be loaded from this config file")
 

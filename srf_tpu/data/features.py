@@ -11,6 +11,8 @@ Implemented with numpy (host-side, one-shot corpus prep); the framing and
 FFT vectorize fine and data prep is not the training hot path.
 """
 
+import functools
+
 import numpy as np
 
 
@@ -26,19 +28,27 @@ def _inv_mel(mel):
     return 700.0 * (np.expm1(mel / 1127.0))
 
 
+@functools.lru_cache(maxsize=4)
 def mel_filterbank(num_bins, fft_size, sample_rate, low_freq=20.0,
                    high_freq=None):
-    """[num_bins, fft_size//2+1] triangular mel filters (Kaldi-style)."""
+    """[num_bins, fft_size//2+1] triangular mel filters (Kaldi-style).
+
+    The triangles are linear in the MEL domain, as Kaldi builds them
+    (mel-computations.cc: weight = (mel(f)-left_mel)/(center_mel-left_mel))
+    — a linear-in-Hz construction differs by several percent in the upper
+    bins because mel is concave in Hz, silently shifting features under a
+    reference-trained imported model. Cached: pure function of constant
+    per-corpus arguments, previously rebuilt per utterance."""
     if high_freq is None:
         high_freq = sample_rate / 2.0
     mel_low, mel_high = _mel(low_freq), _mel(high_freq)
     mel_points = np.linspace(mel_low, mel_high, num_bins + 2)
-    bin_freqs = np.fft.rfftfreq(fft_size, 1.0 / sample_rate)
-    fbank = np.zeros((num_bins, bin_freqs.size), np.float32)
+    bin_mels = _mel(np.fft.rfftfreq(fft_size, 1.0 / sample_rate))
+    fbank = np.zeros((num_bins, bin_mels.size), np.float32)
     for i in range(num_bins):
-        left, center, right = _inv_mel(mel_points[i : i + 3])
-        up = (bin_freqs - left) / max(center - left, 1e-10)
-        down = (right - bin_freqs) / max(right - center, 1e-10)
+        left, center, right = mel_points[i : i + 3]
+        up = (bin_mels - left) / max(center - left, 1e-10)
+        down = (right - bin_mels) / max(right - center, 1e-10)
         fbank[i] = np.maximum(0.0, np.minimum(up, down))
     return fbank
 
@@ -97,6 +107,10 @@ def add_deltas(feats, order=2, window=2):
 def extract_fbank123(signal, sample_rate=16000):
     """The reference's 123-dim feature: (energy+40 fbank) x (static, d, dd)."""
     base = fbank_energy(signal, sample_rate)
+    if base.shape[0] == 0:
+        # signal shorter than one 25 ms frame: return an empty feature
+        # matrix instead of crashing corpus prep in np.pad(mode="edge")
+        return np.zeros((0, base.shape[1] * 3), np.float32)
     return add_deltas(base)
 
 

@@ -207,9 +207,27 @@ def average_checkpoints(ckpt_path, template_state, average_num, max_epoch=0,
 
     acc = None
     last = None
+    # only the LAST checkpoint needs a full restore (its opt_state rides
+    # the averaged tree); the others contribute params/batch_stats only,
+    # so use the validated partial restore — deserializing N optimizer
+    # states for nothing also re-couples this read-only consumer to the
+    # training-time optimizer flags
+    sub_template = {
+        "params": template_state["params"],
+        "batch_stats": template_state.get("batch_stats", {}),
+    }
     for step in steps:
-        restored = manager.restore(step, template_state)
-        last = restored
+        if step == steps[-1]:
+            # a dedicated manager: orbax registers ONE restore handler
+            # per item name per manager, and the partial restores above
+            # registered PyTreeRestore — mixing StandardRestore on the
+            # same manager raises a handler mismatch
+            full_mgr = CheckpointManager(ckpt_path)
+            restored = full_mgr.restore(step, template_state)
+            full_mgr.close()
+            last = restored
+        else:
+            restored = manager.restore_partial(step, sub_template)
         avg_part = {"params": restored["params"],
                     "batch_stats": restored.get("batch_stats", {})}
         if acc is None:

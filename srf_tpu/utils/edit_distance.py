@@ -15,12 +15,13 @@ import numpy as np
 _CLEANUPS = [
     (re.compile(r"<EOS>.*"), ""),
     (re.compile(r"n"), ""),      # non-lang syms
+    (re.compile(r"@@ "), ""),    # bpe join — MUST run before the '@'
+                                 # removals below or it can never match
     (re.compile(r"@ "), ""),     # bos <space>
     (re.compile(r" \$"), ""),    # <space> eos
     (re.compile(r"\$"), ""),     # eos
     (re.compile(r"@"), ""),      # bos
     (re.compile(r"p"), ""),      # padding syms
-    (re.compile(r"@@ "), ""),    # bpe
     (re.compile(r" +"), " "),    # double blanks
     (re.compile(r"^ "), ""),     # strip
     (re.compile(r" $"), ""),     # strip

@@ -36,7 +36,13 @@ def score(ref_path, hyp_path, out=sys.stdout):
     for utt_id, ref_tokens in refs.items():
         hyp_tokens = hyps.get(utt_id)
         if hyp_tokens is None:
+            # sclite scores every reference utterance: a missing
+            # hypothesis is all deletions, not an exclusion (excluding
+            # it would let a half-crashed decode report a BETTER rate
+            # than a complete one)
             missing += 1
+            total_err += len(ref_tokens)
+            total_words += len(ref_tokens)
             continue
         err, n = wer_tokens(hyp_tokens, ref_tokens)
         total_err += err

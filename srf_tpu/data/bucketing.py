@@ -17,6 +17,14 @@ import numpy as np
 
 def get_bucket_info(batch_total_size, num_gpus, min_bkt, max_bkt, step,
                     step_for_bucket_size=False, manual_bucket_batch_sizes=None):
+    """(bucket_boundaries, bucket_batch_sizes) for a frame budget.
+
+    Known reference quirk (step_for_bucket_size=True branch, unreachable
+    from the trainers, which pass False): consecutive batch sizes can
+    floor to the SAME boundary; the dedup loop removes duplicate batch
+    sizes only, so a duplicated boundary creates a bucket that can never
+    fill (first-match assignment). Ported verbatim for parity.
+    """
     bucket_boundaries = []
     bucket_batch_sizes = []
     if step_for_bucket_size and manual_bucket_batch_sizes is None:

@@ -35,7 +35,6 @@ def _channel_maxout(x):
 class _MaxoutConvStack(nn.Module):
     """Shared conv + projection body of both CNN variants."""
 
-    enc_num: int
     layer_filters: tuple  # per-layer (filters, time_stride)
     proj_layers: int
     proj_dim: int
@@ -135,6 +134,13 @@ class CNNEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats, input_lengths, training: bool):
         assert self.conv_layer_num < 4
+        if self.enc_num < 5:
+            # the reference architecture has 4 fixed input convs + a
+            # final projection conv; fewer layers crash the reference's
+            # own reshape — fail loudly instead of silently building 5
+            raise ValueError(
+                "the maxout CNN needs --model-encoder-num >= 5 "
+                "(got %d)" % self.enc_num)
         pooled_dim = self.feat_dim // 3
         last_filt = (self.proj_dim // pooled_dim) * 2
         layer_filters = []
@@ -153,7 +159,6 @@ class CNNEncoder(nn.Module):
 
         emb = feats[..., None]
         return _MaxoutConvStack(
-            enc_num=self.enc_num,
             layer_filters=tuple(layer_filters),
             proj_layers=self.proj_layers,
             proj_dim=self.proj_dim,
@@ -205,6 +210,10 @@ class CNNStrideEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats, input_lengths, training: bool):
         assert self.conv_layer_num < 4
+        if self.enc_num < 5:
+            raise ValueError(
+                "the maxout CNN needs --model-encoder-num >= 5 "
+                "(got %d)" % self.enc_num)
         stride = 2  # reference hard-codes stride 2 for the front-end
         fe_dim = math.ceil(self.feat_dim / (stride**self.conv_layer_num))
         last_filt = (self.proj_dim // fe_dim) * 2
@@ -228,7 +237,6 @@ class CNNStrideEncoder(nn.Module):
         )(feats, input_lengths, training)
         emb = nn.Dropout(rate=self.input_dropout, deterministic=not training)(emb)
         return _MaxoutConvStack(
-            enc_num=self.enc_num,
             layer_filters=tuple(layer_filters),
             proj_layers=self.proj_layers,
             proj_dim=self.proj_dim,

@@ -6,6 +6,16 @@ Dense(vocab, no bias), length-mask, final LayerNorm. The recurrence runs as
 ``nn.RNN``/``lax.scan`` over time; a bidirectional layer averages the two
 directions like Keras ``merge_mode="ave"``
 (reference: lstm_encoder.py:52-54).
+
+Reference quirk preserved (like the CNN mask-divisor quirks in cnn.py):
+the RNNs run WITHOUT ``seq_lengths`` — the backward direction of a BLSTM
+consumes trailing zero-pad frames before the valid ones (zero inputs
+still update the carry via the biases), so every valid frame's backward
+state depends on the batch's padding amount. The reference has the
+identical flaw (Keras ``Masking`` is applied only AFTER the LSTMs,
+lstm_encoder.py:68-75), and the per-parameter gradient-parity tests
+require matching it; passing ``seq_lengths=`` to ``nn.RNN`` would be the
+one-line fix if parity is ever dropped.
 """
 
 from typing import Optional

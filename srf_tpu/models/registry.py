@@ -65,12 +65,11 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
     """Returns (model, in_len_div)."""
     model_type = (config.model_type or "srf").lower()
     if model_type.endswith("lstm"):
-        in_len_div = (
-            config.model_conv_stride**config.model_conv_layer_num
-            if config.model_lstm_is_cnnfe
-            else 1
-        )
         model = LstmEncoder.from_config(config, dec_out_dim, **overrides)
+        # the model's own property is the single source of the CTC
+        # length divisor (an independent re-derivation here could drift
+        # from the front-end's actual subsampling)
+        in_len_div = model.in_len_div
     elif model_type in ("cnn", "conv", "convolution"):
         in_len_div = config.model_conv_stride**config.model_conv_layer_num
         if config.model_conv_is_mp:

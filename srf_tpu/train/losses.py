@@ -37,11 +37,10 @@ def loss_function_w2v(real, pred, weights, smoothing=0.0):
     return jnp.sum(per_example)
 
 
-def shuffle_data(texts, seed=None):
-    """Permute a text list (epoch boundary shuffle)."""
-    rng = np.random.RandomState(seed) if seed is not None else np.random
-    perm = rng.permutation(len(texts))
-    return [texts[i] for i in perm]
+# single implementation in utils/misc.py (both port the same reference
+# helper, train_helper.py:159-168; two copies had drifted on seed=None
+# semantics — the misc version never mutates the global numpy RNG)
+from srf_tpu.utils.misc import shuffle_data  # noqa: E402,F401
 
 
 def _loss_sm_neighbor(labels, logits, confidence, output_dim):

@@ -91,9 +91,19 @@ def _encode_feature(value) -> bytes:
             _write_len_delimited(lst, 1, item)
         _write_len_delimited(inner, 1, bytes(lst))  # bytes_list
     else:
-        # generic python number list: infer float vs int
-        if any(isinstance(v, float) for v in arr):
+        # generic python number list: infer float vs int via numpy's own
+        # dtype inference — isinstance(v, float) is False for np.float32
+        # scalars, which an isinstance test would silently TRUNCATE into
+        # an Int64List
+        inferred = np.asarray(arr)
+        if inferred.dtype.kind == "f":
             return _encode_feature(np.asarray(arr, dtype=np.float32))
+        if inferred.dtype.kind not in "iu" and len(arr) == 0:
+            # an empty list of bytes/str has no element to sniff; treat
+            # empty object-kind lists as an empty BytesList so the value
+            # keeps its type on roundtrip
+            _write_len_delimited(inner, 1, b"")  # empty bytes_list
+            return bytes(inner)
         return _encode_feature(np.asarray(arr, dtype=np.int64))
     return bytes(inner)
 
@@ -253,7 +263,3 @@ def decode_example(data: bytes) -> dict:
             pos = _skip_field(data, pos, wt)
     return features
 
-
-# Struct formats for the TFRecord framing used by tfrecord.py
-U64_STRUCT = struct.Struct("<Q")
-U32_STRUCT = struct.Struct("<I")

@@ -20,7 +20,11 @@ import os
 
 import numpy as np
 
-from srf_tpu.data.example_proto import U32_STRUCT, U64_STRUCT
+import struct
+
+# TFRecord framing structs (the container format's, not the proto codec's)
+U64_STRUCT = struct.Struct("<Q")
+U32_STRUCT = struct.Struct("<I")
 
 _CRC_POLY = 0x82F63B78  # reversed Castagnoli polynomial
 
@@ -165,7 +169,20 @@ def count_records(pattern_or_paths) -> int:
         pos = 0
         end = len(data)
         while pos < end:
+            # same framing validation as read_records: an unchecked walk
+            # would silently COUNT a truncated/corrupt trailing record
+            # that the loader then refuses, desyncing steps-per-epoch
+            # from what training actually delivers
+            if end - pos < 12:
+                raise ValueError(
+                    "truncated TFRecord header in %s at offset %d"
+                    % (path, pos))
             (length,) = U64_STRUCT.unpack_from(data, pos)
-            pos += 12 + length + 4
+            pos += 12
+            if length > end - pos or end - pos - length < 4:
+                raise ValueError(
+                    "truncated TFRecord payload in %s at offset %d"
+                    % (path, pos))
+            pos += length + 4
             total += 1
     return total

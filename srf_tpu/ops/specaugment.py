@@ -37,7 +37,12 @@ def spec_augment(feats, inp_len, rng, time_masks=2, time_width=40,
 
     for m in range(time_masks):
         r = jax.random.fold_in(rng, 2 * m)
-        cap = jnp.minimum(time_width, lens)
+        # cap at min(T, p*len) with the paper's p=0.2 (Park et al. 2019
+        # "time mask should not be wider than p times the utterance"):
+        # without the relative bound, ~20% of utterances with
+        # inp_len <= time_width had their ENTIRE valid region zeroed,
+        # training CTC on silence against a non-empty transcript
+        cap = jnp.minimum(time_width, (lens * 0.2).astype(jnp.int32))
         width = jax.random.randint(
             jax.random.fold_in(r, 0), (batch,), 0, 1_000_000
         ) % (cap + 1)
@@ -48,10 +53,14 @@ def spec_augment(feats, inp_len, rng, time_masks=2, time_width=40,
         keep = keep * jnp.where(hit[..., None], 0.0, 1.0).astype(feats.dtype)
 
     fkeep = jnp.ones((batch, 1, feat_dim), feats.dtype)
+    # never mask more than half the spectrum per mask: freq_width >=
+    # feat_dim (e.g. the default 15 on 13-dim MFCCs) could zero EVERY
+    # feature column of an utterance
+    fcap = min(freq_width, max(feat_dim // 2, 1))
     for m in range(freq_masks):
         r = jax.random.fold_in(rng, 2 * m + 1)
         width = jax.random.randint(
-            jax.random.fold_in(r, 0), (batch,), 0, freq_width + 1
+            jax.random.fold_in(r, 0), (batch,), 0, fcap + 1
         )
         start = jax.random.randint(
             jax.random.fold_in(r, 1), (batch,), 0, 1_000_000

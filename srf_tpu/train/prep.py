@@ -11,6 +11,11 @@ from srf_tpu.ops.masking import create_combined_mask, get_padding_bias
 
 
 def prep_process(labels, feat_len, tar_len, feats, in_len_div):
+    # tar_len is accepted for reference signature parity but unused: the
+    # reference cropped labels to the batch-max target length; this
+    # static-shape port keeps the bucket shape and derives the combined
+    # mask purely from token==0 padding
+    del tar_len
     enc_pad_mask = get_padding_bias(
         feat_len, -(-feats.shape[1] // in_len_div), in_len_div
     )

@@ -208,7 +208,7 @@ def main():
         stage_epochs = [4 * k]
         driver = "egs/script/train_lstm_wsj.sh"
         # LAYER TYPE DIM CNNFE LR (plain adam: K IS the learning rate)
-        cmd = ["bash", driver, "1", "blstm", "8", "False", "0.02"]
+        cmd = ["bash", driver, "1", "blstm", "48", "False", "0.01"]
     else:  # cnn: timit = maxpool/stride-1 variant, wsj = stride-2
         # PROJ_DIM must be >= the post-frontend freq dim (123/3 or
         # ceil(123/4)) or the last conv layer's computed filter count
@@ -216,9 +216,9 @@ def main():
         stage_epochs = [2 * k, 4 * k]
         driver = "egs/script/train_cnn_%s.sh" % args.corpus
         if args.corpus == "timit":
-            cmd = ["bash", driver, "5", "8", "12", "2", "64", "1", "True"]
+            cmd = ["bash", driver, "5", "24", "32", "2", "82", "1", "True"]
         else:
-            cmd = ["bash", driver, "5", "8", "12", "2", "64", "2", "False"]
+            cmd = ["bash", driver, "5", "24", "32", "2", "64", "2", "False"]
     env.update({"E%d" % (i + 1): str(e)
                 for i, e in enumerate(stage_epochs)})
     run(cmd, env=env, log=os.path.join(logs, "driver.log"))

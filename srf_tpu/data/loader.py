@@ -83,6 +83,66 @@ def _pad_batch(feat_list, label_list, time_width, label_width, feat_dim):
     return {"feats": feats, "labels": labels, "inp_len": inp_len, "tar_len": tar_len}
 
 
+def plan_lockstep_epoch(peer_lens, boundaries, batch_sizes, label_caps,
+                        seed, epoch, shuffle):
+    """Globally agreed bucket-batch schedule for multi-process SPMD.
+
+    ``peer_lens[p] = (inp_lens, lab_lens)`` holds EVERY process's example
+    lengths (allgathered once at loader construction), so each process can
+    run the same deterministic simulation of every process's shuffle +
+    bucket pooling. A global batch of bucket ``b`` is scheduled for each
+    ready local sub-batch of ``b`` up to the **minimum ready count across
+    processes** (a process that never fills bucket ``b`` starves it
+    globally — the lockstep analog of drop_remainder). The emission order
+    is canonicalized to process 0's ready order, so all processes emit
+    identical static shapes in an identical sequence — the multi-bucket
+    generalization of tf.data AutoShardPolicy.DATA + MirroredStrategy
+    lockstep (reference: tfsr/trainer_sr.py:147-149).
+
+    Returns ``emissions[p] = [(bucket, local_index_tuple), ...]`` — the
+    same length and bucket sequence for every process.
+    """
+    n_buckets = len(batch_sizes)
+
+    def bucket_of(length):
+        for b, boundary in enumerate(boundaries):
+            if length <= boundary:
+                return b
+        return len(boundaries)
+
+    ready = []  # per process: ([bucket -> list of index tuples], seq)
+    for inp_lens, lab_lens in peer_lens:
+        order = np.arange(inp_lens.size)
+        if shuffle:
+            np.random.RandomState(seed + epoch).shuffle(order)
+        pools = [[] for _ in range(n_buckets)]
+        out = [[] for _ in range(n_buckets)]
+        seq = []
+        for idx in order:
+            b = bucket_of(int(inp_lens[idx]))
+            if int(lab_lens[idx]) > label_caps[b]:
+                continue  # mirrors the single-process static-cap skip
+            pools[b].append(int(idx))
+            if len(pools[b]) == batch_sizes[b]:
+                out[b].append(tuple(pools[b]))
+                seq.append(b)
+                pools[b] = []
+        ready.append((out, seq))
+    counts = [
+        min(len(r[0][b]) for r in ready) for b in range(n_buckets)
+    ]
+    taken = [0] * n_buckets
+    schedule = []
+    for b in ready[0][1]:
+        if taken[b] < counts[b]:
+            schedule.append((b, taken[b]))
+            taken[b] += 1
+    return [
+        [(b, ready[p][0][b][j]) for b, j in schedule]
+        for p in range(len(peer_lens))
+    ]
+
+
 class BucketedLoader:
     """Length-bucketed batches with one static shape per bucket."""
 
@@ -98,11 +158,12 @@ class BucketedLoader:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._epoch = 0
-        self._max_batches = None
         # Static time width per bucket = its boundary; overflow bucket uses
         # the data max. Static label width = time width / label_cap_divisor.
         max_len = max((f.shape[0] for f in dataset.feats), default=1)
         max_lab = max((l.shape[0] for l in dataset.labels), default=1)
+        self._peer_lens = None
+        self._process_index = 0
         if global_sync:
             # multi-process SPMD lockstep: every process must emit the
             # SAME static shapes in the SAME order and the SAME number of
@@ -110,33 +171,40 @@ class BucketedLoader:
             # gets mismatched shapes / one process runs an extra step and
             # the collectives deadlock. Shapes: agree on the overflow
             # width and label cap via a global max (each process's shard
-            # has different data maxima). Count: cap every process at the
-            # global-min emittable batches. Restricted to a single bucket
-            # — with several buckets the per-process shuffle assigns
-            # different bucket SEQUENCES, which no shape agreement fixes.
+            # has different data maxima). Order + count: allgather every
+            # process's example lengths ONCE, then each epoch every
+            # process runs the same pure simulation of every process's
+            # bucket pooling (plan_lockstep_epoch) — so all processes
+            # derive one identical bucket-shape schedule and each emits
+            # its own local sub-batch per scheduled step.
             import jax as _jax
 
             if _jax.process_count() > 1:
-                if self.boundaries:
-                    raise NotImplementedError(
-                        "multi-process training with bucketed (dynamic) "
-                        "batches is not supported: per-process shuffles "
-                        "emit different bucket-shape sequences; use a "
-                        "fixed batch size (--train-batch-dynamic=False)"
-                    )
-                import numpy as _np
                 from jax.experimental import multihost_utils
 
-                local = _np.asarray(
-                    [max_len, max_lab, len(dataset)], _np.int64
+                self._process_index = _jax.process_index()
+                counts = np.asarray(multihost_utils.process_allgather(
+                    np.asarray([len(dataset)], np.int64)
+                )).reshape(-1)
+                cap = max(1, int(counts.max()))
+                packed = np.zeros((cap, 2), np.int64)
+                packed[: len(dataset), 0] = [f.shape[0] for f in dataset.feats]
+                packed[: len(dataset), 1] = [l.shape[0] for l in dataset.labels]
+                gathered = np.asarray(
+                    multihost_utils.process_allgather(packed)
                 )
-                gathered = _np.asarray(
-                    multihost_utils.process_allgather(local)
+                self._peer_lens = [
+                    (gathered[p, : int(counts[p]), 0],
+                     gathered[p, : int(counts[p]), 1])
+                    for p in range(gathered.shape[0])
+                ]
+                max_len = max(
+                    (int(inp.max()) for inp, _ in self._peer_lens
+                     if inp.size), default=1,
                 )
-                max_len = int(gathered[:, 0].max())
-                max_lab = int(gathered[:, 1].max())
-                self._max_batches = (
-                    int(gathered[:, 2].min()) // self.batch_sizes[0]
+                max_lab = max(
+                    (int(lab.max()) for _, lab in self._peer_lens
+                     if lab.size), default=1,
                 )
         self.time_widths = self.boundaries + [max(max_len, (self.boundaries[-1] if self.boundaries else 1))]
         self.label_caps = [max(8, -(-w // label_cap_divisor)) for w in self.time_widths]
@@ -165,6 +233,9 @@ class BucketedLoader:
         ]
 
     def _iter_epoch(self):
+        if self._peer_lens is not None:
+            yield from self._iter_epoch_lockstep()
+            return
         ds = self.ds
         order = np.arange(len(ds))
         if self.shuffle:
@@ -173,7 +244,6 @@ class BucketedLoader:
         self._epoch += 1
         pools = [[] for _ in self.batch_sizes]
         skipped = 0
-        emitted = 0
         for idx in order:
             f = ds.feats[idx]
             b = self._bucket_of(f.shape[0])
@@ -182,10 +252,7 @@ class BucketedLoader:
                 continue
             pools[b].append(idx)
             if len(pools[b]) == self.batch_sizes[b]:
-                if self._max_batches is not None and emitted >= self._max_batches:
-                    break  # lockstep cap: every process stops together
                 yield self._emit(pools[b], b)
-                emitted += 1
                 pools[b] = []
         if skipped:
             # operator-visible: the reference pipeline pads to the batch
@@ -197,13 +264,37 @@ class BucketedLoader:
                 "BucketedLoader: skipped %d example(s) whose label length "
                 "exceeds the bucket's static cap this epoch", skipped,
             )
-        # remainder batches are per-process-count dependent — never emit
-        # them in lockstep mode (one process having a remainder while
-        # another does not would desync the step counts)
-        if not self.drop_remainder and self._max_batches is None:
+        if not self.drop_remainder:
             for b, pool in enumerate(pools):
                 if pool:
                     yield self._emit(pool, b)
+
+    def _iter_epoch_lockstep(self):
+        """Multi-process epoch: every process computes the same global
+        schedule from the allgathered lengths and emits only its own
+        local sub-batch for each scheduled step. Remainder batches are
+        never emitted in lockstep mode (one process having a remainder
+        while another does not would desync the step counts)."""
+        epoch = self._epoch
+        self._epoch += 1
+        emissions = plan_lockstep_epoch(
+            self._peer_lens, self.boundaries, self.batch_sizes,
+            self.label_caps, self.seed, epoch, self.shuffle,
+        )[self._process_index]
+        inp_own, lab_own = self._peer_lens[self._process_index]
+        skipped = int(np.sum([
+            lab_own[i] > self.label_caps[self._bucket_of(int(inp_own[i]))]
+            for i in range(inp_own.size)
+        ])) if inp_own.size else 0
+        if skipped:
+            import logging
+
+            logging.getLogger("srf_tpu").warning(
+                "BucketedLoader: skipped %d example(s) whose label length "
+                "exceeds the bucket's static cap this epoch", skipped,
+            )
+        for b, idxs in emissions:
+            yield self._emit(list(idxs), b)
 
     def _emit(self, indices, bucket):
         ds = self.ds

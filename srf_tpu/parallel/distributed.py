@@ -16,10 +16,23 @@ Per-process data sharding then follows jax.process_index()/process_count()
 import os
 
 
+def _already_initialized():
+    """True once jax.distributed.initialize has run in this process —
+    calling it twice raises, so library code and entry points can both
+    call maybe_initialize safely (idempotent)."""
+    import jax
+
+    return (
+        getattr(jax._src.distributed.global_state, "client", None) is not None
+    )
+
+
 def maybe_initialize(logger=None):
     if os.environ.get("SRF_COORDINATOR"):
         import jax
 
+        if _already_initialized():
+            return True
         jax.distributed.initialize(
             coordinator_address=os.environ["SRF_COORDINATOR"],
             num_processes=int(os.environ.get("SRF_NUM_PROCESSES", "1")),
@@ -36,6 +49,8 @@ def maybe_initialize(logger=None):
     if os.environ.get("SRF_MULTIHOST") == "1":
         import jax
 
+        if _already_initialized():
+            return True
         jax.distributed.initialize()
         if logger:
             logger.info("jax.distributed initialized from TPU metadata")

@@ -61,6 +61,27 @@ def put_sharded(arrays, sharding):
     return jax.tree.map(jax.device_put, arrays)
 
 
+def make_global_replicated(tree, mesh):
+    """Turn a host-local pytree (e.g. a freshly initialized or restored
+    TrainState) into GLOBAL fully-replicated jax.Arrays over ``mesh``.
+
+    Single-process this is a no-op (jit's in_shardings place host-local
+    arrays fine). Multi-process it matters twice over: jit inputs must be
+    globally addressable, and orbax refuses to serialize host-local
+    arrays in a multi-host setting — so a state that never went through a
+    train step (0-batch epoch, decode-only restore) must still be global
+    before it reaches a collective checkpoint save."""
+    if jax.process_count() <= 1:
+        return tree
+    repl = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            repl, np.asarray(x)
+        ),
+        tree,
+    )
+
+
 def shard_batch(mesh, batch):
     """Place a host batch dict onto the mesh, sharded over 'data'."""
     sharding = batch_sharding(mesh)

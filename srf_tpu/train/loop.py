@@ -90,10 +90,15 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
     # unchanged. An elastic restart on a different mesh can legally change
     # them (round_batch_sizes to the new replica count) — then the mid
     # checkpoint must be refused (epoch restart), not half-trusted.
+    # process count folds in too: the lockstep schedule is stratified by
+    # process, so the same LOCAL sizes under a different process count
+    # still name different data positions per batch index
+    import jax as _jax
+
     batch_sig = float(sum(
         (i + 1) * int(s) for i, s in enumerate(
             getattr(train_loader, "batch_sizes", None) or [])
-    ))
+    )) + 1e6 * (_jax.process_count() - 1)
     if mid_every > 0 and not (config.path_ckpt and state_to_save is not None):
         logger.warning(
             "--tpu-ckpt-every-steps=%d has nothing to save to (no "
@@ -357,6 +362,19 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                         flush=True,
                     )
             _drain(pending, train_loss, train_samples, num_feats)
+            if index == 0:
+                # every bucket starved (corpus smaller than the bucket
+                # batch sizes, or — multi-process — some process never
+                # fills a bucket, which starves it globally): an epoch
+                # that trains nothing must be loud, not a 0.0000-loss line
+                logger.warning(
+                    "Train epoch %03d yielded NO batches — corpus too "
+                    "small for the bucket batch sizes (every global "
+                    "bucket batch needs %s examples%s)?",
+                    epoch + 1,
+                    getattr(train_loader, "batch_sizes", "?"),
+                    " per process" if jax.process_count() > 1 else "",
+                )
             if tracing:
                 trace_cm.__exit__(None, None, None)
             train_secs = time.time() - prev

@@ -20,7 +20,9 @@ from srf_tpu.data.bucketing import get_bucket_info, round_batch_sizes
 from srf_tpu.data.loader import BucketedLoader, EvalLoader, SpeechDataset
 from srf_tpu.data.tfrecord import count_records
 from srf_tpu.models.registry import build_model
-from srf_tpu.parallel.mesh import batch_sharding, make_mesh
+from srf_tpu.parallel.mesh import (
+    batch_sharding, make_global_replicated, make_mesh,
+)
 from srf_tpu.train.loop import run_decoding, run_training
 from srf_tpu.train.optimizer import get_optimizer
 from srf_tpu.train.state import TrainState, param_count
@@ -58,13 +60,6 @@ def build_loaders(config, logger, num_replicas, seed=0):
     )
     n_proc = jax.process_count()
     if config.train_batch_dynamic:
-        if n_proc > 1:
-            raise ValueError(
-                "multi-process training requires --train-batch-dynamic="
-                "False: per-process shuffles over disjoint shards emit "
-                "different bucket-shape sequences, which breaks SPMD "
-                "lockstep (data/loader.py global_sync)"
-            )
         assert config.train_batch_frame and config.train_batch_frame > 0
         boundaries, batch_sizes = get_bucket_info(
             config.train_batch_frame, num_replicas, 241, 10000, 150,
@@ -74,6 +69,22 @@ def build_loaders(config, logger, num_replicas, seed=0):
         batch_sizes = round_batch_sizes(batch_sizes, num_replicas)
         logger.info("bucket_boundaries: [%s]", ", ".join(map(str, boundaries)))
         logger.info("bucket_batch_sizes: [%s]", ", ".join(map(str, batch_sizes)))
+        if n_proc > 1:
+            # each process's loader yields its 1/n_proc share of every
+            # GLOBAL bucket batch; the bucket-shape sequence is globally
+            # agreed via plan_lockstep_epoch (data/loader.py)
+            if any(bs % n_proc for bs in batch_sizes):
+                raise ValueError(
+                    "bucket batch sizes %s must divide across %d processes"
+                    " — every process must contribute the same number of"
+                    " devices to the data axis" % (batch_sizes, n_proc)
+                )
+            batch_sizes = [bs // n_proc for bs in batch_sizes]
+            logger.info(
+                "multi-process buckets: local sizes [%s] x %d processes "
+                "(globally scheduled lockstep)",
+                ", ".join(map(str, batch_sizes)), n_proc,
+            )
     else:
         assert config.train_batch_size and config.train_batch_size > 0
         # the GLOBAL batch, rounded to the replica count; each process's
@@ -185,6 +196,10 @@ def main(argv=None):
     )
     if restored is not None:
         state = tree_to_state(restored)
+    # multi-process: the initial/restored state must be GLOBAL
+    # replicated arrays (jit inputs must be globally addressable and
+    # orbax refuses host-local arrays in multi-host saves)
+    state = make_global_replicated(state, mesh)
 
     from srf_tpu.ops.specaugment import make_augment_fn
 

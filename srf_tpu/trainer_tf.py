@@ -23,7 +23,9 @@ from srf_tpu.config import Logger, ParseOption
 from srf_tpu.models.stf import ConvEncoder
 from srf_tpu.ops.attention_penalty import create_attention_penalty
 from srf_tpu.ops.masking import get_padding_bias
-from srf_tpu.parallel.mesh import batch_sharding, make_mesh
+from srf_tpu.parallel.mesh import (
+    batch_sharding, make_global_replicated, make_mesh,
+)
 from srf_tpu.train.loop import run_decoding, run_training
 from srf_tpu.train.optimizer import get_optimizer
 from srf_tpu.train.state import TrainState, param_count
@@ -153,6 +155,10 @@ def main(argv=None):
     )
     if restored is not None:
         state = tree_to_state(restored)
+    # multi-process: the initial/restored state must be GLOBAL
+    # replicated arrays (jit inputs must be globally addressable and
+    # orbax refuses host-local arrays in multi-host saves)
+    state = make_global_replicated(state, mesh)
 
     from srf_tpu.ops.specaugment import make_augment_fn
 

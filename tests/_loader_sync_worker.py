@@ -36,10 +36,28 @@ def main():
     shapes = [
         [list(b["feats"].shape), list(b["labels"].shape)] for b in loader
     ]
+    # bucketed (multi-bucket) lockstep: corpus lengths are 20,23,26,29,32
+    # (tests/test_distributed.py _write_corpus), boundary 24 splits them
+    # 2/3; both processes must emit the same bucket-shape sequence
+    ds_ids = SpeechDataset(
+        pattern, 10, with_utt_id=True,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    bucketed = BucketedLoader(
+        ds_ids, [24], [1, 1], shuffle=True, seed=0, drop_remainder=True,
+        global_sync=True, prefetch=0,
+    )
+    bshapes, bids = [], []
+    for b in bucketed:
+        bshapes.append([list(b["feats"].shape), list(b["labels"].shape)])
+        bids.append(b["utt_ids"])
     print(json.dumps({
         "process": jax.process_index(),
         "local_examples": len(ds),
         "shapes": shapes,
+        "bucketed_shapes": bshapes,
+        "bucketed_ids": bids,
     }), flush=True)
 
 

@@ -276,3 +276,63 @@ def test_two_process_loader_lockstep(tmp_path):
     # lockstep: same count (min local = 2 with batch 1) and same shapes
     assert len(by_proc[0]["shapes"]) == 2
     assert by_proc[0]["shapes"] == by_proc[1]["shapes"]
+    # bucketed lockstep (plan_lockstep_epoch): lengths 20,23,26,29,32 with
+    # boundary 24 -> p0 owns (20,26,32) = buckets {0,1,1}, p1 owns (23,29)
+    # = buckets {0,1}; min ready per bucket = 1 each -> 2 global batches,
+    # identical shape sequences, disjoint utterances across processes
+    b0, b1 = by_proc[0], by_proc[1]
+    assert len(b0["bucketed_shapes"]) == 2
+    assert b0["bucketed_shapes"] == b1["bucketed_shapes"]
+    ids0 = {u for batch in b0["bucketed_ids"] for u in batch}
+    ids1 = {u for batch in b1["bucketed_ids"] for u in batch}
+    assert ids0 and ids1 and not (ids0 & ids1)
+
+
+def test_two_process_bucketed_cli_train(tmp_path):
+    """The full trainer_sr CLI with --train-batch-dynamic=True across 2
+    real processes: build_loaders splits the global bucket batch sizes,
+    the loaders run the globally agreed schedule (plan_lockstep_epoch),
+    and both processes finish 2 epochs with identical checkpoints."""
+    from srf_tpu.data.example_proto import encode_example
+    from srf_tpu.data.tfrecord import TFRecordWriter
+
+    base = tmp_path / "bucketed"
+    base.mkdir()
+    (base / "test.vocab").write_text(
+        "\n".join(["<PADDING_SYMBOL>", "a", "b", "c", "<SPACE>", "$", "@"])
+        + "\n"
+    )
+    rng = np.random.RandomState(5)
+
+    def write_split(name, n_utt):
+        # short (<=20 frames, bucket 0) / long (>20, bucket 1) in PAIRS
+        # (ss ll ss ll ...): round-robin over 2 processes sends one of
+        # each pair to each process, so both get the same short/long mix
+        # (a strict alternation would give p0 all shorts and p1 all
+        # longs — every bucket would starve globally)
+        with TFRecordWriter(str(base / name)) as w:
+            for i in range(n_utt):
+                t = int(rng.randint(14, 18) if (i // 2) % 2 == 0
+                        else rng.randint(25, 31))
+                feats = rng.randn(t, 10).astype(np.float32)
+                labels = rng.randint(1, 4, size=int(rng.randint(3, 6)))
+                w.write(encode_example({
+                    "input_speech": feats.reshape(-1),
+                    "target_label": labels.astype(np.int64),
+                    "input_length": np.array([t], np.int64),
+                    "target_length": np.array([labels.size], np.int64),
+                    "utt_id": [b"%s%02d" % (name.encode(), i)],
+                }))
+
+    write_split("train.tfrecord", 16)
+    write_split("valid.tfrecord", 8)
+    write_split("test.tfrecord", 8)
+
+    results = _launch_two_process("_bucketed_cli_worker.py", base)
+    by_proc = {r["process"]: r for r in results}
+    assert by_proc[0]["ckpt_steps"] == by_proc[1]["ckpt_steps"] == [1, 2]
+    # 3 lockstep steps/epoch (1x bucket-0 batch + 2x bucket-1) x 2 epochs
+    assert by_proc[0]["global_step"] == by_proc[1]["global_step"] == 6
+    assert by_proc[0]["param_fp"] == pytest.approx(
+        by_proc[1]["param_fp"], rel=1e-6
+    )

@@ -87,3 +87,86 @@ def test_prefetch_thread_yields_same_batches():
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def _fake_peer_lens(seed, sizes, max_len=40, max_lab=6):
+    rng = np.random.RandomState(seed)
+    return [
+        (rng.randint(5, max_len + 1, size=n).astype(np.int64),
+         rng.randint(1, max_lab + 1, size=n).astype(np.int64))
+        for n in sizes
+    ]
+
+
+def test_plan_lockstep_identical_schedule_across_processes():
+    from srf_tpu.data.loader import plan_lockstep_epoch
+
+    peers = _fake_peer_lens(3, [17, 13, 20])
+    boundaries, batch_sizes, caps = [15, 25], [4, 2, 2], [8, 13, 20]
+    emissions = plan_lockstep_epoch(
+        peers, boundaries, batch_sizes, caps, seed=7, epoch=2, shuffle=True,
+    )
+    # same length and same bucket sequence for every process
+    seqs = [[b for b, _ in em] for em in emissions]
+    assert seqs[0] == seqs[1] == seqs[2]
+    assert len(seqs[0]) > 0
+    for p, em in enumerate(emissions):
+        used = []
+        inp, lab = peers[p]
+        for b, idxs in em:
+            assert len(idxs) == batch_sizes[b]  # always full local batches
+            for i in idxs:
+                # each index used at most once per epoch, right bucket,
+                # label under the static cap
+                assert i not in used
+                used.append(i)
+                length = int(inp[i])
+                want_b = 0 if length <= 15 else (1 if length <= 25 else 2)
+                assert b == want_b
+                assert int(lab[i]) <= caps[b]
+    # deterministic: same (seed, epoch) -> same plan
+    again = plan_lockstep_epoch(
+        peers, boundaries, batch_sizes, caps, seed=7, epoch=2, shuffle=True,
+    )
+    assert again == emissions
+    # different epoch -> different order (with overwhelming probability)
+    other = plan_lockstep_epoch(
+        peers, boundaries, batch_sizes, caps, seed=7, epoch=3, shuffle=True,
+    )
+    assert other != emissions
+
+
+def test_plan_lockstep_starved_bucket_never_scheduled():
+    from srf_tpu.data.loader import plan_lockstep_epoch
+
+    # process 1 has no example longer than 15 -> bucket 1 starves globally
+    peers = [
+        (np.asarray([10, 20, 21, 9, 22, 23], np.int64),
+         np.ones(6, np.int64)),
+        (np.asarray([11, 12, 13, 14], np.int64), np.ones(4, np.int64)),
+    ]
+    emissions = plan_lockstep_epoch(
+        peers, [15], [2, 2], [8, 11], seed=0, epoch=0, shuffle=False,
+    )
+    assert [b for b, _ in emissions[0]] == [0]
+    assert [b for b, _ in emissions[1]] == [0]
+
+
+def test_plan_lockstep_label_cap_skip_lowers_ready_count():
+    from srf_tpu.data.loader import plan_lockstep_epoch
+
+    # process 0 has 4 short examples but two labels exceed the cap: only
+    # one batch of 2 is ready there, so only one is scheduled globally —
+    # the old global-min-by-COUNT cap would have scheduled two and
+    # deadlocked process 0
+    peers = [
+        (np.asarray([10, 10, 10, 10], np.int64),
+         np.asarray([2, 9, 9, 2], np.int64)),
+        (np.asarray([10, 10, 10, 10], np.int64),
+         np.asarray([2, 2, 2, 2], np.int64)),
+    ]
+    emissions = plan_lockstep_epoch(
+        peers, [], [2], [5], seed=0, epoch=0, shuffle=False,
+    )
+    assert len(emissions[0]) == 1 and len(emissions[1]) == 1
+    assert emissions[0][0][1] == (0, 3)  # the two under-cap examples

@@ -345,6 +345,14 @@ class ParseOption:
                  "checkpoint and exits 143. 0 = off",
         )
         tpu_group.add_argument(
+            "--tpu-fault-signal-process", type=int, default=-1,
+            help="restrict --tpu-fault-signal-at-step to ONE process "
+                 "index (multi-process preemption-consensus testing: a "
+                 "single preempted host must drag the whole job through "
+                 "the synchronized mid-checkpoint exit). -1 = every "
+                 "process raises the signal",
+        )
+        tpu_group.add_argument(
             "--tpu-ema-decay", type=float, default=0.0,
             help="maintain an exponential moving average of the params "
                  "inside the train step (ema += (1-decay)*(p-ema), "
@@ -371,6 +379,14 @@ class ParseOption:
         tpu_group.add_argument(
             "--tpu-mwer-lam-ctc", type=float, default=0.1,
             help="CTC interpolation weight in the MWER loss",
+        )
+        tpu_group.add_argument(
+            "--tpu-routing-bf16", type=ParseOption.str2bool, default="False",
+            help="bf16 predictions/products inside the SDR routing body "
+                 "(f32 squash/softmax tail). Measured on v5e: -8% step "
+                 "time on the canonical WSJ shape, neutral on the "
+                 "latency-bound TIMIT shape (BENCH_NOTES.md); small "
+                 "numeric cost, so opt-in",
         )
         tpu_group.add_argument(
             "--tpu-attention-kernel", default="auto",

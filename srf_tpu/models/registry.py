@@ -97,6 +97,8 @@ def build_model(config, dec_out_dim, logger=None, **overrides):
             # (factored), so the materialized-u_hat baseline must be
             # forwarded explicitly or the flag silently runs factored
             overrides.setdefault("routing_impl", kernel)
+        if getattr(config, "tpu_routing_bf16", False):
+            overrides.setdefault("routing_bf16", True)
         model = SequenceRouter.from_config(config, dec_out_dim, **overrides)
         if logger is not None:
             logger.info(

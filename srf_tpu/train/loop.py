@@ -226,12 +226,37 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
         except ValueError:  # not the main thread
             pass
 
-    def handle_sigterm_if_seen(epoch, index):
+    n_proc = jax.process_count()
+
+    def preemption_agreed():
+        """Multi-process: allgather-OR of the per-process SIGTERM flags.
+
+        The mid-checkpoint save is a COLLECTIVE (orbax multi-host), so a
+        process that received the preemption notice must not save alone —
+        it would deadlock the others. Called only at lockstep-aligned
+        points (mid-save boundaries, end of validation, epoch save), so
+        every process runs the same collective sequence and all act — or
+        none do — together."""
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            _np.asarray([1 if sigterm_seen["flag"] else 0], _np.int32)
+        )
+        return bool(_np.asarray(flags).max())
+
+    def handle_sigterm_if_seen(epoch, index, consensus=False):
         """Act on a pending preemption notice: save a mid checkpoint at
-        the current loop position and exit 143. Called at every progress
-        point — train steps, validation batches, epoch boundary — so the
-        grace window is never burned waiting for the next train step."""
-        if not sigterm_seen["flag"]:
+        the current loop position and exit 143. Single-process this runs
+        at every progress point — train steps, validation batches, epoch
+        boundary — so the grace window is never burned waiting for the
+        next train step. Multi-process it acts only at consensus points
+        (``consensus=True``): response latency is bounded by
+        --tpu-ckpt-every-steps, and the collective save stays aligned."""
+        if n_proc > 1:
+            if not consensus or mid_mgr is None or not preemption_agreed():
+                return
+        elif not sigterm_seen["flag"]:
             return
         if mid_mgr is not None:
             save_mid(epoch, index)
@@ -308,6 +333,9 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 kick_watchdog()
                 if mid_mgr is not None and index % mid_every == 0:
                     pending = _drain(pending, train_loss, train_samples, num_feats)
+                    # multi-process consensus point: if ANY process holds
+                    # a preemption notice, all save this mid and exit 143
+                    handle_sigterm_if_seen(epoch, index, consensus=True)
                     save_mid(epoch, index)
                 if check_step:
                     # exact-equality triggers: a supervised restart resumes
@@ -331,7 +359,10 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                         )
                         while True:
                             time.sleep(60)
-                    if sig_at > 0 and gstep == sig_at:
+                    sig_proc = int(getattr(
+                        config, "tpu_fault_signal_process", -1) or -1)
+                    if (sig_at > 0 and gstep == sig_at
+                            and sig_proc in (-1, jax.process_index())):
                         import os as _os
                         import signal as _signal
 
@@ -405,6 +436,8 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 valid_loss.update(metrics["loss_sum"], metrics["samples"])
                 kick_watchdog()
                 handle_sigterm_if_seen(epoch, index)
+            # end-of-validation consensus point (multi-process)
+            handle_sigterm_if_seen(epoch, index, consensus=True)
             valid_secs = time.time() - prev
             if valid_loss.count == 0:
                 # every bucket's remainder was dropped (valid set smaller than
@@ -442,7 +475,8 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 # a notice during valid/save: the mid written here is
                 # older than the epoch ckpt just saved, so the restart
                 # ignores it (stale) and resumes at epoch+1 cleanly
-                handle_sigterm_if_seen(epoch, index)
+                # (epoch-boundary consensus point in multi-process mode)
+                handle_sigterm_if_seen(epoch, index, consensus=True)
             else:
                 logger.warning(
                     "Not saved since train-ckpt-saving-per is %d, it needs to be "

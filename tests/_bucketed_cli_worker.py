@@ -33,7 +33,7 @@ FEAT = 10
 VOCAB_TOKENS = ["<PADDING_SYMBOL>", "a", "b", "c", "<SPACE>", "$", "@"]
 
 
-def _argv(base, ckpt):
+def _argv(base, ckpt, extra=()):
     return [
         "prog",
         "--path-base=%s" % base,
@@ -57,19 +57,36 @@ def _argv(base, ckpt):
         "--train-es-tolerance=100",
         "--model-ckpt-max-to-keep=-1",
         "--decoding-beam-width=4",
-    ]
+    ] + list(extra)
 
 
 def main():
     base = sys.argv[1]
-    ckpt = os.path.join(base, "ckpt")
+    # modes (test_two_process_preemption_consensus):
+    #   plain  — train 2 epochs, fingerprint (default)
+    #   fault  — mid-epoch checkpointing on; process 0 ALONE raises
+    #            SIGTERM at global step 4; the consensus point must drag
+    #            BOTH processes through the collective mid save + exit 143
+    #   resume — same ckpt dir, no fault: resumes from the mid checkpoint
+    #   oracle — mid-epoch checkpointing on, fresh ckpt dir, uninterrupted
+    mode = sys.argv[2] if len(sys.argv) > 2 else "plain"
+    ckpt = os.path.join(base, {
+        "plain": "ckpt", "fault": "ckpt_p", "resume": "ckpt_p",
+        "oracle": "ckpt_oracle",
+    }[mode])
+    extra = []
+    if mode != "plain":
+        extra.append("--tpu-ckpt-every-steps=2")
+    if mode == "fault":
+        extra += ["--tpu-fault-signal-at-step=4",
+                  "--tpu-fault-signal-process=0"]
     assert maybe_initialize(), "SRF_COORDINATOR env missing"
     assert jax.process_count() == 2
 
     from srf_tpu import trainer_sr
 
-    argv = _argv(base, ckpt)
-    trainer_sr.main(argv)
+    argv = _argv(base, ckpt, extra)
+    trainer_sr.main(argv)  # fault mode: exits 143 inside, never returns
 
     # fingerprint the final checkpoint: both processes must agree
     from srf_tpu.config import Logger, ParseOption

@@ -106,3 +106,28 @@ def test_stf_in_len_div_agrees_across_entry_paths(logger):
 
     assert stf_in_len_div(cfg, L()) == 8  # 2**3, not 3**2
     assert warned
+
+
+def test_routing_bf16_flag_reaches_the_model(logger, tmp_path):
+    """--tpu-routing-bf16 must actually flip the SDR body's compute dtype
+    (the r2 numbers were retracted because a silent type-promotion made
+    the flagless path f32 — the flag itself must not be a silent no-op)."""
+    from srf_tpu.models.registry import build_model
+
+    base = [
+        "prog", "--path-base=%s" % tmp_path,
+        "--feat-dim=8", "--model-type=srf",
+        "--model-caps-type=lowmemory", "--model-caps-context=True",
+        "--model-encoder-num=2", "--model-caps-primary-num=4",
+        "--model-caps-primary-dim=2", "--model-caps-convolution-num=3",
+        "--model-caps-convolution-dim=2", "--model-caps-class-dim=2",
+        "--model-caps-iter=1", "--model-caps-window-lpad=1",
+        "--model-caps-window-rpad=1",
+    ]
+    for flag, want in [("True", True), ("False", False)]:
+        args = ParseOption(
+            base + ["--tpu-routing-bf16=%s" % flag], logger,
+            is_print_opts=False,
+        ).args
+        model, _ = build_model(args, 5, None)
+        assert model.routing_bf16 is want

@@ -82,9 +82,10 @@ def _write_corpus(path, n_utt=4, feat_dim=10):
             }))
 
 
-def _launch_two_process(worker_basename, record):
+def _launch_two_process(worker_basename, record, extra_args=(), expect_rc=0):
     """Run a 2-process jax.distributed worker over a localhost
-    coordinator; return both processes' parsed JSON fingerprints."""
+    coordinator; return both processes' parsed JSON fingerprints
+    (``expect_rc != 0``: assert the exit code and return raw outputs)."""
     sock = socket.socket()
     sock.bind(("127.0.0.1", 0))
     port = sock.getsockname()[1]
@@ -102,14 +103,17 @@ def _launch_two_process(worker_basename, record):
         env.pop("JAX_PLATFORMS", None)
         env.pop("XLA_FLAGS", None)
         procs.append(subprocess.Popen(
-            [sys.executable, worker, str(record)],
+            [sys.executable, worker, str(record)] + list(extra_args),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         ))
     results = []
     for p in procs:
         out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err[-3000:]
+        assert p.returncode == expect_rc, (p.returncode, err[-3000:])
+        if expect_rc != 0:
+            results.append(out + "\n" + err)
+            continue
         # the collectives backend may interleave its own stdout lines
         # (e.g. "[Gloo] Rank ...") around the worker's JSON line
         json_lines = [
@@ -336,3 +340,26 @@ def test_two_process_bucketed_cli_train(tmp_path):
     assert by_proc[0]["param_fp"] == pytest.approx(
         by_proc[1]["param_fp"], rel=1e-6
     )
+
+    # ---- preemption consensus: ONE preempted host drags the whole job
+    # through the synchronized mid-checkpoint exit -------------------
+    # fault: process 0 alone raises SIGTERM at global step 4 (epoch 2,
+    # batch 1); the next lockstep consensus point (mid boundary, batch 2)
+    # must make BOTH processes save the collective mid checkpoint and
+    # exit 143 — a unilateral save would deadlock the collective.
+    outs = _launch_two_process(
+        "_bucketed_cli_worker.py", base, extra_args=("fault",),
+        expect_rc=143,
+    )
+    assert any("SIGTERM: saved mid-epoch checkpoint" in o for o in outs)
+    # resume: restart both processes on the same ckpt dir; they resume
+    # from the mid checkpoint and finish; the final checkpoint must be
+    # bit-identical to an uninterrupted oracle run (fresh ckpt dir)
+    resumed = _launch_two_process(
+        "_bucketed_cli_worker.py", base, extra_args=("resume",),
+    )
+    oracle = _launch_two_process(
+        "_bucketed_cli_worker.py", base, extra_args=("oracle",),
+    )
+    assert resumed[0]["global_step"] == oracle[0]["global_step"] == 6
+    assert resumed[0]["param_fp"] == oracle[0]["param_fp"]

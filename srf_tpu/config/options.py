@@ -372,6 +372,14 @@ class ParseOption:
                  "others are benchmarked alternatives, see BENCH_NOTES.md)",
         )
         tpu_group.add_argument(
+            "--tpu-dropout-kernel", default="xla",
+            help="xla | pallas : dropout implementation for the CNN "
+                 "family. pallas = one-pass fused mask via the TPU "
+                 "hardware PRNG, regenerated (not saved) for the backward "
+                 "pass — different random stream than the default "
+                 "threefry masks, so it is opt-in (BENCH_NOTES.md)",
+        )
+        tpu_group.add_argument(
             "--tpu-mwer-nbest", type=int, default=4,
             help="n-best list size for the MWER fine-tune mode "
                  "(--train-is-mwer=True)",

@@ -19,11 +19,13 @@ both equal the true 4x subsampling only for the default stride=2, cnn_n=2.
 import math
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from srf_tpu.models.initializers import get_init
 from srf_tpu.models.layers import ConvFrontEnd
+from srf_tpu.ops.dropout_pallas import fused_dropout
 from srf_tpu.ops.masking import feat_mask, feat_mask2
 
 
@@ -44,6 +46,22 @@ class _MaxoutConvStack(nn.Module):
     inner_dropout: float
     init_name: Optional[str]
     pool_after_first: bool = False
+    dropout_impl: str = "xla"
+
+    def _drop(self, emb, rate, training):
+        """One dropout site. ``xla`` = flax nn.Dropout (threefry mask,
+        reference-default stream). ``pallas`` = the fused hardware-PRNG
+        kernel (ops/dropout_pallas.py): mask generated inside the apply
+        pass and REGENERATED in the backward pass — no mask residual.
+        The CNN step is regularization-traffic-bound (BENCH_NOTES
+        "Dense-family MFU": 13 train-mode masks), which is why the CNN
+        body is where the kernel is wired."""
+        if self.dropout_impl == "pallas":
+            if not training or rate <= 0.0:
+                return emb
+            seed = jax.random.bits(self.make_rng("dropout"), (), jnp.uint32)
+            return fused_dropout(emb, seed, rate)
+        return nn.Dropout(rate=rate, deterministic=not training)(emb)
 
     @nn.compact
     def __call__(self, emb, input_lengths, training: bool):
@@ -58,14 +76,12 @@ class _MaxoutConvStack(nn.Module):
                 kernel_init=kernel_init,
                 name="conv%d" % idx,
             )(emb)
-            emb = nn.Dropout(rate=0.2, deterministic=not training)(emb)
+            emb = self._drop(emb, 0.2, training)
             emb = _channel_maxout(emb)
             if self.pool_after_first and idx == 0:
                 emb = nn.max_pool(emb, window_shape=(1, 3), strides=(1, 3))
             emb = nn.LayerNorm(epsilon=1e-6, name="ln%d" % idx)(emb)
-            emb = nn.Dropout(
-                rate=self.inner_dropout, deterministic=not training
-            )(emb)
+            emb = self._drop(emb, self.inner_dropout, training)
             emb = feat_mask(emb, input_lengths, self.mask_div_fn(idx))
 
         batch, seq_len = emb.shape[0], emb.shape[1]
@@ -76,21 +92,19 @@ class _MaxoutConvStack(nn.Module):
                 self.proj_dim, use_bias=False, kernel_init=kernel_init,
                 name="proj%d" % idx,
             )(emb)
-            emb = nn.Dropout(rate=0.2, deterministic=not training)(emb)
+            emb = self._drop(emb, 0.2, training)
             half = emb.shape[-1] // 2
             emb = nn.LayerNorm(epsilon=1e-6, name="proj_ln%d" % idx)(
                 jnp.maximum(emb[..., :half], emb[..., half:])
             )
-            emb = nn.Dropout(
-                rate=self.inner_dropout, deterministic=not training
-            )(emb)
+            emb = self._drop(emb, self.inner_dropout, training)
             emb = feat_mask2(emb, input_lengths, self.mask_div_fn(1))
 
         emb = nn.Dense(
             self.class_n * 2, use_bias=False, kernel_init=kernel_init,
             name="projv",
         )(emb)
-        emb = nn.Dropout(rate=self.inner_dropout, deterministic=not training)(emb)
+        emb = self._drop(emb, self.inner_dropout, training)
         half = emb.shape[-1] // 2
         emb = nn.LayerNorm(epsilon=1e-6, name="projv_ln")(
             jnp.maximum(emb[..., :half], emb[..., half:])
@@ -112,6 +126,7 @@ class CNNEncoder(nn.Module):
     stride: int = 2
     inner_dropout: float = 0.1
     init_name: Optional[str] = None
+    dropout_impl: str = "xla"
 
     @classmethod
     def from_config(cls, config, class_n, **overrides):
@@ -127,6 +142,7 @@ class CNNEncoder(nn.Module):
             stride=config.model_conv_stride,
             inner_dropout=config.train_inn_dropout,
             init_name=config.model_initializer,
+            dropout_impl=getattr(config, "tpu_dropout_kernel", "xla"),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -168,6 +184,7 @@ class CNNEncoder(nn.Module):
             inner_dropout=self.inner_dropout,
             init_name=self.init_name,
             pool_after_first=True,
+            dropout_impl=self.dropout_impl,
             name="body",
         )(emb, input_lengths, training)
 
@@ -187,6 +204,7 @@ class CNNStrideEncoder(nn.Module):
     input_dropout: float = 0.1
     inner_dropout: float = 0.1
     init_name: Optional[str] = None
+    dropout_impl: str = "xla"
 
     @classmethod
     def from_config(cls, config, class_n, **overrides):
@@ -203,6 +221,7 @@ class CNNStrideEncoder(nn.Module):
             input_dropout=config.train_inp_dropout,
             inner_dropout=config.train_inn_dropout,
             init_name=config.model_initializer,
+            dropout_impl=getattr(config, "tpu_dropout_kernel", "xla"),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -235,7 +254,16 @@ class CNNStrideEncoder(nn.Module):
             init_name=self.init_name,
             name="conv_feat",
         )(feats, input_lengths, training)
-        emb = nn.Dropout(rate=self.input_dropout, deterministic=not training)(emb)
+        if self.dropout_impl == "pallas" and training and self.input_dropout > 0:
+            emb = fused_dropout(
+                emb,
+                jax.random.bits(self.make_rng("dropout"), (), jnp.uint32),
+                self.input_dropout,
+            )
+        elif self.dropout_impl != "pallas":
+            emb = nn.Dropout(
+                rate=self.input_dropout, deterministic=not training
+            )(emb)
         return _MaxoutConvStack(
             layer_filters=tuple(layer_filters),
             proj_layers=self.proj_layers,
@@ -246,5 +274,6 @@ class CNNStrideEncoder(nn.Module):
             inner_dropout=self.inner_dropout,
             init_name=self.init_name,
             pool_after_first=False,
+            dropout_impl=self.dropout_impl,
             name="body",
         )(emb, input_lengths, training)

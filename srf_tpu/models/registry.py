@@ -61,9 +61,27 @@ def validate_stf_attention_kernel(config):
     return att_kernel
 
 
+def validate_dropout_kernel(config, model_type):
+    """CLI-side validation of --tpu-dropout-kernel (same no-silent-drop
+    rule as the other kernel flags): the fused hardware-PRNG dropout is
+    wired to the CNN family — the regularization-traffic-bound one
+    (BENCH_NOTES "Dense-family MFU") — so asking for it elsewhere must
+    be loud, not a no-op."""
+    impl = getattr(config, "tpu_dropout_kernel", "xla") or "xla"
+    if impl not in ("xla", "pallas"):
+        raise ValueError("unknown --tpu-dropout-kernel %r" % impl)
+    if impl == "pallas" and model_type not in ("cnn", "conv", "convolution"):
+        raise ValueError(
+            "--tpu-dropout-kernel=pallas is wired to the CNN family only "
+            "(model-type %r would silently ignore it)" % model_type
+        )
+    return impl
+
+
 def build_model(config, dec_out_dim, logger=None, **overrides):
     """Returns (model, in_len_div)."""
     model_type = (config.model_type or "srf").lower()
+    validate_dropout_kernel(config, model_type)
     if model_type.endswith("lstm"):
         model = LstmEncoder.from_config(config, dec_out_dim, **overrides)
         # the model's own property is the single source of the CTC

@@ -129,6 +129,9 @@ def main(argv=None):
     )
 
     att_kernel = validate_stf_attention_kernel(config)
+    from srf_tpu.models.registry import validate_dropout_kernel
+
+    validate_dropout_kernel(config, "stf")
     att_pen = create_attention_penalty(config, logger)
     if att_kernel == "blockwise" and att_pen is not None:
         # the dense [1,T',T'] penalty board is the PLAIN path's input;

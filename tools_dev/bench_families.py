@@ -115,6 +115,11 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--json", action="store_true")
+    parser.add_argument("--dropout-kernel", default="xla",
+                        choices=["xla", "pallas"],
+                        help="CNN dropout implementation (the fused "
+                             "hardware-PRNG kernel vs the default "
+                             "threefry masks; ops/dropout_pallas.py)")
     args = parser.parse_args()
 
     from srf_tpu.models.cnn import CNNEncoder, CNNStrideEncoder
@@ -169,7 +174,8 @@ def main():
         # canonical TIMIT maxpool recipe uses time-stride 1 -> in_len_div 1
         "cnn_timit",
         CNNEncoder(enc_num=10, class_n=63, feat_dim=123, nfilt_inp=128,
-                   nfilt_inn=256, proj_layers=3, proj_dim=1024, stride=1),
+                   nfilt_inn=256, proj_layers=3, proj_dim=1024, stride=1,
+                   dropout_impl=args.dropout_kernel),
         29, 241, 62, 1,
         flops_per_step=3 * cnn_maxpool_forward_flops(
             29, 241, 123, enc_num=10, class_n=63, nfilt_inp=128,
@@ -180,7 +186,7 @@ def main():
         "cnn_wsj",
         CNNStrideEncoder(enc_num=15, class_n=32, feat_dim=123,
                          nfilt_inp=200, nfilt_inn=430, proj_layers=3,
-                         proj_dim=2048),
+                         proj_dim=2048, dropout_impl=args.dropout_kernel),
         40, 600, 31, 4,
         flops_per_step=3 * cnn_stride_forward_flops(
             40, 600, 123, enc_num=15, class_n=32, nfilt_inp=200,

@@ -20,6 +20,20 @@ Run: python tools_dev/driver_e2e.py [--corpus timit|wsj]
 Exit 0 = the whole composed pipeline ran and scored. All SEVEN reference
 train drivers are reachable: srf x {timit,wsj}, stf x {timit,wsj},
 cnn x {timit,wsj}, lstm x wsj.
+
+CNN learning through the driver (r3): the STRIDE variant learns —
+``--family cnn --corpus wsj --epoch-scale 25 --utts 64 --warmup 300``
+reaches 14.4% test / 11.3% valid char error on-chip (vs ~95% chance).
+The MAXPOOL variant (cnn x timit) runs the composed pipeline green but
+stays at the CTC blank-collapse plateau at smoke scale under every
+regime tried (capacity 48/96/2x256, staged-noam hot AND ramped, plain
+adam 2e-3, 2000 steps, inner dropout 0 — and the same maxpool model
+also refuses on the convergence corpus where the stride variant
+learns). Its structure is line-by-line faithful to the reference
+(cnn_encoder.py:143-182 — raw un-normalized input, hard 0.2 conv
+dropouts), so this is an architecture property at smoke scale, not a
+port bug; the real recipe regime (~1000 steps/epoch, 227 epochs) is
+where it is designed to train.
 """
 
 import argparse
@@ -125,6 +139,19 @@ def main():
                         help="multiply every stage's epoch budget (1 = "
                              "plumbing smoke; ~8 on the chip makes the "
                              "scored PER actually drop)")
+    parser.add_argument("--warmup", type=int, default=30,
+                        help="noam warmup override (the recipe's 1200 "
+                             "never ends inside a dialed-down run; 30 "
+                             "reaches learning LR within the smoke budget. "
+                             "CNN with d_model=1 needs a LONGER ramp — "
+                             "30 peaks at lr=k*30^-0.5~0.09, hot enough "
+                             "to pin CTC at blank collapse; pair e.g. "
+                             "--warmup 600 with --epoch-scale 50)")
+    parser.add_argument("--extra", default="",
+                        help="extra trainer flags appended to EXTRA_FLAGS, "
+                             "one shell-quoted string (last-wins over the "
+                             "driver's own; diagnostic overrides like "
+                             "--extra='--train-opti-type=adam')")
     args = parser.parse_args()
     if args.family == "lstm" and args.corpus != "wsj":
         parser.error("the reference ships an LSTM driver for wsj only")
@@ -182,13 +209,13 @@ def main():
             # learning); shrink it so the STAGED k semantics are exercised
             # at a learning-rate scale that actually trains. EXTRA_FLAGS
             # comes last in the driver, so argparse last-wins applies.
-            "--train-warmup-n=30",
+            "--train-warmup-n=%d" % args.warmup,
             # smaller frame budget -> several optimizer steps per epoch
             # (the conf's 7000 fits the whole tiny corpus in ~1 step)
             "--train-batch-frame=3000",
             # exercise the r3 async checkpoint path through the driver
             "--tpu-async-ckpt=True",
-        ]),
+        ] + ([args.extra] if args.extra else [])),
     }
     k = args.epoch_scale
     if args.family == "srf":
@@ -216,7 +243,7 @@ def main():
         stage_epochs = [2 * k, 4 * k]
         driver = "egs/script/train_cnn_%s.sh" % args.corpus
         if args.corpus == "timit":
-            cmd = ["bash", driver, "5", "24", "32", "2", "82", "1", "True"]
+            cmd = ["bash", driver, "5", "48", "96", "2", "256", "1", "True"]
         else:
             cmd = ["bash", driver, "5", "24", "32", "2", "64", "2", "False"]
     env.update({"E%d" % (i + 1): str(e)

@@ -239,6 +239,79 @@ class DaemonServer(socketserver.ThreadingTCPServer):
         self.frontend = frontend
 
 
+# ---- HTTP/JSON gateway -------------------------------------------------
+# REST analog of the TCP protocol, for clients without the struct-framed
+# helper (curl, load balancers, non-Python services). Shares the SAME
+# BatchingFrontend, so HTTP and TCP requests coalesce into the same
+# batched dispatches.
+#
+#   POST /v1/transcribe   {"feats": [[...f32...], ...], "corpus": "timit"}
+#                      or {"shape": [T, D], "data_b64": "<raw f32 LE>",
+#                          "corpus": "..."}
+#                      -> {"ids": [...], "text": "..."}
+#   GET  /v1/health    -> the stats snapshot (no model dispatch)
+
+
+def make_http_server(frontend, host, port):
+    import base64
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):  # quiet; daemon has its own logger
+            pass
+
+        def _reply(self, code, obj):
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/v1/health":
+                return self._reply(404, {"error": "unknown path"})
+            import jax as _jax
+
+            n_req = frontend.stats["requests"]
+            n_bat = frontend.stats["batches"]
+            self._reply(200, {
+                "status": "ok",
+                "requests": n_req,
+                "batches": n_bat,
+                "mean_batch": n_req / n_bat if n_bat else 0.0,
+                "serving_step": int(_jax.device_get(
+                    frontend.rec.state.step)),
+                "max_batch": frontend.max_batch,
+            })
+
+        def do_POST(self):
+            if self.path != "/v1/transcribe":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n).decode("utf-8"))
+                if "data_b64" in req:
+                    t, d = (int(v) for v in req["shape"])
+                    raw = base64.b64decode(req["data_b64"])
+                    feats = np.frombuffer(raw, "<f4").reshape(t, d)
+                else:
+                    feats = np.asarray(req["feats"], np.float32)
+                ids, text = frontend.transcribe(
+                    feats, corpus=req.get("corpus", "timit")
+                )
+                self._reply(200, {"ids": [int(i) for i in ids],
+                                  "text": text})
+            except Exception as exc:  # noqa: BLE001 — report to the client
+                self._reply(400, {"error": str(exc)})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    return server
+
+
 def start_reload_poller(recognizer, interval_s, logger=None,
                         stop_event=None):
     """Hot-reload poller: every ``interval_s`` seconds ask the recognizer
@@ -265,8 +338,12 @@ def start_reload_poller(recognizer, interval_s, logger=None,
 
 
 def serve(config, host="127.0.0.1", port=8764, max_batch=16,
-          max_wait_ms=10.0, reload_secs=0.0, logger=None, ready_event=None):
-    """Blocking server loop (Ctrl-C to stop)."""
+          max_wait_ms=10.0, reload_secs=0.0, http_port=None, logger=None,
+          ready_event=None):
+    """Blocking server loop (Ctrl-C to stop). ``http_port`` (0 = pick an
+    ephemeral port) also serves the REST gateway, sharing the same
+    batching frontend (HTTP and TCP requests coalesce into the same
+    dispatches)."""
     from srf_tpu.config import Logger
     from srf_tpu.serve import Recognizer
 
@@ -284,18 +361,30 @@ def serve(config, host="127.0.0.1", port=8764, max_batch=16,
         logger.info("hot reload: polling for new checkpoints every %.1f s",
                     reload_secs)
     server = DaemonServer((host, port), frontend)
+    http_server = None
+    if http_port is not None:
+        http_server = make_http_server(frontend, host, http_port)
+        threading.Thread(
+            target=http_server.serve_forever, name="srf-http", daemon=True
+        ).start()
+        logger.info("HTTP gateway on %s:%d (POST /v1/transcribe, "
+                    "GET /v1/health)", host, http_server.server_address[1])
     logger.info(
         "serving on %s:%d (max_batch %d, max_wait %.1f ms, beam %s)",
         host, server.server_address[1], max_batch, max_wait_ms, beam,
     )
     if ready_event is not None:
         ready_event.server = server
+        ready_event.http_server = http_server
         ready_event.set()
     try:
         server.serve_forever()
     finally:
         if stop_reload is not None:
             stop_reload.set()
+        if http_server is not None:
+            http_server.shutdown()
+            http_server.server_close()
         server.server_close()
         frontend.close()
 
@@ -308,7 +397,7 @@ def main(argv=None):
     logger = Logger(name="srf_daemon", level=Logger.INFO).logger
     argv = list(argv or sys.argv)
     host, port, max_batch, max_wait = "127.0.0.1", 8764, 16, 10.0
-    reload_secs = 0.0
+    reload_secs, http_port = 0.0, None
     filtered = []
     it = iter(argv)
     for arg in it:
@@ -316,6 +405,8 @@ def main(argv=None):
             host = arg.split("=", 1)[1]
         elif arg.startswith("--daemon-port="):
             port = int(arg.split("=", 1)[1])
+        elif arg.startswith("--daemon-http-port="):
+            http_port = int(arg.split("=", 1)[1])
         elif arg.startswith("--daemon-max-batch="):
             max_batch = int(arg.split("=", 1)[1])
         elif arg.startswith("--daemon-max-wait-ms="):
@@ -326,7 +417,8 @@ def main(argv=None):
             filtered.append(arg)
     config = ParseOption(filtered, logger, is_print_opts=False).args
     serve(config, host=host, port=port, max_batch=max_batch,
-          max_wait_ms=max_wait, reload_secs=reload_secs, logger=logger)
+          max_wait_ms=max_wait, reload_secs=reload_secs,
+          http_port=http_port, logger=logger)
 
 
 if __name__ == "__main__":

@@ -172,3 +172,78 @@ def test_daemon_hot_reload_over_tcp(recognizer, trained):  # noqa: F811
     finally:
         server.shutdown()
         thread.join(timeout=30)
+
+
+def test_http_gateway_round_trip(recognizer, trained):  # noqa: F811
+    """The REST gateway (--daemon-http-port): POST /v1/transcribe (both
+    JSON-array and base64-raw encodings) matches direct transcription;
+    GET /v1/health reports the shared frontend's stats; malformed
+    requests get a 400 with an error body, not a closed socket."""
+    import base64
+    import json
+    import urllib.error
+    import urllib.request
+
+    import srf_tpu.serve_daemon as sd
+    from srf_tpu.config import Logger, ParseOption
+
+    argv, base = trained
+    logger = Logger(name="daemon-http", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    # a FRESH recognizer for the oracle: earlier tests (hot reload) may
+    # have landed newer checkpoints than the module-scoped fixture holds,
+    # and the daemon below loads the newest one too
+    from srf_tpu.serve import Recognizer
+
+    rec = Recognizer(config, logger)
+
+    ready = threading.Event()
+    thread = threading.Thread(
+        target=sd.serve,
+        kwargs=dict(config=config, host="127.0.0.1", port=0, http_port=0,
+                    max_batch=4, max_wait_ms=5, logger=logger,
+                    ready_event=ready),
+        daemon=True,
+    )
+    thread.start()
+    assert ready.wait(timeout=300)
+    server, http_server = ready.server, ready.http_server
+    url = "http://127.0.0.1:%d" % http_server.server_address[1]
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            url + path, data=json.dumps(obj).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    try:
+        feats = np.load(base / "u0.None.npy")
+        want_ids, want_text = rec.transcribe(feats, beam_width=4,
+                                             corpus="wsj")
+        got = post("/v1/transcribe",
+                   {"feats": feats.tolist(), "corpus": "wsj"})
+        assert got["ids"] == want_ids and got["text"] == want_text
+
+        raw = np.ascontiguousarray(feats, "<f4")
+        got64 = post("/v1/transcribe", {
+            "shape": list(feats.shape),
+            "data_b64": base64.b64encode(raw.tobytes()).decode("ascii"),
+            "corpus": "wsj",
+        })
+        assert got64["ids"] == want_ids
+
+        with urllib.request.urlopen(url + "/v1/health", timeout=30) as resp:
+            health = json.loads(resp.read().decode("utf-8"))
+        assert health["status"] == "ok" and health["requests"] == 2
+
+        try:
+            post("/v1/transcribe", {"feats": [[1.0, 2.0]]})  # wrong dim
+            raise AssertionError("malformed request did not 400")
+        except urllib.error.HTTPError as err:
+            assert err.code == 400
+            assert "error" in json.loads(err.read().decode("utf-8"))
+    finally:
+        server.shutdown()
+        thread.join(timeout=30)

@@ -12,6 +12,8 @@ mode of its trainers):
 CLI:
     python -m srf_tpu.serve --config=... --path-base=... --path-ckpt=.../avg \
         --feats utt1.npy [utt2.npy ...] [--corpus timit|wsj]
+    # raw audio in one step (fbank-123 + utterance CMVN front-end):
+    python -m srf_tpu.serve ... --wav utt1.wav [--wav utt2.wav ...]
 """
 
 import sys
@@ -279,6 +281,7 @@ def main(argv=None):
     logger = Logger(name="srf_serve", level=Logger.INFO).logger
     argv = list(argv or sys.argv)
     feats_paths = []
+    wav_paths = []
     corpus = "timit"
     stream = False
     filtered = []
@@ -291,6 +294,13 @@ def main(argv=None):
             feats_paths.append(path)
         elif arg.startswith("--feats="):
             feats_paths.append(arg.split("=", 1)[1])
+        elif arg == "--wav":
+            path = next(it, None)
+            if path is None:
+                raise SystemExit("--wav requires a value")
+            wav_paths.append(path)
+        elif arg.startswith("--wav="):
+            wav_paths.append(arg.split("=", 1)[1])
         elif arg.startswith("--corpus="):
             corpus = arg.split("=", 1)[1]
         elif arg == "--stream":
@@ -299,9 +309,30 @@ def main(argv=None):
             filtered.append(arg)
     config = ParseOption(filtered, logger, is_print_opts=False).args
     recognizer = Recognizer(config, logger)
+
+    def load_input(path, is_wav):
+        if not is_wav:
+            return np.load(path)
+        # raw audio -> the training front-end: fbank-123 + utterance-level
+        # CMVN (the offline pipeline normalizes per speaker with the same
+        # formula; one utterance is its own best stats at serving time)
+        if recognizer.config.feat_dim != 123:
+            raise SystemExit(
+                "--wav needs a 123-dim fbank model (feat_dim is %d)"
+                % recognizer.config.feat_dim)
+        from srf_tpu.data.features import (
+            apply_cmvn, cmvn_stats, extract_fbank123,
+        )
+        from srf_tpu.tools.extract_features import read_wav
+
+        signal, rate = read_wav(path)
+        feats = extract_fbank123(signal, rate)
+        return apply_cmvn(feats, *cmvn_stats([feats])).astype(np.float32)
+
     batch_paths = []
-    for path in feats_paths:
-        feats = np.load(path)
+    for path, is_wav in ([(p, False) for p in feats_paths]
+                         + [(p, True) for p in wav_paths]):
+        feats = load_input(path, is_wav)
         if stream:
             session = recognizer.streaming_session()
             raw_vocab = [

@@ -56,3 +56,32 @@ def test_energy_is_first_coefficient():
     fq = fbank_energy(quiet)
     fl = fbank_energy(loud)
     assert fl[:, 0].mean() > fq[:, 0].mean() + 5  # log-energy separates
+
+
+def test_wav_to_cmvn_features_serving_front_end(tmp_path):
+    """The serve --wav front-end: wav file -> fbank-123 -> utterance CMVN
+    gives a [T, 123] float32 with ~zero mean / ~unit variance per dim —
+    the same normalization contract the offline writer produces
+    (reference: save_speech_data.py:162-163)."""
+    import wave
+
+    from srf_tpu.data.features import apply_cmvn, cmvn_stats
+    from srf_tpu.tools.extract_features import read_wav
+
+    rng = np.random.RandomState(0)
+    sig = (rng.randn(16000) * 3000).astype(np.int16)
+    path = tmp_path / "utt.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    signal, rate = read_wav(str(path))
+    assert rate == 16000 and signal.shape == (16000,)
+    feats = extract_fbank123(signal, rate)
+    assert feats.shape[1] == 123
+    norm = apply_cmvn(feats, *cmvn_stats([feats])).astype(np.float32)
+    assert norm.dtype == np.float32
+    np.testing.assert_allclose(norm.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(norm.std(axis=0), 1.0, atol=1e-3)

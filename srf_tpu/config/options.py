@@ -527,4 +527,19 @@ class ParseOption:
                  " the sort-free rewrite) | host (C++/python prefix beam)"
                  " | greedy",
         )
+        tpu_group.add_argument(
+            "--tpu-lm-path", default=None,
+            help="shallow fusion: .npz n-gram LM (tools/train_ngram_lm) "
+                 "fused into every beam decode path as "
+                 "ctc + weight*logP_lm + bonus*len; greedy ignores it",
+        )
+        tpu_group.add_argument(
+            "--tpu-lm-weight", type=float, default=0.3,
+            help="shallow-fusion LM weight (lambda)",
+        )
+        tpu_group.add_argument(
+            "--tpu-lm-bonus", type=float, default=0.0,
+            help="shallow-fusion per-token insertion bonus (counters the "
+                 "LM's bias toward shorter hypotheses)",
+        )
         return parser

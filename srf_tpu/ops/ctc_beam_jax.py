@@ -29,6 +29,14 @@ The scan is factored as ``beam_init`` + ``_beam_chunk`` so streaming
 (srf_tpu/streaming.py) can carry the beam state across pushed chunks and
 emit frame-synchronous beam partials; offline decode is the same chunk fn
 over the whole utterance, so streamed == offline by construction.
+
+Optional shallow fusion (``lm=`` args): an n-gram LM (ops/ngram_lm.py,
+dense conditional table) rides the scan — each beam carries its LM context
+(one uint32, closed-form update) and accumulated LM score; candidates are
+ranked and finally selected by ``ctc + weight*lm + bonus*|y|``. The CTC
+blank/non-blank mass stays pure, so merges are exact: a merging extend
+denotes the SAME prefix as its stay, hence the same LM score. With no LM
+the extra state is inert and the decode is unchanged.
 """
 
 import functools
@@ -44,8 +52,12 @@ _HASH_MUL = jnp.uint32(1000003)
 _HASH_MUL_INV = jnp.uint32(pow(1000003, -1, 2**32))
 
 
-def beam_init(beam_width):
-    """Fresh beam state: beam 0 holds the empty prefix, the rest are dead."""
+def beam_init(beam_width, lm_ctx0=0):
+    """Fresh beam state: beam 0 holds the empty prefix, the rest are dead.
+
+    ``lm_ctx0``: start-of-sequence LM context id (ngram_lm.NGramLM.ctx0)
+    when decoding with shallow fusion; inert otherwise.
+    """
     W = beam_width
     return {
         # distinct dummy hashes so dead beams never merge
@@ -54,19 +66,31 @@ def beam_init(beam_width):
         "pb": jnp.where(jnp.arange(W) == 0, 0.0, NEG),
         "pnb": jnp.full((W,), NEG),
         "last": jnp.full((W,), -1, jnp.int32),
+        # shallow-fusion carry: LM context id + accumulated weighted LM
+        # score per beam (zeros when no LM is fused — beam_scores then
+        # reduces to pure CTC mass)
+        "ctx": jnp.full((W,), lm_ctx0, jnp.uint32),
+        "lm": jnp.zeros((W,)),
     }
 
 
-def _beam_chunk(state, logp, ts, length, blank_id):
+def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
     """Scan the beam over one block of frames.
 
     logp [T, V] log-probs, ts [T] global frame indices, length the global
     valid length (frames with ts >= length leave the state untouched).
-    Returns (state, (parents [T, W], syms [T, W])).
+    ``lm``: optional (table [C, V] log-probs, order, weight, bonus) for
+    shallow fusion. Returns (state, (parents [T, W], syms [T, W])).
     """
     W = state["hash"].shape[0]
     K = logp.shape[-1]
     syms_all = jnp.arange(K, dtype=jnp.int32)
+    if lm is not None:
+        lm_table, lm_order, lm_weight, lm_bonus = lm
+        lm_base = jnp.uint32(lm_table.shape[-1] + 1)
+        lm_keep = jnp.uint32(
+            (lm_table.shape[-1] + 1) ** max(lm_order - 2, 0)
+        )
 
     def step(state, inputs):
         lp, t = inputs
@@ -134,7 +158,24 @@ def _beam_chunk(state, logp, ts, length, blank_id):
         stay_tot = jnp.where(
             (stay_pb <= NEG) & (stay_pnb <= NEG), NEG, stay_tot
         )
-        scores = jnp.concatenate([stay_tot, ext_pnb.reshape(-1)])
+        if lm is None:
+            lm_stay = state["lm"]
+            lm_ext = jnp.broadcast_to(state["lm"][:, None], (W, K))
+        else:
+            # accumulated weighted LM score of each extended prefix;
+            # symbols outside the LM vocab (the appended blank) only
+            # appear on NEG-killed candidates, so the clamp is inert
+            lm_row = lm_table[state["ctx"].astype(jnp.int32)]  # [W, V]
+            sym_clamped = jnp.minimum(syms_all, lm_table.shape[-1] - 1)
+            lm_ext = (
+                state["lm"][:, None]
+                + lm_weight * lm_row[:, sym_clamped]
+                + lm_bonus
+            )
+            lm_stay = state["lm"]
+        rank_ext = jnp.where(ext_pnb <= NEG, NEG, ext_pnb + lm_ext)
+        rank_stay = jnp.where(stay_tot <= NEG, NEG, stay_tot + lm_stay)
+        scores = jnp.concatenate([rank_stay, rank_ext.reshape(-1)])
         _, top_idx = jax.lax.top_k(scores, W)
         is_stay = top_idx < W
         ext_idx = jnp.maximum(top_idx - W, 0)
@@ -142,6 +183,18 @@ def _beam_chunk(state, logp, ts, length, blank_id):
         ext_sym = (ext_idx % K).astype(jnp.int32)
         safe_stay = jnp.where(is_stay, top_idx, 0)
 
+        if lm is None:
+            new_ctx = jnp.where(
+                is_stay, state["ctx"][safe_stay], state["ctx"][ext_beam]
+            )
+        else:
+            ext_ctx = (
+                (state["ctx"] % lm_keep)[ext_beam] * lm_base
+                + ext_sym.astype(jnp.uint32)
+            ) % jnp.uint32(lm_table.shape[0])  # order-1 folds to ctx 0
+            new_ctx = jnp.where(
+                is_stay, state["ctx"][safe_stay], ext_ctx
+            )
         sel = {
             "hash": jnp.where(
                 is_stay, stay_hash[safe_stay], ext_hash.reshape(-1)[ext_idx]
@@ -152,6 +205,10 @@ def _beam_chunk(state, logp, ts, length, blank_id):
             ),
             "last": jnp.where(
                 is_stay, state["last"][safe_stay], ext_sym
+            ),
+            "ctx": new_ctx,
+            "lm": jnp.where(
+                is_stay, lm_stay[safe_stay], lm_ext.reshape(-1)[ext_idx]
             ),
         }
         parent = jnp.where(is_stay, safe_stay, ext_beam).astype(jnp.int32)
@@ -171,31 +228,76 @@ def _beam_chunk(state, logp, ts, length, blank_id):
 
 
 def beam_scores(state):
-    """Total log-prob per beam for the current state."""
-    return jnp.logaddexp(
+    """Total score per beam: CTC mass plus the (weighted) fused-LM score
+    accumulated in the state — zero when decoding without an LM."""
+    ctc = jnp.logaddexp(
         jnp.maximum(state["pb"], NEG), jnp.maximum(state["pnb"], NEG)
     )
+    return jnp.where(ctc <= NEG, NEG, ctc + state["lm"])
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
-def _beam_scan(logits, length, beam_width, blank_id):
+def _pack_lm(lm_table, lm_order, lm_weight, lm_bonus):
+    if lm_table is None:
+        return None
+    return lm_table, lm_order, lm_weight, lm_bonus
+
+
+def lm_fusion_args(lm, n_classes):
+    """Resolve ``lm`` = (NGramLM, weight, bonus) into the keyword args the
+    jitted beam entry points take; ``n_classes`` is the logit vocab
+    INCLUDING the appended CTC blank."""
+    if lm is None:
+        return {}
+    lm_obj, weight, bonus = lm
+    if lm_obj.vocab_size != n_classes - 1:
+        raise ValueError(
+            "LM vocab %d does not match decoder vocab %d (+1 blank)"
+            % (lm_obj.vocab_size, n_classes - 1)
+        )
+    dev = getattr(lm_obj, "_device_table", None)
+    if dev is None or dev.shape != lm_obj.table.shape:
+        dev = jnp.asarray(lm_obj.table)
+        lm_obj._device_table = dev
+    return {
+        "lm_table": dev,
+        "lm_order": lm_obj.order,
+        "lm_weight": float(weight),
+        "lm_bonus": float(bonus),
+        "lm_ctx0": lm_obj.ctx0,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "blank_id", "lm_order", "lm_ctx0"),
+)
+def _beam_scan(logits, length, beam_width, blank_id, lm_table=None,
+               lm_order=0, lm_weight=0.0, lm_bonus=0.0, lm_ctx0=0):
     """Returns (parents [T, W], syms [T, W], final scores [W])."""
     maxlen = logits.shape[0]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ts = jnp.arange(maxlen)
     final, (parents, syms) = _beam_chunk(
-        beam_init(beam_width), logp, ts, length, blank_id
+        beam_init(beam_width, lm_ctx0), logp, ts, length, blank_id,
+        _pack_lm(lm_table, lm_order, lm_weight, lm_bonus),
     )
     return parents, syms, beam_scores(final)
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
-def beam_chunk_step(state, logits, t0, length, beam_width, blank_id):
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "blank_id", "lm_order"),
+)
+def beam_chunk_step(state, logits, t0, length, beam_width, blank_id,
+                    lm_table=None, lm_order=0, lm_weight=0.0, lm_bonus=0.0):
     """One streamed block: advance ``state`` over logits [T, V] whose global
     frame indices are [t0, t0+T). Returns (state, parents, syms, scores)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ts = t0 + jnp.arange(logits.shape[0])
-    state, (parents, syms) = _beam_chunk(state, logp, ts, length, blank_id)
+    state, (parents, syms) = _beam_chunk(
+        state, logp, ts, length, blank_id,
+        _pack_lm(lm_table, lm_order, lm_weight, lm_bonus),
+    )
     return state, parents, syms, beam_scores(state)
 
 
@@ -212,42 +314,57 @@ def _backtrace(parents, syms, scores, beam=None):
     return seq, float(scores[best])
 
 
-def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None):
-    """Decode one utterance on device; returns (ids list, score)."""
+def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None,
+                        lm=None):
+    """Decode one utterance on device; returns (ids list, score).
+
+    ``lm``: optional (ngram_lm.NGramLM, weight, bonus) for shallow fusion.
+    """
     logits = jnp.asarray(logits)
     if blank_id is None:
         blank_id = logits.shape[-1] - 1
     parents, syms, scores = _beam_scan(
-        logits, jnp.asarray(logit_length, jnp.int32), beam_width, blank_id
+        logits, jnp.asarray(logit_length, jnp.int32), beam_width, blank_id,
+        **lm_fusion_args(lm, logits.shape[-1]),
     )
     return _backtrace(np.asarray(parents), np.asarray(syms),
                       np.asarray(scores))
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width", "blank_id"))
-def _beam_scan_batch(logits, lengths, beam_width, blank_id):
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "blank_id", "lm_order", "lm_ctx0"),
+)
+def _beam_scan_batch(logits, lengths, beam_width, blank_id, lm_table=None,
+                     lm_order=0, lm_weight=0.0, lm_bonus=0.0, lm_ctx0=0):
     """vmapped beam scan: [B, T, V] -> (parents/syms [B, T, W], scores
     [B, W]). The whole batch decodes in ONE device dispatch — the batched
     serving analog of the reference's batch-1 protocol."""
     return jax.vmap(
-        lambda l, n: _beam_scan(l, n, beam_width, blank_id)
+        lambda l, n: _beam_scan(
+            l, n, beam_width, blank_id, lm_table, lm_order, lm_weight,
+            lm_bonus, lm_ctx0,
+        )
     )(logits, lengths)
 
 
 def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
-                              blank_id=None):
+                              blank_id=None, lm=None):
     """Decode a batch of utterances on device in one dispatch.
 
     logits [B, T, V], logit_lengths [B] -> list of (ids, score) per
     utterance. Same merged-prefix semantics as ``ctc_beam_search_jax``
     (per-utterance results are identical); only the dispatch is batched,
     so device fixed costs amortize across the batch for serving.
+    ``lm``: optional (ngram_lm.NGramLM, weight, bonus) shallow fusion,
+    shared across the batch.
     """
     logits = jnp.asarray(logits)
     if blank_id is None:
         blank_id = logits.shape[-1] - 1
     parents, syms, scores = _beam_scan_batch(
-        logits, jnp.asarray(logit_lengths, jnp.int32), beam_width, blank_id
+        logits, jnp.asarray(logit_lengths, jnp.int32), beam_width, blank_id,
+        **lm_fusion_args(lm, logits.shape[-1]),
     )
     parents = np.asarray(parents)
     syms = np.asarray(syms)

@@ -59,14 +59,19 @@ greedy_decode_jit = jax.jit(greedy_decode, static_argnames=("blank_id",))
 
 
 def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
-                       top_paths=1):
+                       top_paths=1, lm=None):
     """Merged-prefix CTC beam search for one utterance.
 
     Args:
         logits: [T, K] numpy logits (pre-softmax).
         logit_length: number of valid frames.
+        lm: optional (ngram_lm.NGramLM, weight, bonus) — shallow fusion:
+            beams are pruned and finally ranked by
+            ``ctc + weight*logP_lm(prefix) + bonus*len(prefix)``. This is
+            the host oracle for the on-device fused beam
+            (ops/ctc_beam_jax.py).
     Returns:
-        list of (ids, neg_sum_logit) tuples, best first.
+        list of (ids, neg_score) tuples, best first.
     """
     logits = np.asarray(logits, np.float64)
     if blank_id is None:
@@ -76,6 +81,30 @@ def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
         # reference default (tf.nn.ctc_beam_search_decoder)
         beam_width = 100
     log_probs = logits - _np_logsumexp(logits)
+    lm_cache = {(): 0.0}
+
+    def _lm_score(prefix):
+        # accumulated weighted LM score of a prefix; parents are always
+        # cached before their extensions appear
+        score = lm_cache.get(prefix)
+        if score is None:
+            lm_obj, weight, bonus = lm
+            score = (
+                _lm_score(prefix[:-1])
+                + weight * lm_obj.logp(
+                    _lm_ctx(lm_obj, prefix[:-1]), prefix[-1]
+                )
+                + bonus
+            )
+            lm_cache[prefix] = score
+        return score
+
+    def _rank(prefix, pb, pnb):
+        score = _logsumexp2(pb, pnb)
+        if lm is not None and score > LOG_ZERO:
+            score += _lm_score(prefix)
+        return score
+
     # beams: prefix tuple -> [p_blank, p_non_blank] (log)
     beams = {(): [0.0, LOG_ZERO]}
     for t in range(int(logit_length)):
@@ -108,16 +137,25 @@ def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
                     _acc(prefix + (sym,), False, p_tot + lp_s)
         scored = sorted(
             new_beams.items(),
-            key=lambda kv: -_logsumexp2(kv[1][0], kv[1][1]),
+            key=lambda kv: -_rank(kv[0], kv[1][0], kv[1][1]),
         )
         beams = dict(scored[:beam_width])
     results = sorted(
-        ((prefix, _logsumexp2(pb, pnb)) for prefix, (pb, pnb) in beams.items()),
+        ((prefix, _rank(prefix, pb, pnb))
+         for prefix, (pb, pnb) in beams.items()),
         key=lambda kv: -kv[1],
     )
     return [
         (list(prefix), -score) for prefix, score in results[:top_paths]
     ]
+
+
+def _lm_ctx(lm_obj, prefix):
+    """LM context id after consuming ``prefix`` (host-side)."""
+    ctx = lm_obj.ctx0
+    for sym in prefix[-(lm_obj.order - 1):] if lm_obj.order > 1 else ():
+        ctx = lm_obj.next_ctx(ctx, sym)
+    return ctx
 
 
 def _np_logsumexp(x):
@@ -174,26 +212,29 @@ def beam_search_native(logits_tk, logit_length, beam_width, blank_id):
     return [int(x) for x in out[:n]]
 
 
-def beam_search_batch(logits, logit_lengths, beam_width=100, blank_id=None):
+def beam_search_batch(logits, logit_lengths, beam_width=100, blank_id=None,
+                      lm=None):
     """Decode a [B, T, K] batch on host; returns list of id lists.
 
     Uses the native C++ decoder when built, the Python implementation
     otherwise (same algorithm; the Python one additionally prunes symbols
-    below a -18 logprob floor).
+    below a -18 logprob floor). Shallow fusion (``lm``) always takes the
+    Python path — the C++ decoder is acoustic-only.
     """
     logits = np.asarray(logits)
     if blank_id is None:
         blank_id = logits.shape[-1] - 1
     out = []
     for i in range(logits.shape[0]):
-        native = beam_search_native(
-            logits[i], logit_lengths[i], beam_width, blank_id
-        )
-        if native is not None:
-            out.append(native)
-            continue
+        if lm is None:
+            native = beam_search_native(
+                logits[i], logit_lengths[i], beam_width, blank_id
+            )
+            if native is not None:
+                out.append(native)
+                continue
         hyps = prefix_beam_search(
-            logits[i], int(logit_lengths[i]), beam_width, blank_id
+            logits[i], int(logit_lengths[i]), beam_width, blank_id, lm=lm
         )
         out.append(hyps[0][0] if hyps else [])
     return out

@@ -84,6 +84,11 @@ class Recognizer:
         self.quantized = (
             getattr(config, "tpu_serve_quant", "none") == "int8"
         )
+        # --tpu-lm-path: shallow-fusion n-gram LM, applied on every beam
+        # decode path (batched, streaming, daemon)
+        from srf_tpu.ops.ngram_lm import load_lm_from_config
+
+        self.lm = load_lm_from_config(config, logger)
         self._logger = logger
         self._reload_lock = threading.Lock()
         epoch_flag = getattr(config, "path_ckpt_epoch", None)
@@ -189,16 +194,19 @@ class Recognizer:
             variables["batch_stats"] = batch_stats
         return self.model.apply(variables, feats, lengths, False)
 
-    def streaming_session(self, chunk=8):
-        """Chunked low-latency inference (SRF models; greedy decode).
+    def streaming_session(self, chunk=8, beam_width=None):
+        """Chunked low-latency inference (SRF models).
 
         Returns a srf_tpu.streaming.StreamingTranscriber bound to the
         loaded checkpoint: feed features with push(), finish with flush().
+        ``beam_width`` turns on the streamed beam (with the configured
+        shallow-fusion LM, if any).
         """
         from srf_tpu.streaming import StreamingTranscriber
 
         return StreamingTranscriber(
-            self.model, self._f32_variables(), self.blank_id, chunk=chunk
+            self.model, self._f32_variables(), self.blank_id, chunk=chunk,
+            beam_width=beam_width, lm=self.lm if beam_width else None,
         )
 
     def streaming_pool(self, slots, chunk=8, beam_width=None):
@@ -214,6 +222,7 @@ class Recognizer:
         return StreamingPool(
             self.model, self._f32_variables(), self.blank_id, slots=slots,
             chunk=chunk, beam_width=beam_width,
+            lm=self.lm if beam_width else None,
         )
 
     def transcribe(self, feats, beam_width=None, pad_multiple=128,
@@ -260,7 +269,7 @@ class Recognizer:
             from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
 
             decoded = [ids for ids, _ in ctc_beam_search_batch_jax(
-                logits, dec_lens, beam_width, self.blank_id
+                logits, dec_lens, beam_width, self.blank_id, lm=self.lm
             )]
         else:
             out, lens = greedy_decode_jit(

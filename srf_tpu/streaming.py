@@ -98,14 +98,20 @@ def _pool_step_fn(model):
 def _pool_beam_fn():
     from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
 
-    @functools.partial(jax.jit, static_argnums=(4, 5))
-    def _pbeam(states_list, blocks, los, his, W, blank):
+    @functools.partial(
+        jax.jit, static_argnames=("W", "blank", "lm_order")
+    )
+    def _pbeam(states_list, blocks, los, his, W, blank, lm_table=None,
+               lm_order=0, lm_weight=0.0, lm_bonus=0.0):
         states = jax.tree.map(
             lambda *xs: jnp.stack(xs), *states_list
         )
         nstate, parents, syms, scores = jax.vmap(
-            beam_chunk_step, in_axes=(0, 0, 0, 0, None, None)
-        )(states, blocks, los, his, W, blank)
+            lambda st, b, lo, hi: beam_chunk_step(
+                st, b, lo, hi, W, blank, lm_table, lm_order, lm_weight,
+                lm_bonus,
+            )
+        )(states, blocks, los, his)
         n = blocks.shape[0]
         out_states = [
             jax.tree.map(lambda x: x[i], nstate) for i in range(n)
@@ -131,15 +137,24 @@ class StreamingTranscriber:
             over the emitted logits as they stream (carried scan state, one
             device dispatch per chunk); ``hypothesis()`` returns the current
             best beam and ``flush()`` returns the final one.
+        lm: optional (ngram_lm.NGramLM, weight, bonus) — shallow fusion on
+            the streamed beam (the per-beam LM context rides the carried
+            scan state, so streamed == offline fused decode).
     """
 
-    def __init__(self, model, variables, blank_id, chunk=8, beam_width=None):
+    def __init__(self, model, variables, blank_id, chunk=8, beam_width=None,
+                 lm=None):
         if not isinstance(model, SequenceRouter):
             raise TypeError("streaming supports the SRF SequenceRouter")
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
         self.beam_width = beam_width
+        self.lm = lm
+        from srf_tpu.ops.ctc_beam_jax import lm_fusion_args
+
+        self._lm_kwargs = lm_fusion_args(lm, model.class_n)
+        self._lm_ctx0 = self._lm_kwargs.pop("lm_ctx0", 0)
         self.div = model.stride**model.conv_layer_num
         self.K = chunk
         # raw window for post-frames [t0, t0+K): [div*t0 - lmargin,
@@ -186,7 +201,7 @@ class StreamingTranscriber:
         if self.beam_width:
             from srf_tpu.ops.ctc_beam_jax import beam_init
 
-            self._beam_state = beam_init(self.beam_width)
+            self._beam_state = beam_init(self.beam_width, self._lm_ctx0)
             self._beam_frames = 0  # frames the beam scan has consumed
             self._beam_tape = []  # (parents, syms) np blocks, frame-aligned
             self._beam_scores = None
@@ -244,7 +259,8 @@ class StreamingTranscriber:
 
             self._decode_available(limit=t_dec)  # keep greedy state coherent
             return beam_search_batch(
-                self.logits[None], [t_dec], beam_width, self.blank_id
+                self.logits[None], [t_dec], beam_width, self.blank_id,
+                lm=self.lm,
             )[0]
         self._decode_available(limit=t_dec)
         if self.beam_width:
@@ -288,6 +304,7 @@ class StreamingTranscriber:
             self._beam_state, parents, syms, scores = beam_chunk_step(
                 self._beam_state, jnp.asarray(block), jnp.int32(lo),
                 jnp.int32(hi), self.beam_width, self.blank_id,
+                **self._lm_kwargs,
             )
             # keep the tape on device — fetching it per push would cost a
             # blocking round trip each; hypothesis()/flush sync once
@@ -433,7 +450,7 @@ class StreamingPool:
     """
 
     def __init__(self, model, variables, blank_id, slots, chunk=8,
-                 beam_width=None):
+                 beam_width=None, lm=None):
         if model.caps_type == "einsum":
             raise NotImplementedError(
                 "StreamingPool does not support the einsum flavor "
@@ -443,7 +460,7 @@ class StreamingPool:
             raise ValueError("slots must be >= 1")
         self.sessions = [
             StreamingTranscriber(model, variables, blank_id, chunk=chunk,
-                                 beam_width=beam_width)
+                                 beam_width=beam_width, lm=lm)
             for _ in range(slots)
         ]
         self.slots = slots
@@ -519,7 +536,8 @@ class StreamingPool:
             los[row], his[row] = lo, hi
         nstates, parents, syms, scores = self._pbeam(
             [s._beam_state for s in sess], blocks, los, his,
-            self.beam_width, self.sessions[0].blank_id,
+            W=self.beam_width, blank=self.sessions[0].blank_id,
+            **self.sessions[0]._lm_kwargs,
         )
         for row, i in enumerate(todo):
             s = self.sessions[i]

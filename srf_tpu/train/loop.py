@@ -505,6 +505,14 @@ def run_decoding(config, logger, state, logits_fn, test_loader, in_len_div,
     """
     beam_width = beam_width or config.decoding_beam_width or 100
     decode_impl = decode_impl or getattr(config, "tpu_decode_impl", "device")
+    from srf_tpu.ops.ngram_lm import load_lm_from_config
+
+    lm = load_lm_from_config(config, logger)
+    if lm is not None and decode_impl == "greedy":
+        logger.warning(
+            "--tpu-lm-path is ignored by greedy decoding; use the device "
+            "or host beam (--tpu-decode-impl)"
+        )
     prev = time.time()
     for batch in test_loader:
         logits = np.asarray(
@@ -528,11 +536,11 @@ def run_decoding(config, logger, state, logits_fn, test_loader, in_len_div,
 
             hyps = [
                 ids for ids, _ in ctc_beam_search_batch_jax(
-                    logits, dec_lens, beam_width
+                    logits, dec_lens, beam_width, lm=lm
                 )
             ]
         else:
-            hyps = beam_search_batch(logits, dec_lens, beam_width)
+            hyps = beam_search_batch(logits, dec_lens, beam_width, lm=lm)
         for i, utt_id in enumerate(batch.get("utt_ids", [])):
             values = " ".join(str(int(x)) for x in hyps[i])
             n = len(hyps[i])

@@ -323,3 +323,54 @@ def test_reload_poller_calls_reload():
     stop.set()
     thread.join(timeout=5.0)
     assert stub.calls >= 3
+
+
+def test_shallow_fusion_through_serving(trained, tmp_path):
+    """--tpu-lm-* flags end to end: the CLI tool trains an LM from the
+    corpus manifests; Recognizer fuses it on the beam path. Weight 0 must
+    reproduce the acoustic-only hypotheses exactly; a large weight pulls
+    hypotheses toward LM-probable token sequences."""
+    argv, base = trained
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.ops.ngram_lm import NGramLM
+    from srf_tpu.serve import Recognizer
+    from srf_tpu.tools import train_ngram_lm
+
+    logger = Logger(name="serve-lm", level=Logger.INFO).logger
+    lm_path = str(tmp_path / "lm.npz")
+    train_ngram_lm.main(
+        ["prog", "--tpu-lm-out", lm_path, "--tpu-lm-order=2"] + argv[1:]
+    )
+    lm = NGramLM.load(lm_path)
+    assert lm.order == 2 and lm.vocab_size == len(VOCAB_TOKENS)
+    np.testing.assert_allclose(
+        np.exp(lm.table).sum(axis=-1), 1.0, rtol=1e-5
+    )
+
+    feats = np.load(base / "u0.None.npy")
+    plain = Recognizer(
+        ParseOption(argv, logger, is_print_opts=False).args, logger
+    )
+    base_ids, _ = plain.transcribe(feats, beam_width=4, corpus="wsj")
+
+    fused0 = Recognizer(
+        ParseOption(
+            argv + ["--tpu-lm-path=%s" % lm_path, "--tpu-lm-weight=0.0"],
+            logger, is_print_opts=False,
+        ).args,
+        logger,
+    )
+    ids0, _ = fused0.transcribe(feats, beam_width=4, corpus="wsj")
+    assert ids0 == base_ids
+
+    heavy = Recognizer(
+        ParseOption(
+            argv + ["--tpu-lm-path=%s" % lm_path, "--tpu-lm-weight=50.0"],
+            logger, is_print_opts=False,
+        ).args,
+        logger,
+    )
+    ids_heavy, _ = heavy.transcribe(feats, beam_width=4, corpus="wsj")
+    # training text is only ever "ab": an overwhelming LM only lets
+    # corpus-plausible tokens through (ids 1='a', 2='b') or nothing
+    assert all(i in (1, 2) for i in ids_heavy)

@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
-                noise=0.3, variability=0.0):
+                noise=0.3, variability=0.0, markov=0.0):
     """Learnable synthetic corpus; each 'phone' has a feature direction.
 
     ``variability`` > 0 makes the corpus realistic enough for
@@ -29,8 +29,30 @@ def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
     constant-direction corpus — masking was purely destructive there):
     per-utterance channel offsets (speaker/channel variation the model
     must become invariant to) and jittered phone durations. Scale ~0.5-1.
+
+    ``markov`` > 0 draws phone sequences from a shared random Markov
+    chain (Dirichlet concentration = ``markov``; smaller = peakier
+    transitions) instead of uniform i.i.d. — uniform text carries zero
+    LM-learnable structure, so this is what makes the shallow-fusion
+    A/B meaningful.
     """
     rng = np.random.RandomState(0)
+    chain = None
+    if markov > 0:
+        n_states = vocab_size - 1  # real phones 1..vocab_size-1
+        chain = (
+            rng.dirichlet([markov] * n_states),
+            rng.dirichlet([markov] * n_states, size=n_states),
+        )
+
+    def sample_phones(n_ph):
+        if chain is None:
+            return rng.randint(1, vocab_size, size=n_ph)
+        start, trans = chain
+        out = [1 + rng.choice(n_states, p=start)]
+        for _ in range(n_ph - 1):
+            out.append(1 + rng.choice(n_states, p=trans[out[-1] - 1]))
+        return np.asarray(out)
     tokens = ["<PADDING_SYMBOL>"] + ["p%02d" % i for i in range(1, vocab_size)] + ["$", "@"]
     with open(os.path.join(base, "synth.vocab"), "w") as f:
         f.write("\n".join(tokens) + "\n")
@@ -43,7 +65,7 @@ def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
             key = "%s%03d" % (tag, i)
             if variability > 0:
                 n_ph = frames // 10
-                phones = rng.randint(1, vocab_size, size=n_ph)
+                phones = sample_phones(n_ph)
                 durs = rng.randint(6, 15, size=n_ph)
                 feats = np.repeat(protos[phones], durs, axis=0)
                 # per-utterance channel/speaker offset: constant over time
@@ -53,7 +75,7 @@ def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
                 )
             else:
                 n_ph = frames // 10
-                phones = rng.randint(1, vocab_size, size=n_ph)
+                phones = sample_phones(n_ph)
                 feats = np.repeat(protos[phones], 10, axis=0)
             feats = feats + rng.randn(*feats.shape).astype(np.float32) * noise
             np.save(os.path.join(base, key + ".None.npy"),
@@ -105,6 +127,16 @@ def main():
     parser.add_argument("--mwer-epochs", type=int, default=0,
                         help="> 0: after CTC training, score, MWER "
                              "fine-tune this many epochs, score again")
+    parser.add_argument("--markov", type=float, default=0.0,
+                        help="> 0: draw transcripts from a shared random "
+                             "Markov chain (Dirichlet concentration; try "
+                             "0.3) so text has LM-learnable structure")
+    parser.add_argument("--lm-order", type=int, default=0,
+                        help="> 0: train an n-gram LM on the training "
+                             "transcripts and score a shallow-fusion "
+                             "decode arm next to the acoustic-only one")
+    parser.add_argument("--lm-weight", type=float, default=0.3)
+    parser.add_argument("--lm-bonus", type=float, default=0.0)
     parser.add_argument("--extra", action="append", default=[],
                         help="extra trainer flags (repeatable), e.g. "
                              "--extra=--tpu-specaug=True")
@@ -115,7 +147,7 @@ def main():
         shutil.rmtree(base)
     os.makedirs(base)
     make_corpus(base, args.utts, noise=args.noise,
-                variability=args.variability)
+                variability=args.variability, markov=args.markov)
 
     common = [
         "--path-base=%s" % base, "--path-vocab=synth.vocab",
@@ -210,6 +242,20 @@ def main():
         return score
 
     decode_and_score("")
+    if args.lm_order > 0:
+        # shallow-fusion A/B: same checkpoint, LM trained on the TRAIN
+        # transcripts only, fused at decode time
+        lm_path = os.path.join(base, "lm.npz")
+        run([sys.executable, "-m", "srf_tpu.tools.train_ngram_lm",
+             "--tpu-lm-out", lm_path, "--tpu-lm-order=%d" % args.lm_order,
+             "--path-base=%s" % base, "--path-vocab=synth.vocab",
+             "--path-train-json=train.json", "--prep-data-unit=bpe"],
+            log=os.path.join(base, "lm.log"))
+        decode_and_score("_lm", [
+            "--tpu-lm-path=%s" % lm_path,
+            "--tpu-lm-weight=%g" % args.lm_weight,
+            "--tpu-lm-bonus=%g" % args.lm_bonus,
+        ])
     # trained with an EMA? also score the EMA weights (raw-vs-EMA A/B)
     ema_flags = [e for e in args.extra if e.startswith("--tpu-ema-decay")]
     if ema_flags:

@@ -98,3 +98,47 @@ def test_ark_to_npy_roundtrip_through_writer_and_loader(tmp_path):
     np.testing.assert_allclose(
         by_len[7], utts["spk1_utt1"].astype(np.float32), atol=1e-6
     )
+
+
+def test_align_tokens_ops():
+    from srf_tpu.utils.edit_distance import align_tokens
+
+    ops = align_tokens(["a", "b", "c"], ["a", "x", "c", "d"])
+    assert ops == [
+        ("C", "a", "a"), ("S", "b", "x"), ("C", "c", "c"), ("I", None, "d")
+    ]
+    # deletion + empty-hyp edge
+    assert align_tokens(["a"], []) == [("D", "a", None)]
+    assert align_tokens([], ["z"]) == [("I", None, "z")]
+    # error count always equals the plain edit distance
+    from srf_tpu.utils.edit_distance import levenshtein
+
+    cases = [(["a", "b", "a"], ["b", "a", "b"]),
+             (["x"] * 4, ["x", "y", "x"]), ([], [])]
+    for ref, hyp in cases:
+        ops = align_tokens(ref, hyp)
+        errs = sum(1 for op, _, _ in ops if op != "C")
+        assert errs == levenshtein(ref, hyp)
+
+
+def test_scorer_breakdown_pralign_confusions(tmp_path):
+    ref = tmp_path / "ref.trn"
+    hyp = tmp_path / "hyp.trn"
+    ref.write_text("a b c (u1)\nd e (u2)\nf g (u3)\n")
+    hyp.write_text("a x c q (u1)\nd e (u2)\n")  # u3 missing -> 2 dels
+    out = io.StringIO()
+    align_path = tmp_path / "align.txt"
+    wer = score(str(ref), str(hyp), out,
+                pralign_path=str(align_path), confusions=5)
+    # errors: 1 sub + 1 ins (u1) + 2 del (u3) over 7 ref tokens
+    np.testing.assert_allclose(wer, 100.0 * 4 / 7)
+    text = out.getvalue()
+    assert "S=1" in text and "D=2" in text and "I=1" in text
+    assert "a -> x" not in text  # confusion lists ref->hyp of the sub
+    assert "b -> x x 1" in text
+    assert "Top deletions: f x 1, g x 1" in text
+    assert "Top insertions: q x 1" in text
+    align = align_path.read_text()
+    assert "id: (u1)" in align and "id: (u3)" in align
+    assert "REF: a B C q" not in align  # correct tokens stay lowercase
+    assert "B" in align and "X" in align and "***" in align

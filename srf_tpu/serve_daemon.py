@@ -146,9 +146,68 @@ class BatchingFrontend:
                 )
 
 
+class ModelFleet:
+    """Named models behind one daemon (multi-tenant serving).
+
+    One Recognizer + one BatchingFrontend per model (different models can
+    never share a batched dispatch, so the queues are separate; the CHIP
+    is shared, which is the point — with --tpu-serve-quant=int8 dozens of
+    reference-sized models stay resident, BENCH_NOTES r3). Requests name
+    their model in the header; omitted = the default model, so
+    single-model clients keep working unchanged.
+    """
+
+    def __init__(self, frontends, default):
+        if default not in frontends:
+            raise ValueError("default model %r not in fleet %s"
+                             % (default, sorted(frontends)))
+        self.frontends = dict(frontends)
+        self.default = default
+
+    def get(self, name=None):
+        name = name or self.default
+        frontend = self.frontends.get(name)
+        if frontend is None:
+            raise KeyError(
+                "unknown model %r (serving: %s)"
+                % (name, ", ".join(sorted(self.frontends)))
+            )
+        return frontend
+
+    def stats(self):
+        """Per-model stats + the default model's flat at top level (the
+        single-model snapshot shape stays backward compatible)."""
+        import jax as _jax
+
+        def one(frontend):
+            n_req = frontend.stats["requests"]
+            n_bat = frontend.stats["batches"]
+            return {
+                "requests": n_req,
+                "batches": n_bat,
+                "mean_batch": n_req / n_bat if n_bat else 0.0,
+                "serving_step": int(_jax.device_get(
+                    frontend.rec.state.step)),
+                "quantized": bool(frontend.rec.quantized),
+                "max_batch": frontend.max_batch,
+            }
+
+        snapshot = one(self.get())
+        snapshot["models"] = {
+            name: one(f) for name, f in sorted(self.frontends.items())
+        }
+        snapshot["default_model"] = self.default
+        return snapshot
+
+    def close(self):
+        for frontend in self.frontends.values():
+            frontend.close()
+
+
 # ---- wire protocol ----------------------------------------------------
 # request:  u32 header_len | header JSON | raw float32 payload
-#           header: {"shape": [T, D], "corpus": "timit"}
+#           header: {"shape": [T, D], "corpus": "timit",
+#                    "model": "<fleet name>"?}
 #           or {"op": "stats"} (no payload) -> health/metrics snapshot
 # response: u32 body_len | body JSON {"ids": [...], "text": "..."} or
 #           {"error": "..."}
@@ -169,12 +228,15 @@ def _send_msg(sock, obj):
     sock.sendall(struct.pack(">I", len(body)) + body)
 
 
-def request(host, port, feats, corpus="timit", timeout=60.0):
-    """Client helper: one transcription round trip. -> (ids, text)."""
+def request(host, port, feats, corpus="timit", timeout=60.0, model=None):
+    """Client helper: one transcription round trip. -> (ids, text).
+
+    ``model`` selects a fleet model by name (None = the daemon default)."""
     feats = np.ascontiguousarray(feats, np.float32)
-    header = json.dumps(
-        {"shape": list(feats.shape), "corpus": corpus}
-    ).encode("utf-8")
+    head = {"shape": list(feats.shape), "corpus": corpus}
+    if model is not None:
+        head["model"] = model
+    header = json.dumps(head).encode("utf-8")
     with socket.create_connection((host, port), timeout=timeout) as sock:
         sock.sendall(struct.pack(">I", len(header)) + header)
         sock.sendall(feats.tobytes())
@@ -196,25 +258,14 @@ def stats_request(host, port, timeout=10.0):
 
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
-        frontend = self.server.frontend
+        fleet = self.server.fleet
         try:
             (n,) = struct.unpack(">I", _read_exact(self.request, 4))
             header = json.loads(_read_exact(self.request, n).decode("utf-8"))
             if header.get("op") == "stats":
-                import jax as _jax
-
-                n_req = frontend.stats["requests"]
-                n_bat = frontend.stats["batches"]
-                _send_msg(self.request, {
-                    "requests": n_req,
-                    "batches": n_bat,
-                    "mean_batch": n_req / n_bat if n_bat else 0.0,
-                    "serving_step": int(_jax.device_get(
-                        frontend.rec.state.step)),
-                    "quantized": bool(frontend.rec.quantized),
-                    "max_batch": frontend.max_batch,
-                })
+                _send_msg(self.request, fleet.stats())
                 return
+            frontend = fleet.get(header.get("model"))
             t, d = header["shape"]
             raw = _read_exact(self.request, int(t) * int(d) * 4)
             feats = np.frombuffer(raw, np.float32).reshape(int(t), int(d))
@@ -234,25 +285,26 @@ class DaemonServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, addr, frontend):
+    def __init__(self, addr, fleet):
         super().__init__(addr, _Handler)
-        self.frontend = frontend
+        self.fleet = fleet
 
 
 # ---- HTTP/JSON gateway -------------------------------------------------
 # REST analog of the TCP protocol, for clients without the struct-framed
 # helper (curl, load balancers, non-Python services). Shares the SAME
-# BatchingFrontend, so HTTP and TCP requests coalesce into the same
-# batched dispatches.
+# fleet of BatchingFrontends, so HTTP and TCP requests coalesce into the
+# same batched dispatches.
 #
-#   POST /v1/transcribe   {"feats": [[...f32...], ...], "corpus": "timit"}
+#   POST /v1/transcribe   {"feats": [[...f32...], ...], "corpus": "timit",
+#                          "model": "<fleet name>"?}
 #                      or {"shape": [T, D], "data_b64": "<raw f32 LE>",
-#                          "corpus": "..."}
+#                          "corpus": "...", "model": ...}
 #                      -> {"ids": [...], "text": "..."}
 #   GET  /v1/health    -> the stats snapshot (no model dispatch)
 
 
-def make_http_server(frontend, host, port):
+def make_http_server(fleet, host, port):
     import base64
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -273,19 +325,7 @@ def make_http_server(frontend, host, port):
         def do_GET(self):
             if self.path != "/v1/health":
                 return self._reply(404, {"error": "unknown path"})
-            import jax as _jax
-
-            n_req = frontend.stats["requests"]
-            n_bat = frontend.stats["batches"]
-            self._reply(200, {
-                "status": "ok",
-                "requests": n_req,
-                "batches": n_bat,
-                "mean_batch": n_req / n_bat if n_bat else 0.0,
-                "serving_step": int(_jax.device_get(
-                    frontend.rec.state.step)),
-                "max_batch": frontend.max_batch,
-            })
+            self._reply(200, dict(fleet.stats(), status="ok"))
 
         def do_POST(self):
             if self.path != "/v1/transcribe":
@@ -293,6 +333,7 @@ def make_http_server(frontend, host, port):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n).decode("utf-8"))
+                frontend = fleet.get(req.get("model"))
                 if "data_b64" in req:
                     t, d = (int(v) for v in req["shape"])
                     raw = base64.b64decode(req["data_b64"])
@@ -337,41 +378,104 @@ def start_reload_poller(recognizer, interval_s, logger=None,
     return stop_event, thread
 
 
-def serve(config, host="127.0.0.1", port=8764, max_batch=16,
-          max_wait_ms=10.0, reload_secs=0.0, http_port=None, logger=None,
-          ready_event=None):
-    """Blocking server loop (Ctrl-C to stop). ``http_port`` (0 = pick an
-    ephemeral port) also serves the REST gateway, sharing the same
-    batching frontend (HTTP and TCP requests coalesce into the same
-    dispatches)."""
-    from srf_tpu.config import Logger
+def build_fleet(model_configs, max_batch=16, max_wait_ms=10.0,
+                reload_secs=0.0, logger=None):
+    """Build a ModelFleet from {name: config} (insertion order; first =
+    default). Each model gets its own Recognizer, BatchingFrontend and —
+    when ``reload_secs`` > 0 — hot-reload poller. Returns
+    (fleet, stop_events)."""
     from srf_tpu.serve import Recognizer
 
+    frontends, stops = {}, []
+    default = None
+    for name, config in model_configs.items():
+        recognizer = Recognizer(config, logger)
+        beam = config.decoding_beam_width
+        frontends[name] = BatchingFrontend(
+            recognizer, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            beam_width=(beam if beam and beam > 1 else None), logger=logger,
+        )
+        if reload_secs and reload_secs > 0:
+            stop, _ = start_reload_poller(
+                recognizer, reload_secs, logger=logger)
+            stops.append(stop)
+        if default is None:
+            default = name
+        if logger:
+            logger.info("fleet model %r ready (beam %s)", name, beam)
+    return ModelFleet(frontends, default), stops
+
+
+def load_fleet_spec(path, base_argv, logger=None):
+    """Parse a fleet spec JSON into {name: parsed config}.
+
+    Spec: ``{"default": "name"?, "models": {"name": {"args": [...]}}}`` —
+    each model's args are a full trainer-style flag list (conf files via
+    --config work as usual); ``base_argv`` flags are prepended so shared
+    flags can be given once on the daemon command line (a model's own
+    args win, CLI-wins semantics ending at the model level)."""
+    from srf_tpu.config import ParseOption
+
+    with open(path) as f:
+        spec = json.load(f)
+    models = spec.get("models")
+    if not models:
+        raise ValueError("fleet spec %s has no models" % path)
+    configs = {}
+    order = list(models)
+    default = spec.get("default") or order[0]
+    if default in order:  # serve the default first (it compiles first)
+        order.remove(default)
+        order.insert(0, default)
+    for name in order:
+        entry = models[name]
+        args = entry.get("args") if isinstance(entry, dict) else entry
+        if not isinstance(args, list):
+            raise ValueError(
+                "fleet model %r: expected {'args': [...]} or a flag list"
+                % name
+            )
+        configs[name] = ParseOption(
+            ["fleet:%s" % name] + list(base_argv) + [str(a) for a in args],
+            logger, is_print_opts=False,
+        ).args
+    return configs
+
+
+def serve(config, host="127.0.0.1", port=8764, max_batch=16,
+          max_wait_ms=10.0, reload_secs=0.0, http_port=None, logger=None,
+          ready_event=None, model_configs=None):
+    """Blocking server loop (Ctrl-C to stop). ``http_port`` (0 = pick an
+    ephemeral port) also serves the REST gateway, sharing the same
+    batching frontends (HTTP and TCP requests coalesce into the same
+    dispatches). ``model_configs`` ({name: config}, first = default)
+    serves a multi-model fleet; ``config`` alone is the single-model
+    case (fleet of one, name "default")."""
+    from srf_tpu.config import Logger
+
     logger = logger or Logger(name="srf_daemon", level=Logger.INFO).logger
-    recognizer = Recognizer(config, logger)
-    beam = config.decoding_beam_width
-    frontend = BatchingFrontend(
-        recognizer, max_batch=max_batch, max_wait_ms=max_wait_ms,
-        beam_width=(beam if beam and beam > 1 else None), logger=logger,
+    if model_configs is None:
+        model_configs = {"default": config}
+    fleet, stop_reloads = build_fleet(
+        model_configs, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        reload_secs=reload_secs, logger=logger,
     )
-    stop_reload = None
     if reload_secs and reload_secs > 0:
-        stop_reload, _ = start_reload_poller(
-            recognizer, reload_secs, logger=logger)
         logger.info("hot reload: polling for new checkpoints every %.1f s",
                     reload_secs)
-    server = DaemonServer((host, port), frontend)
+    server = DaemonServer((host, port), fleet)
     http_server = None
     if http_port is not None:
-        http_server = make_http_server(frontend, host, http_port)
+        http_server = make_http_server(fleet, host, http_port)
         threading.Thread(
             target=http_server.serve_forever, name="srf-http", daemon=True
         ).start()
         logger.info("HTTP gateway on %s:%d (POST /v1/transcribe, "
                     "GET /v1/health)", host, http_server.server_address[1])
     logger.info(
-        "serving on %s:%d (max_batch %d, max_wait %.1f ms, beam %s)",
-        host, server.server_address[1], max_batch, max_wait_ms, beam,
+        "serving %d model(s) [%s] on %s:%d (max_batch %d, max_wait %.1f ms)",
+        len(fleet.frontends), ", ".join(sorted(fleet.frontends)),
+        host, server.server_address[1], max_batch, max_wait_ms,
     )
     if ready_event is not None:
         ready_event.server = server
@@ -380,13 +484,13 @@ def serve(config, host="127.0.0.1", port=8764, max_batch=16,
     try:
         server.serve_forever()
     finally:
-        if stop_reload is not None:
-            stop_reload.set()
+        for stop in stop_reloads:
+            stop.set()
         if http_server is not None:
             http_server.shutdown()
             http_server.server_close()
         server.server_close()
-        frontend.close()
+        fleet.close()
 
 
 def main(argv=None):
@@ -397,7 +501,7 @@ def main(argv=None):
     logger = Logger(name="srf_daemon", level=Logger.INFO).logger
     argv = list(argv or sys.argv)
     host, port, max_batch, max_wait = "127.0.0.1", 8764, 16, 10.0
-    reload_secs, http_port = 0.0, None
+    reload_secs, http_port, fleet_path = 0.0, None, None
     filtered = []
     it = iter(argv)
     for arg in it:
@@ -413,12 +517,22 @@ def main(argv=None):
             max_wait = float(arg.split("=", 1)[1])
         elif arg.startswith("--daemon-reload-secs="):
             reload_secs = float(arg.split("=", 1)[1])
+        elif arg.startswith("--daemon-fleet="):
+            fleet_path = arg.split("=", 1)[1]
         else:
             filtered.append(arg)
-    config = ParseOption(filtered, logger, is_print_opts=False).args
+    if fleet_path:
+        # multi-model: per-model flags come from the spec; remaining
+        # command-line flags are shared prefixes for every model
+        model_configs = load_fleet_spec(
+            fleet_path, filtered[1:], logger=logger)
+        config = next(iter(model_configs.values()))
+    else:
+        model_configs = None
+        config = ParseOption(filtered, logger, is_print_opts=False).args
     serve(config, host=host, port=port, max_batch=max_batch,
           max_wait_ms=max_wait, reload_secs=reload_secs,
-          http_port=http_port, logger=logger)
+          http_port=http_port, logger=logger, model_configs=model_configs)
 
 
 if __name__ == "__main__":

@@ -247,3 +247,90 @@ def test_http_gateway_round_trip(recognizer, trained):  # noqa: F811
     finally:
         server.shutdown()
         thread.join(timeout=30)
+
+
+def test_fleet_multi_model_routing(recognizer, trained, tmp_path):  # noqa: F811
+    """--daemon-fleet: one daemon, several named models. Requests route by
+    name (omitted = default), per-model stats are reported, and unknown
+    names fail alone without touching other requests."""
+    import json as _json
+
+    import srf_tpu.serve_daemon as sd
+    from srf_tpu.config import Logger
+
+    argv, base = trained
+    rec, _ = recognizer
+    logger = Logger(name="daemon-fleet", level=Logger.INFO).logger
+    # two fleet entries over the same checkpoint with observably
+    # different decode configs: 'acc' beams, 'fast' decodes greedy
+    spec = {
+        "default": "acc",
+        "models": {
+            "acc": {"args": argv[1:] + ["--decoding-beam-width=4"]},
+            "fast": {"args": argv[1:] + ["--decoding-beam-width=1"]},
+        },
+    }
+    spec_path = tmp_path / "fleet.json"
+    spec_path.write_text(_json.dumps(spec))
+    model_configs = sd.load_fleet_spec(str(spec_path), [], logger=logger)
+    assert list(model_configs) == ["acc", "fast"]
+
+    ready = threading.Event()
+    thread = threading.Thread(
+        target=sd.serve,
+        kwargs=dict(config=None, host="127.0.0.1", port=0, max_batch=4,
+                    max_wait_ms=5, logger=logger, ready_event=ready,
+                    http_port=0, model_configs=model_configs),
+        daemon=True,
+    )
+    thread.start()
+    assert ready.wait(timeout=600)
+    server = ready.server
+    port = server.server_address[1]
+    try:
+        feats = np.load(base / "u0.None.npy")
+        # expectations from FRESH Recognizers on the same configs (the
+        # module-scoped fixture may hold older weights: the hot-reload
+        # test lands a newer checkpoint in the shared ckpt dir)
+        from srf_tpu.serve import Recognizer
+
+        want_beam = Recognizer(model_configs["acc"], logger).transcribe(
+            feats, beam_width=4, corpus="wsj")
+        want_greedy = Recognizer(model_configs["fast"], logger).transcribe(
+            feats, beam_width=None, corpus="wsj")
+
+        got_default = sd.request("127.0.0.1", port, feats, corpus="wsj")
+        got_acc = sd.request("127.0.0.1", port, feats, corpus="wsj",
+                             model="acc")
+        got_fast = sd.request("127.0.0.1", port, feats, corpus="wsj",
+                              model="fast")
+        assert got_default == want_beam == got_acc
+        assert got_fast == want_greedy
+
+        with pytest.raises(RuntimeError, match="unknown model"):
+            sd.request("127.0.0.1", port, feats, model="nope")
+
+        stats = sd.stats_request("127.0.0.1", port)
+        assert stats["default_model"] == "acc"
+        assert stats["models"]["acc"]["requests"] == 2
+        assert stats["models"]["fast"]["requests"] == 1
+
+        # HTTP gateway routes by model too
+        import urllib.request as _url
+
+        http_port = ready.http_server.server_address[1]
+        body = _json.dumps({
+            "feats": feats.tolist(), "corpus": "wsj", "model": "fast",
+        }).encode()
+        reply = _json.loads(_url.urlopen(_url.Request(
+            "http://127.0.0.1:%d/v1/transcribe" % http_port, data=body,
+            headers={"Content-Type": "application/json"},
+        ), timeout=120).read())
+        assert (list(reply["ids"]), reply["text"]) == want_greedy
+        health = _json.loads(_url.urlopen(
+            "http://127.0.0.1:%d/v1/health" % http_port, timeout=30
+        ).read())
+        assert set(health["models"]) == {"acc", "fast"}
+    finally:
+        server.shutdown()
+        thread.join(timeout=30)

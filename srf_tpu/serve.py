@@ -240,6 +240,25 @@ class Recognizer:
         One forward + one batched decode dispatch for the whole list
         (BENCH_NOTES: 469x realtime at batch 16 with beam 100 on v5e).
         """
+        return [
+            (d["ids"], d["text"]) for d in self.transcribe_batch_detailed(
+                feats_list, beam_width=beam_width,
+                pad_multiple=pad_multiple, corpus=corpus,
+            )
+        ]
+
+    def transcribe_batch_detailed(self, feats_list, beam_width=None,
+                                  pad_multiple=128, corpus="timit"):
+        """Like transcribe_batch, with per-utterance scoring detail.
+
+        Returns dicts {ids, text, score, avg_logp, confidence}: ``score``
+        is the hypothesis log-score — for beam decodes the merged-prefix
+        CTC mass of the best beam (plus the weighted LM when fusing), for
+        greedy the best-path (Viterbi) log-prob of the emitted alignment;
+        ``avg_logp`` normalizes by decoded frames and ``confidence`` is
+        its exp, a length-independent (0, 1] signal for
+        rejection/thresholding in serving pipelines.
+        """
         if not feats_list:
             return []
         feats_list = [np.asarray(f, np.float32) for f in feats_list]
@@ -268,9 +287,11 @@ class Recognizer:
         if beam_width and beam_width > 1:
             from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
 
-            decoded = [ids for ids, _ in ctc_beam_search_batch_jax(
+            results = ctc_beam_search_batch_jax(
                 logits, dec_lens, beam_width, self.blank_id, lm=self.lm
-            )]
+            )
+            decoded = [ids for ids, _ in results]
+            scores = [score for _, score in results]
         else:
             out, lens = greedy_decode_jit(
                 logits, jnp.asarray(dec_lens), blank_id=self.blank_id
@@ -280,10 +301,24 @@ class Recognizer:
                 [int(x) for x in out[i, : int(lens[i])]]
                 for i in range(len(feats_list))
             ]
+            # best-path (Viterbi) log-prob over the valid frames
+            logp = np.asarray(jax.nn.log_softmax(
+                jnp.asarray(logits, jnp.float32), axis=-1))
+            frame_max = logp.max(axis=-1)  # [B, T']
+            pos = np.arange(frame_max.shape[1])[None, :]
+            scores = (frame_max * (pos < dec_lens[:, None])).sum(axis=-1)
         raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
-        return [
-            (ids, ids_to_utt(ids, raw_vocab, corpus)) for ids in decoded
-        ]
+        out = []
+        for i, ids in enumerate(decoded):
+            avg = float(scores[i]) / max(int(dec_lens[i]), 1)
+            out.append({
+                "ids": ids,
+                "text": ids_to_utt(ids, raw_vocab, corpus),
+                "score": float(scores[i]),
+                "avg_logp": avg,
+                "confidence": float(np.exp(min(avg, 0.0))),
+            })
+        return out
 
 
 def main(argv=None):

@@ -58,8 +58,10 @@ class BatchingFrontend:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, feats, corpus="timit"):
-        """feats: [T, feat_dim] numpy -> Future of (ids, text).
+    def submit(self, feats, corpus="timit", detailed=False):
+        """feats: [T, feat_dim] numpy -> Future of (ids, text) — or, with
+        ``detailed``, of the full scoring dict ({ids, text, score,
+        avg_logp, confidence}, Recognizer.transcribe_batch_detailed).
 
         Shape-validates HERE so one malformed request is rejected alone
         instead of failing every co-batched request when the batched
@@ -73,7 +75,7 @@ class BatchingFrontend:
                 "expected [T, %d] features, got %s" % (feat_dim, feats.shape)
             )
         fut = Future()
-        self._q.put((feats, corpus, fut))
+        self._q.put((feats, corpus, detailed, fut))
         return fut
 
     def transcribe(self, feats, corpus="timit", timeout=None):
@@ -114,7 +116,7 @@ class BatchingFrontend:
             batch = self._gather()
             if batch is None:
                 return
-            feats_list = [feats for feats, _, _ in batch]
+            feats_list = [feats for feats, _, _, _ in batch]
             n_real = len(feats_list)
             if self.pad_batch and n_real < self.max_batch:
                 dummy = np.zeros(
@@ -122,11 +124,11 @@ class BatchingFrontend:
                 )
                 feats_list = feats_list + [dummy] * (self.max_batch - n_real)
             try:
-                results = self.rec.transcribe_batch(
+                results = self.rec.transcribe_batch_detailed(
                     feats_list, beam_width=self.beam_width
                 )
             except Exception as exc:  # propagate to every waiter
-                for _, _, fut in batch:
+                for _, _, _, fut in batch:
                     fut.set_exception(exc)
                 continue
             from srf_tpu.utils.log2utt import ids_to_utt
@@ -134,8 +136,15 @@ class BatchingFrontend:
             raw_vocab = [
                 t if t != " " else "<SPACE>" for t in self.rec.vocab
             ]
-            for (ids, _), (_, corpus, fut) in zip(results[:n_real], batch):
-                fut.set_result((ids, ids_to_utt(ids, raw_vocab, corpus)))
+            for detail, (_, corpus, detailed, fut) in zip(
+                results[:n_real], batch
+            ):
+                detail = dict(
+                    detail, text=ids_to_utt(detail["ids"], raw_vocab, corpus)
+                )
+                fut.set_result(
+                    detail if detailed else (detail["ids"], detail["text"])
+                )
             self.stats["requests"] += n_real
             self.stats["batches"] += 1
             self.stats["batch_sizes"].append(n_real)
@@ -228,10 +237,13 @@ def _send_msg(sock, obj):
     sock.sendall(struct.pack(">I", len(body)) + body)
 
 
-def request(host, port, feats, corpus="timit", timeout=60.0, model=None):
+def request(host, port, feats, corpus="timit", timeout=60.0, model=None,
+            detailed=False):
     """Client helper: one transcription round trip. -> (ids, text).
 
-    ``model`` selects a fleet model by name (None = the daemon default)."""
+    ``model`` selects a fleet model by name (None = the daemon default);
+    ``detailed`` returns the full response dict instead (adds score /
+    avg_logp / confidence)."""
     feats = np.ascontiguousarray(feats, np.float32)
     head = {"shape": list(feats.shape), "corpus": corpus}
     if model is not None:
@@ -244,6 +256,8 @@ def request(host, port, feats, corpus="timit", timeout=60.0, model=None):
         body = json.loads(_read_exact(sock, n).decode("utf-8"))
     if "error" in body:
         raise RuntimeError("server error: %s" % body["error"])
+    if detailed:
+        return body
     return list(body["ids"]), body["text"]
 
 
@@ -269,11 +283,16 @@ class _Handler(socketserver.BaseRequestHandler):
             t, d = header["shape"]
             raw = _read_exact(self.request, int(t) * int(d) * 4)
             feats = np.frombuffer(raw, np.float32).reshape(int(t), int(d))
-            ids, text = frontend.transcribe(
-                feats, corpus=header.get("corpus", "timit")
-            )
-            _send_msg(self.request, {"ids": [int(i) for i in ids],
-                                     "text": text})
+            detail = frontend.submit(
+                feats, corpus=header.get("corpus", "timit"), detailed=True
+            ).result()
+            _send_msg(self.request, {
+                "ids": [int(i) for i in detail["ids"]],
+                "text": detail["text"],
+                "score": detail["score"],
+                "avg_logp": detail["avg_logp"],
+                "confidence": detail["confidence"],
+            })
         except Exception as exc:  # noqa: BLE001 — report to the client
             try:
                 _send_msg(self.request, {"error": str(exc)})
@@ -340,11 +359,16 @@ def make_http_server(fleet, host, port):
                     feats = np.frombuffer(raw, "<f4").reshape(t, d)
                 else:
                     feats = np.asarray(req["feats"], np.float32)
-                ids, text = frontend.transcribe(
-                    feats, corpus=req.get("corpus", "timit")
-                )
-                self._reply(200, {"ids": [int(i) for i in ids],
-                                  "text": text})
+                detail = frontend.submit(
+                    feats, corpus=req.get("corpus", "timit"), detailed=True
+                ).result()
+                self._reply(200, {
+                    "ids": [int(i) for i in detail["ids"]],
+                    "text": detail["text"],
+                    "score": detail["score"],
+                    "avg_logp": detail["avg_logp"],
+                    "confidence": detail["confidence"],
+                })
             except Exception as exc:  # noqa: BLE001 — report to the client
                 self._reply(400, {"error": str(exc)})
 

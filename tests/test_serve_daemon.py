@@ -334,3 +334,34 @@ def test_fleet_multi_model_routing(recognizer, trained, tmp_path):  # noqa: F811
     finally:
         server.shutdown()
         thread.join(timeout=30)
+
+
+def test_detailed_scoring_fields(recognizer):
+    """transcribe_batch_detailed + the daemon's detailed path: score is
+    the hypothesis log-score, confidence = exp(avg_logp) in (0, 1], and
+    the plain tuple API is unchanged."""
+    from srf_tpu.serve_daemon import BatchingFrontend
+
+    rec, base = recognizer
+    feats = np.load(base / "u0.None.npy")
+    for beam in (4, None):
+        details = rec.transcribe_batch_detailed(
+            [feats], beam_width=beam, corpus="wsj"
+        )
+        (d,) = details
+        assert d["score"] <= 0.0 and np.isfinite(d["score"])
+        assert 0.0 < d["confidence"] <= 1.0
+        assert abs(d["avg_logp"]) >= abs(d["score"]) / 10000
+        ids, text = rec.transcribe(feats, beam_width=beam, corpus="wsj")
+        assert ids == d["ids"] and text == d["text"]
+
+    frontend = BatchingFrontend(rec, max_batch=4, max_wait_ms=5,
+                                beam_width=4)
+    try:
+        detail = frontend.submit(feats, corpus="wsj",
+                                 detailed=True).result(timeout=120)
+        plain = frontend.submit(feats, corpus="wsj").result(timeout=120)
+    finally:
+        frontend.close()
+    assert plain == (detail["ids"], detail["text"])
+    assert 0.0 < detail["confidence"] <= 1.0

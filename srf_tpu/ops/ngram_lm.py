@@ -134,22 +134,32 @@ def train_ngram(seqs, vocab_size, order):
     )
 
     # counts per order: counts[m] is [base**m, vocab_size] for context
-    # length m (m = 0 .. order-1)
+    # length m (m = 0 .. order-1); vectorized per sequence — the context
+    # id at position t is sum_j s[t-j] * base**(j-1) (BOS-padded), built
+    # with ``order`` shifted adds, then one np.add.at scatter
     counts = [
         np.zeros((base**m, vocab_size), np.float64)
         for m in range(order)
     ]
     for ids in seqs:
-        ctxs = [lm_ctx0(vocab_size, m + 1) for m in range(order)]
-        for sym in ids:
-            sym = int(sym)
-            if not 0 <= sym < vocab_size:
-                raise ValueError("token id %d outside vocab %d"
-                                 % (sym, vocab_size))
-            for m in range(order):
-                counts[m][ctxs[m], sym] += 1.0
-                keep = base ** max(m - 1, 0)
-                ctxs[m] = (ctxs[m] % keep) * base + sym if m else 0
+        syms = np.asarray(ids, np.int64)
+        if syms.size == 0:
+            continue
+        if syms.min() < 0 or syms.max() >= vocab_size:
+            raise ValueError(
+                "token id %d outside vocab %d"
+                % (syms.min() if syms.min() < 0 else syms.max(), vocab_size)
+            )
+        # padded[t] = BOS for t < order-1, then the sequence
+        padded = np.concatenate(
+            [np.full((order - 1,), vocab_size, np.int64), syms]
+        )
+        t0 = order - 1  # index of syms[0] in padded
+        for m in range(order):
+            ctx = np.zeros((syms.size,), np.int64)
+            for j in range(1, m + 1):
+                ctx += padded[t0 - j: t0 - j + syms.size] * base ** (j - 1)
+            np.add.at(counts[m], (ctx, syms), 1.0)
 
     # unigram, interpolated with uniform via Witten-Bell
     c1 = counts[0][0]

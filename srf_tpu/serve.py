@@ -204,9 +204,12 @@ class Recognizer:
         """
         from srf_tpu.streaming import StreamingTranscriber
 
+        # lm rides unconditionally: the streamed beam fuses it when
+        # beam_width is set, and flush(beam_width=N) offline rescores
+        # fuse it even from a greedy-streaming session
         return StreamingTranscriber(
             self.model, self._f32_variables(), self.blank_id, chunk=chunk,
-            beam_width=beam_width, lm=self.lm if beam_width else None,
+            beam_width=beam_width, lm=self.lm,
         )
 
     def streaming_pool(self, slots, chunk=8, beam_width=None):
@@ -221,8 +224,7 @@ class Recognizer:
 
         return StreamingPool(
             self.model, self._f32_variables(), self.blank_id, slots=slots,
-            chunk=chunk, beam_width=beam_width,
-            lm=self.lm if beam_width else None,
+            chunk=chunk, beam_width=beam_width, lm=self.lm,
         )
 
     def transcribe(self, feats, beam_width=None, pad_multiple=128,

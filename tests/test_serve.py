@@ -374,3 +374,42 @@ def test_shallow_fusion_through_serving(trained, tmp_path):
     # training text is only ever "ab": an overwhelming LM only lets
     # corpus-plausible tokens through (ids 1='a', 2='b') or nothing
     assert all(i in (1, 2) for i in ids_heavy)
+
+
+def test_streaming_fuses_recognizer_lm(trained_srf, tmp_path):
+    """The Recognizer's --tpu-lm-path reaches BOTH streaming beam paths:
+    the streamed beam (beam_width at session construction) and the
+    flush(beam_width=N) offline rescore from a greedy session — each must
+    equal the Recognizer's own fused batch decode."""
+    argv, base = trained_srf
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+    from srf_tpu.tools import train_ngram_lm
+
+    logger = Logger(name="serve-stream-lm", level=Logger.INFO).logger
+    lm_path = str(tmp_path / "lm.npz")
+    train_ngram_lm.main(
+        ["prog", "--tpu-lm-out", lm_path, "--tpu-lm-order=2"] + argv[1:]
+    )
+    config = ParseOption(
+        argv + ["--tpu-lm-path=%s" % lm_path, "--tpu-lm-weight=2.0",
+                "--tpu-lm-bonus=0.3"],
+        logger, is_print_opts=False,
+    ).args
+    rec = Recognizer(config, logger)
+    feats = np.load(base / "u1.None.npy")
+    want_ids, _ = rec.transcribe(feats, beam_width=4, corpus="wsj")
+
+    # streamed fused beam
+    session = rec.streaming_session(chunk=4, beam_width=4)
+    for start in range(0, feats.shape[0], 9):
+        session.push(feats[start:start + 9])
+    ids, _score = session.flush()
+    assert ids == want_ids
+
+    # greedy session, fused offline rescore at flush
+    session = rec.streaming_session(chunk=4)
+    for start in range(0, feats.shape[0], 9):
+        session.push(feats[start:start + 9])
+    ids = list(session.flush(beam_width=4))
+    assert ids == want_ids

@@ -37,10 +37,19 @@ def main():
         jnp.asarray(raw[None, :64]), jnp.asarray([64]), False,
     )
 
+    lm = None
+    if "--lm" in sys.argv:
+        # fused streaming cost probe: random 3-gram over the 62 tokens
+        from srf_tpu.ops.ngram_lm import train_ngram
+
+        texts = [host.randint(0, 62, size=40).tolist() for _ in range(50)]
+        lm = (train_ngram(texts, 62, 3), 0.5, 0.5)
+
     for beam in (None, 100):
         for chunk in (4, 8, 16, 32):
             session = StreamingTranscriber(model, variables, blank_id=62,
-                                           chunk=chunk, beam_width=beam)
+                                           chunk=chunk, beam_width=beam,
+                                           lm=lm if beam else None)
             chunk_raw = chunk * 4
             session.push(raw[:chunk_raw]); session.flush()  # warm compile
             session.reset()
@@ -55,7 +64,8 @@ def main():
             print(
                 "%s chunk %2d (%3d ms audio): max push %6.1f ms, "
                 "mean %6.1f ms, RTF %5.2fx" % (
-                    "greedy  " if beam is None else "beam-100",
+                    "greedy  " if beam is None
+                    else ("beam-100+lm" if lm else "beam-100"),
                     chunk, chunk_raw * 10, max(lat) * 1e3,
                     float(np.mean(lat)) * 1e3, frames * 0.01 / total,
                 ),

@@ -135,8 +135,10 @@ def main():
                         help="> 0: train an n-gram LM on the training "
                              "transcripts and score a shallow-fusion "
                              "decode arm next to the acoustic-only one")
-    parser.add_argument("--lm-weight", type=float, default=0.3)
-    parser.add_argument("--lm-bonus", type=float, default=0.0)
+    parser.add_argument("--lm-weight", default="0.3",
+                        help="comma list: each (weight, bonus) combo is a "
+                             "decode arm on the SAME checkpoint")
+    parser.add_argument("--lm-bonus", default="0.0", help="comma list")
     parser.add_argument("--extra", action="append", default=[],
                         help="extra trainer flags (repeatable), e.g. "
                              "--extra=--tpu-specaug=True")
@@ -251,11 +253,13 @@ def main():
              "--path-base=%s" % base, "--path-vocab=synth.vocab",
              "--path-train-json=train.json", "--prep-data-unit=bpe"],
             log=os.path.join(base, "lm.log"))
-        decode_and_score("_lm", [
-            "--tpu-lm-path=%s" % lm_path,
-            "--tpu-lm-weight=%g" % args.lm_weight,
-            "--tpu-lm-bonus=%g" % args.lm_bonus,
-        ])
+        for weight in args.lm_weight.split(","):
+            for bonus in args.lm_bonus.split(","):
+                decode_and_score("_lm_w%s_b%s" % (weight, bonus), [
+                    "--tpu-lm-path=%s" % lm_path,
+                    "--tpu-lm-weight=%s" % weight,
+                    "--tpu-lm-bonus=%s" % bonus,
+                ])
     # trained with an EMA? also score the EMA weights (raw-vs-EMA A/B)
     ema_flags = [e for e in args.extra if e.startswith("--tpu-ema-decay")]
     if ema_flags:

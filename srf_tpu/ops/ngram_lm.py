@@ -200,10 +200,18 @@ def lm_ctx0(vocab_size, order):
 
 
 def load_lm_from_config(config, logger=None):
-    """Resolve the --tpu-lm-* flags into (NGramLM, weight, bonus) or None."""
+    """Resolve the --tpu-lm-* flags into (NGramLM, weight, bonus) or None.
+
+    The path resolves against --path-base like every other path flag
+    (reference semantics: misc_helper.py:62-75)."""
     path = getattr(config, "tpu_lm_path", None)
     if not path:
         return None
+    base = getattr(config, "path_base", None)
+    if base:
+        from srf_tpu.utils.vocab import get_file_path
+
+        path = get_file_path(base, path)
     lm = NGramLM.load(path)
     weight = float(getattr(config, "tpu_lm_weight", 0.3))
     bonus = float(getattr(config, "tpu_lm_bonus", 0.0))

@@ -138,6 +138,19 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
         merged_in = jnp.where(
             has_match, ext_for_stay[jnp.arange(W), matched_i], NEG
         )
+        # timestamp bookkeeping: if the merging extend carries MORE mass
+        # than the stay's whole existing prefix mass, the tape entry for
+        # this slot is recorded as that extend (same decoded sequence —
+        # parent prefix + last == stay prefix by the hash match — but the
+        # emission frame follows the dominant path, not a negligible-mass
+        # early creation of the same prefix)
+        stay_before = jnp.logaddexp(
+            jnp.maximum(stay_pb, NEG), jnp.maximum(stay_pnb, NEG)
+        )
+        stay_before = jnp.where(
+            (stay_pb <= NEG) & (stay_pnb <= NEG), NEG, stay_before
+        )
+        remerge = has_match & (merged_in > stay_before)
         stay_pnb = jnp.where(
             has_match,
             jnp.logaddexp(jnp.maximum(stay_pnb, NEG), merged_in),
@@ -211,8 +224,14 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
                 is_stay, lm_stay[safe_stay], lm_ext.reshape(-1)[ext_idx]
             ),
         }
-        parent = jnp.where(is_stay, safe_stay, ext_beam).astype(jnp.int32)
-        sym = jnp.where(is_stay, -1, ext_sym).astype(jnp.int32)
+        stay_parent = jnp.where(
+            remerge, matched_i, jnp.arange(W)
+        )[safe_stay]
+        stay_sym = jnp.where(remerge, last_safe, -1)[safe_stay]
+        parent = jnp.where(
+            is_stay, stay_parent, ext_beam
+        ).astype(jnp.int32)
+        sym = jnp.where(is_stay, stay_sym, ext_sym).astype(jnp.int32)
 
         # freeze state past the sequence length
         active = t < length
@@ -301,22 +320,34 @@ def beam_chunk_step(state, logits, t0, length, beam_width, blank_id,
     return state, parents, syms, beam_scores(state)
 
 
-def _backtrace(parents, syms, scores, beam=None):
-    """Reverse-walk the recorded backpointers for the best final beam."""
+def _backtrace(parents, syms, scores, beam=None, with_frames=False):
+    """Reverse-walk the recorded backpointers for the best final beam.
+
+    ``with_frames``: also return the tape frame index at which each symbol
+    entered the winning prefix — CTC emission timestamps. Tape indices are
+    global logit-frame indices (invalid frames record identity
+    backpointers and sym -1, so they never emit)."""
     best = int(np.argmax(scores)) if beam is None else beam
     seq = []
+    frames = []
     beam = best
     for t in range(parents.shape[0] - 1, -1, -1):
         if syms[t, beam] >= 0:
             seq.append(int(syms[t, beam]))
+            frames.append(t)
         beam = int(parents[t, beam])
     seq.reverse()
+    frames.reverse()
+    if with_frames:
+        return seq, float(scores[best]), frames
     return seq, float(scores[best])
 
 
 def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None,
-                        lm=None):
-    """Decode one utterance on device; returns (ids list, score).
+                        lm=None, with_frames=False):
+    """Decode one utterance on device; returns (ids list, score) — or
+    (ids, score, frames) with ``with_frames`` (per-symbol emission frame
+    indices, see ``_backtrace``).
 
     ``lm``: optional (ngram_lm.NGramLM, weight, bonus) for shallow fusion.
     """
@@ -328,7 +359,7 @@ def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None,
         **lm_fusion_args(lm, logits.shape[-1]),
     )
     return _backtrace(np.asarray(parents), np.asarray(syms),
-                      np.asarray(scores))
+                      np.asarray(scores), with_frames=with_frames)
 
 
 @functools.partial(
@@ -349,11 +380,12 @@ def _beam_scan_batch(logits, lengths, beam_width, blank_id, lm_table=None,
 
 
 def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
-                              blank_id=None, lm=None):
+                              blank_id=None, lm=None, with_frames=False):
     """Decode a batch of utterances on device in one dispatch.
 
     logits [B, T, V], logit_lengths [B] -> list of (ids, score) per
-    utterance. Same merged-prefix semantics as ``ctc_beam_search_jax``
+    utterance — (ids, score, frames) with ``with_frames``. Same
+    merged-prefix semantics as ``ctc_beam_search_jax``
     (per-utterance results are identical); only the dispatch is batched,
     so device fixed costs amortize across the batch for serving.
     ``lm``: optional (ngram_lm.NGramLM, weight, bonus) shallow fusion,
@@ -370,6 +402,6 @@ def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
     syms = np.asarray(syms)
     scores = np.asarray(scores)
     return [
-        _backtrace(parents[b], syms[b], scores[b])
+        _backtrace(parents[b], syms[b], scores[b], with_frames=with_frames)
         for b in range(logits.shape[0])
     ]

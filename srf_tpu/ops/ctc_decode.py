@@ -58,8 +58,43 @@ def greedy_decode(logits, logit_lengths, blank_id=None):
 greedy_decode_jit = jax.jit(greedy_decode, static_argnames=("blank_id",))
 
 
+def greedy_decode_frames(logits, logit_lengths, blank_id=None):
+    """Best-path decode with per-symbol emission frames.
+
+    Returns (ids [B, T], lengths [B], frames [B, T]): ``frames[b, i]`` is
+    the logit-frame index where ``ids[b, i]`` was emitted (the FIRST frame
+    of its argmax run, the standard CTC timestamp convention). Same
+    collapse semantics as :func:`greedy_decode`; padded slots hold 0.
+    """
+    if blank_id is None:
+        blank_id = logits.shape[-1] - 1
+    batch, maxlen, _ = logits.shape
+    best = jnp.argmax(logits, axis=-1)  # [B, T]
+    positions = jnp.arange(maxlen)[None, :]
+    valid = positions < logit_lengths[:, None]
+    prev = jnp.concatenate([jnp.full((batch, 1), -1), best[:, :-1]], axis=1)
+    keep = valid & (best != blank_id) & (best != prev)
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    compacted = jnp.take_along_axis(best, order, axis=1)
+    frames = jnp.take_along_axis(
+        jnp.broadcast_to(positions, best.shape), order, axis=1
+    )
+    lengths = jnp.sum(keep, axis=1)
+    mask = positions < lengths[:, None]
+    return (
+        jnp.where(mask, compacted, 0),
+        lengths,
+        jnp.where(mask, frames, 0),
+    )
+
+
+greedy_decode_frames_jit = jax.jit(
+    greedy_decode_frames, static_argnames=("blank_id",)
+)
+
+
 def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
-                       top_paths=1, lm=None):
+                       top_paths=1, lm=None, return_frames=False):
     """Merged-prefix CTC beam search for one utterance.
 
     Args:
@@ -70,8 +105,13 @@ def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
             ``ctc + weight*logP_lm(prefix) + bonus*len(prefix)``. This is
             the host oracle for the on-device fused beam
             (ops/ctc_beam_jax.py).
+        return_frames: also return each hypothesis's per-symbol emission
+            frames (the frame at which each symbol first entered the
+            prefix — merged prefixes keep the EARLIEST creation, matching
+            the device beam's backpointer-tape convention).
     Returns:
-        list of (ids, neg_score) tuples, best first.
+        list of (ids, neg_score) tuples, best first — or
+        (ids, neg_score, frames) with ``return_frames``.
     """
     logits = np.asarray(logits, np.float64)
     if blank_id is None:
@@ -107,6 +147,10 @@ def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
 
     # beams: prefix tuple -> [p_blank, p_non_blank] (log)
     beams = {(): [0.0, LOG_ZERO]}
+    # prefix -> per-symbol emission frames; recorded for pruning SURVIVORS
+    # only (every parent is a survivor of an earlier step, so its frames
+    # always exist), earliest creation wins (setdefault)
+    first_frames = {(): ()}
     for t in range(int(logit_length)):
         lp = log_probs[t]
         # prune symbols below a floor to keep the python loop tractable
@@ -140,11 +184,22 @@ def prefix_beam_search(logits, logit_length, beam_width=100, blank_id=None,
             key=lambda kv: -_rank(kv[0], kv[1][0], kv[1][1]),
         )
         beams = dict(scored[:beam_width])
+        if return_frames:
+            for prefix in beams:
+                if prefix not in first_frames:
+                    first_frames[prefix] = (
+                        first_frames[prefix[:-1]] + (t,)
+                    )
     results = sorted(
         ((prefix, _rank(prefix, pb, pnb))
          for prefix, (pb, pnb) in beams.items()),
         key=lambda kv: -kv[1],
     )
+    if return_frames:
+        return [
+            (list(prefix), -score, list(first_frames.get(prefix, ())))
+            for prefix, score in results[:top_paths]
+        ]
     return [
         (list(prefix), -score) for prefix, score in results[:top_paths]
     ]

@@ -27,7 +27,7 @@ from srf_tpu.config import Logger, ParseOption
 from srf_tpu.models.registry import build_model
 import functools
 
-from srf_tpu.ops.ctc_decode import greedy_decode_jit
+from srf_tpu.ops.ctc_decode import greedy_decode_frames_jit
 
 
 @functools.lru_cache(maxsize=1)
@@ -253,13 +253,17 @@ class Recognizer:
                                   pad_multiple=128, corpus="timit"):
         """Like transcribe_batch, with per-utterance scoring detail.
 
-        Returns dicts {ids, text, score, avg_logp, confidence}: ``score``
-        is the hypothesis log-score — for beam decodes the merged-prefix
-        CTC mass of the best beam (plus the weighted LM when fusing), for
-        greedy the best-path (Viterbi) log-prob of the emitted alignment;
-        ``avg_logp`` normalizes by decoded frames and ``confidence`` is
-        its exp, a length-independent (0, 1] signal for
-        rejection/thresholding in serving pipelines.
+        Returns dicts {ids, text, score, avg_logp, confidence, frames,
+        times}: ``score`` is the hypothesis log-score — for beam decodes
+        the merged-prefix CTC mass of the best beam (plus the weighted LM
+        when fusing), for greedy the best-path (Viterbi) log-prob of the
+        emitted alignment; ``avg_logp`` normalizes by decoded frames and
+        ``confidence`` is its exp, a length-independent (0, 1] signal for
+        rejection/thresholding in serving pipelines. ``frames`` holds each
+        symbol's emission logit-frame index (first frame of its run /
+        frame it entered the beam prefix) and ``times`` the corresponding
+        start time in seconds (10 ms input frames x the model's
+        subsampling; reference front-end: egs/script/fbank123.sh).
         """
         if not feats_list:
             return []
@@ -290,17 +294,24 @@ class Recognizer:
             from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
 
             results = ctc_beam_search_batch_jax(
-                logits, dec_lens, beam_width, self.blank_id, lm=self.lm
+                logits, dec_lens, beam_width, self.blank_id, lm=self.lm,
+                with_frames=True,
             )
-            decoded = [ids for ids, _ in results]
-            scores = [score for _, score in results]
+            decoded = [ids for ids, _, _ in results]
+            scores = [score for _, score, _ in results]
+            frames = [fr for _, _, fr in results]
         else:
-            out, lens = greedy_decode_jit(
+            out, lens, emit = greedy_decode_frames_jit(
                 logits, jnp.asarray(dec_lens), blank_id=self.blank_id
             )
             out, lens = np.asarray(out), np.asarray(lens)
+            emit = np.asarray(emit)
             decoded = [
                 [int(x) for x in out[i, : int(lens[i])]]
+                for i in range(len(feats_list))
+            ]
+            frames = [
+                [int(x) for x in emit[i, : int(lens[i])]]
                 for i in range(len(feats_list))
             ]
             # best-path (Viterbi) log-prob over the valid frames
@@ -310,6 +321,7 @@ class Recognizer:
             pos = np.arange(frame_max.shape[1])[None, :]
             scores = (frame_max * (pos < dec_lens[:, None])).sum(axis=-1)
         raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
+        frame_shift_s = 0.01 * self.in_len_div  # 10 ms frames x subsample
         out = []
         for i, ids in enumerate(decoded):
             avg = float(scores[i]) / max(int(dec_lens[i]), 1)
@@ -319,6 +331,8 @@ class Recognizer:
                 "score": float(scores[i]),
                 "avg_logp": avg,
                 "confidence": float(np.exp(min(avg, 0.0))),
+                "frames": list(frames[i]),
+                "times": [round(f * frame_shift_s, 4) for f in frames[i]],
             })
         return out
 

@@ -222,6 +222,21 @@ class ModelFleet:
 #           {"error": "..."}
 
 
+def _response_body(detail):
+    """JSON-safe response body from a transcribe_batch_detailed dict —
+    shared by the TCP and HTTP front-ends so both protocols expose the
+    same fields (incl. per-symbol emission frames + start times)."""
+    return {
+        "ids": [int(i) for i in detail["ids"]],
+        "text": detail["text"],
+        "score": detail["score"],
+        "avg_logp": detail["avg_logp"],
+        "confidence": detail["confidence"],
+        "frames": [int(f) for f in detail["frames"]],
+        "times": detail["times"],
+    }
+
+
 def _read_exact(sock, n):
     buf = b""
     while len(buf) < n:
@@ -286,13 +301,7 @@ class _Handler(socketserver.BaseRequestHandler):
             detail = frontend.submit(
                 feats, corpus=header.get("corpus", "timit"), detailed=True
             ).result()
-            _send_msg(self.request, {
-                "ids": [int(i) for i in detail["ids"]],
-                "text": detail["text"],
-                "score": detail["score"],
-                "avg_logp": detail["avg_logp"],
-                "confidence": detail["confidence"],
-            })
+            _send_msg(self.request, _response_body(detail))
         except Exception as exc:  # noqa: BLE001 — report to the client
             try:
                 _send_msg(self.request, {"error": str(exc)})
@@ -362,13 +371,7 @@ def make_http_server(fleet, host, port):
                 detail = frontend.submit(
                     feats, corpus=req.get("corpus", "timit"), detailed=True
                 ).result()
-                self._reply(200, {
-                    "ids": [int(i) for i in detail["ids"]],
-                    "text": detail["text"],
-                    "score": detail["score"],
-                    "avg_logp": detail["avg_logp"],
-                    "confidence": detail["confidence"],
-                })
+                self._reply(200, _response_body(detail))
             except Exception as exc:  # noqa: BLE001 — report to the client
                 self._reply(400, {"error": str(exc)})
 

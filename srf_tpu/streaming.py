@@ -198,6 +198,7 @@ class StreamingTranscriber:
         self._prev_id = self.blank_id
         self._decoded_frames = 0
         self._tokens = []
+        self._token_frames = []  # emission frame per greedy token
         if self.beam_width:
             from srf_tpu.ops.ctc_beam_jax import beam_init
 
@@ -268,8 +269,10 @@ class StreamingTranscriber:
             return self.hypothesis()
         return self._tokens[start:]
 
-    def hypothesis(self):
-        """Current best streamed-beam hypothesis ``(ids, score)``.
+    def hypothesis(self, with_frames=False):
+        """Current best streamed-beam hypothesis ``(ids, score)`` — or
+        ``(ids, score, frames)`` with ``with_frames`` (per-symbol emission
+        logit-frame indices; multiply by ``div`` x 10 ms for times).
 
         Backtraces the accumulated backpointer tape; the best path may
         revise earlier output (beam search is not prefix-monotone), which
@@ -277,7 +280,7 @@ class StreamingTranscriber:
         from srf_tpu.ops.ctc_beam_jax import _backtrace
 
         if not self._beam_tape:
-            return [], 0.0
+            return ([], 0.0, []) if with_frames else ([], 0.0)
         # the tape blocks live on device until here (push never blocks on
         # them); this is the single host sync of the streamed beam
         parents = np.concatenate(
@@ -286,7 +289,14 @@ class StreamingTranscriber:
         syms = np.concatenate(
             [np.asarray(s) for _, s in self._beam_tape], axis=0
         )
-        return _backtrace(parents, syms, np.asarray(self._beam_scores))
+        return _backtrace(parents, syms, np.asarray(self._beam_scores),
+                          with_frames=with_frames)
+
+    @property
+    def token_frames(self):
+        """Emission logit-frame index of every greedy token emitted so far
+        (parallel to the accumulated ``push`` outputs)."""
+        return list(self._token_frames)
 
     def _beam_advance(self, limit):
         """Advance the carried beam scan over newly available logit frames
@@ -421,10 +431,11 @@ class StreamingTranscriber:
             return
         logits = self.logits_slice(self._decoded_frames, total)
         ids = np.argmax(logits, axis=-1)
-        for frame_id in ids:
+        for k, frame_id in enumerate(ids):
             frame_id = int(frame_id)
             if frame_id != self.blank_id and frame_id != self._prev_id:
                 self._tokens.append(frame_id)
+                self._token_frames.append(self._decoded_frames + k)
             self._prev_id = frame_id
         self._decoded_frames = total
 
@@ -554,9 +565,9 @@ class StreamingPool:
         while self.step():
             pass
 
-    def hypothesis(self, slot):
+    def hypothesis(self, slot, with_frames=False):
         """Current best streamed-beam hypothesis for ``slot``."""
-        return self.sessions[slot].hypothesis()
+        return self.sessions[slot].hypothesis(with_frames=with_frames)
 
     def flush(self, slot):
         """End of utterance for ``slot``: drain its tail via the session's

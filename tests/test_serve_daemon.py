@@ -354,6 +354,12 @@ def test_detailed_scoring_fields(recognizer):
         assert abs(d["avg_logp"]) >= abs(d["score"]) / 10000
         ids, text = rec.transcribe(feats, beam_width=beam, corpus="wsj")
         assert ids == d["ids"] and text == d["text"]
+        # per-symbol emission timestamps: one frame per symbol, strictly
+        # increasing, times = frames x 10 ms x subsampling
+        assert len(d["frames"]) == len(d["ids"])
+        assert all(b > a for a, b in zip(d["frames"], d["frames"][1:]))
+        shift = 0.01 * rec.in_len_div
+        assert d["times"] == [round(f * shift, 4) for f in d["frames"]]
 
     frontend = BatchingFrontend(rec, max_batch=4, max_wait_ms=5,
                                 beam_width=4)

@@ -14,6 +14,8 @@ CLI:
         --feats utt1.npy [utt2.npy ...] [--corpus timit|wsj]
     # raw audio in one step (fbank-123 + utterance CMVN front-end):
     python -m srf_tpu.serve ... --wav utt1.wav [--wav utt2.wav ...]
+    # long-form: stream + auto-segment at silence, timestamped segments:
+    python -m srf_tpu.serve ... --feats recording.npy --long
 """
 
 import sys
@@ -227,6 +229,51 @@ class Recognizer:
             chunk=chunk, beam_width=beam_width, lm=self.lm,
         )
 
+    def transcribe_long(self, feats, chunk=8, beam_width=None,
+                        endpoint_blanks=25, corpus="timit",
+                        push_frames=None):
+        """Long-form transcription: stream ``feats`` [T, feat_dim] through
+        a session, auto-segmenting at silence (endpointing: a run of
+        ``endpoint_blanks`` consecutive blank logit-frames closes the open
+        segment). Decode memory stays bounded per segment, so hour-scale
+        audio transcribes where the offline path would build one giant
+        lattice (and the reference's pipeline caps utterances at its
+        bucket budget, reference: tfsr/helper/data_helper.py:77-80).
+
+        Returns a list of segment dicts {ids, text, frames, times,
+        start_s, end_s} (+``score`` with a beam), in stream order.
+        """
+        feats = np.asarray(feats, np.float32)
+        session = self.streaming_session(chunk=chunk, beam_width=beam_width)
+        push = push_frames or (chunk * session.div * 4)
+        segments = []
+
+        def _close():
+            seg = session.finalize_segment()
+            if seg["ids"]:
+                segments.append(seg)
+
+        for lo in range(0, feats.shape[0], push):
+            session.push(feats[lo: lo + push])
+            if session.endpoint_detected(endpoint_blanks):
+                _close()
+        session.flush()
+        _close()
+        raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
+        shift = 0.01 * self.in_len_div
+        return [
+            {
+                "ids": seg["ids"],
+                "text": ids_to_utt(seg["ids"], raw_vocab, corpus),
+                "frames": seg["frames"],
+                "times": [round(f * shift, 4) for f in seg["frames"]],
+                "start_s": round(seg["start_frame"] * shift, 4),
+                "end_s": round(seg["end_frame"] * shift, 4),
+                **({"score": seg["score"]} if "score" in seg else {}),
+            }
+            for seg in segments
+        ]
+
     def transcribe(self, feats, beam_width=None, pad_multiple=128,
                    corpus="timit"):
         """feats: [T, feat_dim] numpy -> (ids, text)."""
@@ -344,6 +391,7 @@ def main(argv=None):
     wav_paths = []
     corpus = "timit"
     stream = False
+    long_form = False
     filtered = []
     it = iter(argv)
     for arg in it:
@@ -365,6 +413,8 @@ def main(argv=None):
             corpus = arg.split("=", 1)[1]
         elif arg == "--stream":
             stream = True
+        elif arg == "--long":
+            long_form = True
         else:
             filtered.append(arg)
     config = ParseOption(filtered, logger, is_print_opts=False).args
@@ -393,7 +443,16 @@ def main(argv=None):
     for path, is_wav in ([(p, False) for p in feats_paths]
                          + [(p, True) for p in wav_paths]):
         feats = load_input(path, is_wav)
-        if stream:
+        if long_form:
+            beam = config.decoding_beam_width
+            segments = recognizer.transcribe_long(
+                feats, corpus=corpus,
+                beam_width=(beam if beam and beam > 1 else None),
+            )
+            for seg in segments:
+                print("[%8.2fs - %8.2fs] %s (%s)"
+                      % (seg["start_s"], seg["end_s"], seg["text"], path))
+        elif stream:
             session = recognizer.streaming_session()
             raw_vocab = [
                 t if t != " " else "<SPACE>" for t in recognizer.vocab

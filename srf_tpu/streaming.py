@@ -199,12 +199,16 @@ class StreamingTranscriber:
         self._decoded_frames = 0
         self._tokens = []
         self._token_frames = []  # emission frame per greedy token
+        self._trailing_blanks = 0  # consecutive argmax-blank frames at tail
+        self._segment_start_frame = 0  # first logit frame of open segment
+        self._segment_token_start = 0  # index into _tokens for the segment
         if self.beam_width:
             from srf_tpu.ops.ctc_beam_jax import beam_init
 
             self._beam_state = beam_init(self.beam_width, self._lm_ctx0)
             self._beam_frames = 0  # frames the beam scan has consumed
             self._beam_tape = []  # (parents, syms) np blocks, frame-aligned
+            self._beam_tape_base = 0  # global frame of tape index 0
             self._beam_scores = None
 
     # ------------------------------------------------------------------ io
@@ -289,14 +293,77 @@ class StreamingTranscriber:
         syms = np.concatenate(
             [np.asarray(s) for _, s in self._beam_tape], axis=0
         )
-        return _backtrace(parents, syms, np.asarray(self._beam_scores),
-                          with_frames=with_frames)
+        out = _backtrace(parents, syms, np.asarray(self._beam_scores),
+                         with_frames=with_frames)
+        if with_frames:
+            ids, score, frames = out
+            return ids, score, [f + self._beam_tape_base for f in frames]
+        return out
 
     @property
     def token_frames(self):
         """Emission logit-frame index of every greedy token emitted so far
         (parallel to the accumulated ``push`` outputs)."""
         return list(self._token_frames)
+
+    # ------------------------------------------------------- endpointing
+
+    @property
+    def trailing_blank_frames(self):
+        """Consecutive decoded frames at the stream tail whose argmax is
+        blank — the endpoint (end-of-speech) signal: CTC models emit blank
+        through silence, so a long enough trailing blank run marks a
+        segment boundary. Maintained by the greedy decode state, which
+        runs in every session (also with the streamed beam on)."""
+        return self._trailing_blanks
+
+    def endpoint_detected(self, min_blank_frames):
+        """True when the open segment has emitted at least one token and
+        the tail shows ``min_blank_frames`` consecutive blank frames."""
+        return (
+            len(self._tokens) > self._segment_token_start
+            and self._trailing_blanks >= int(min_blank_frames)
+        )
+
+    def finalize_segment(self):
+        """Close the open segment and reset the decoder for the next one.
+
+        Returns {ids, frames, start_frame, end_frame} — with the streamed
+        beam on, the segment's beam hypothesis (+``score``); greedy tokens
+        otherwise. The ACOUSTIC stream state (front-end buffers, SDR
+        carries) is untouched: the model keeps streaming continuously and
+        only the decode state (beam masses/tape, greedy collapse) restarts,
+        so arbitrarily long audio decodes in bounded memory — segment
+        boundaries land in silence, where restarting the CTC prefix search
+        is exact. The reference has no streaming at all (its decode is
+        whole-utterance, tfsr/trainer_sr.py:96-117) and its input pipeline
+        caps utterances at the bucket budget."""
+        end = self._decoded_frames
+        seg = {"start_frame": self._segment_start_frame, "end_frame": end}
+        if self.beam_width:
+            # catch the beam up to the greedy decode position (NOT to
+            # _logit_frames: after flush the logit tail past the true
+            # length is invalid and must never enter the beam)
+            self._beam_advance(limit=end)
+            ids, score, frames = self.hypothesis(with_frames=True)
+            seg.update(ids=ids, frames=frames, score=score)
+            from srf_tpu.ops.ctc_beam_jax import beam_init
+
+            self._beam_state = beam_init(self.beam_width, self._lm_ctx0)
+            self._beam_tape = []
+            self._beam_tape_base = self._beam_frames
+            self._beam_scores = None
+        else:
+            start = self._segment_token_start
+            seg.update(
+                ids=list(self._tokens[start:]),
+                frames=list(self._token_frames[start:]),
+            )
+        self._segment_token_start = len(self._tokens)
+        self._segment_start_frame = end
+        self._trailing_blanks = 0
+        self._prev_id = self.blank_id  # no collapse across the boundary
+        return seg
 
     def _beam_advance(self, limit):
         """Advance the carried beam scan over newly available logit frames
@@ -436,6 +503,10 @@ class StreamingTranscriber:
             if frame_id != self.blank_id and frame_id != self._prev_id:
                 self._tokens.append(frame_id)
                 self._token_frames.append(self._decoded_frames + k)
+            if frame_id == self.blank_id:
+                self._trailing_blanks += 1
+            else:
+                self._trailing_blanks = 0
             self._prev_id = frame_id
         self._decoded_frames = total
 

@@ -206,6 +206,40 @@ def test_streaming_session_matches_transcribe(trained_srf):
     assert got == want_ids
 
 
+def test_transcribe_long_single_segment_matches_streaming(trained_srf):
+    """With an endpoint threshold that never fires, transcribe_long yields
+    ONE segment whose ids equal the plain streaming session's output, with
+    well-formed global timestamps."""
+    argv, base = trained_srf
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="serve-long", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    recognizer = Recognizer(config, logger)
+    feats = np.load(base / "u1.None.npy")
+
+    session = recognizer.streaming_session(chunk=4)
+    want = session.push(feats) + session.flush()
+
+    segments = recognizer.transcribe_long(
+        feats, chunk=4, endpoint_blanks=10**9, corpus="wsj"
+    )
+    if not want:
+        assert segments == []
+        return
+    (seg,) = segments
+    assert seg["ids"] == want
+    shift = 0.01 * recognizer.in_len_div
+    assert len(seg["times"]) == len(seg["ids"])
+    assert seg["start_s"] == 0.0
+    assert seg["end_s"] >= max(seg["times"] + [0.0])
+    assert all(
+        t == pytest.approx(f * shift, abs=1e-4)
+        for f, t in zip(seg["frames"], seg["times"])
+    )
+
+
 def test_restore_on_different_topology(trained):
     """A checkpoint written under this process's 8-virtual-device mesh
     must restore in a fresh 1-device process (train on a pod, serve on

@@ -206,6 +206,29 @@ def test_streaming_session_matches_transcribe(trained_srf):
     assert got == want_ids
 
 
+def test_align_cli_writes_ctm(trained, tmp_path):
+    """tools/align end to end: CTM tokens spell each reference transcript
+    in order with non-overlapping, in-range times."""
+    argv, base = trained
+    from srf_tpu.tools import align
+
+    # bare manifest keys: align resolves key + ".<feat_type>.npy", the
+    # same rule as the TFRecord writer without --decoding-from-npy
+    out = tmp_path / "align.ctm"
+    align.main(argv + ["--tpu-align-out=%s" % out])
+    lines = out.read_text().strip().splitlines()
+    per_utt = {}
+    for line in lines:
+        utt, _ch, start, dur, tok = line.split()[:5]
+        per_utt.setdefault(utt, []).append((float(start), float(dur), tok))
+    # every aligned utterance spells its reference ("ab") in order
+    for utt, toks in per_utt.items():
+        assert [t for _, _, t in toks] == ["a", "b"], (utt, toks)
+        starts = [s for s, _, _ in toks]
+        assert starts == sorted(starts)
+        assert all(d > 0 for _, d, _ in toks)
+
+
 def test_transcribe_long_single_segment_matches_streaming(trained_srf):
     """With an endpoint threshold that never fires, transcribe_long yields
     ONE segment whose ids equal the plain streaming session's output, with

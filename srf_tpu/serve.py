@@ -337,6 +337,10 @@ class Recognizer:
             jnp.asarray(padded), jnp.asarray(lengths),
         )
         dec_lens = np.maximum(lengths // self.in_len_div, 1)
+        # per-frame posteriors back the per-token confidences below (and
+        # the greedy Viterbi score); one host fetch for the whole batch
+        logp = np.asarray(jax.nn.log_softmax(
+            jnp.asarray(logits, jnp.float32), axis=-1))
         if beam_width and beam_width > 1:
             from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
 
@@ -362,8 +366,6 @@ class Recognizer:
                 for i in range(len(feats_list))
             ]
             # best-path (Viterbi) log-prob over the valid frames
-            logp = np.asarray(jax.nn.log_softmax(
-                jnp.asarray(logits, jnp.float32), axis=-1))
             frame_max = logp.max(axis=-1)  # [B, T']
             pos = np.arange(frame_max.shape[1])[None, :]
             scores = (frame_max * (pos < dec_lens[:, None])).sum(axis=-1)
@@ -380,6 +382,14 @@ class Recognizer:
                 "confidence": float(np.exp(min(avg, 0.0))),
                 "frames": list(frames[i]),
                 "times": [round(f * frame_shift_s, 4) for f in frames[i]],
+                # per-token confidence: the posterior of each symbol at
+                # its emission frame — the standard word-level rejection
+                # signal (the utterance-level ``confidence`` above is too
+                # coarse to localize an error)
+                "token_confidences": [
+                    round(float(np.exp(logp[i, f, s])), 4)
+                    for f, s in zip(frames[i], ids)
+                ],
             })
         return out
 

@@ -234,6 +234,7 @@ def _response_body(detail):
         "confidence": detail["confidence"],
         "frames": [int(f) for f in detail["frames"]],
         "times": detail["times"],
+        "token_confidences": detail["token_confidences"],
     }
 
 

@@ -360,6 +360,8 @@ def test_detailed_scoring_fields(recognizer):
         assert all(b > a for a, b in zip(d["frames"], d["frames"][1:]))
         shift = 0.01 * rec.in_len_div
         assert d["times"] == [round(f * shift, 4) for f in d["frames"]]
+        assert len(d["token_confidences"]) == len(d["ids"])
+        assert all(0.0 <= c <= 1.0 for c in d["token_confidences"])
 
     frontend = BatchingFrontend(rec, max_batch=4, max_wait_ms=5,
                                 beam_width=4)

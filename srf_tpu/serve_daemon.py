@@ -155,6 +155,86 @@ class BatchingFrontend:
                 )
 
 
+class StreamingService:
+    """Live streaming sessions behind the daemon, one StreamingPool per
+    served model: N concurrent sessions advance in ONE fused device
+    dispatch per tick (streaming.StreamingPool), so many live audio
+    streams share the chip the same way batched offline requests do.
+
+    Sessions are slot-bound: ``open`` claims a slot (error when all busy
+    — admission control, not queueing: a live stream cannot wait),
+    ``push`` buffers frames and runs pool ticks until nothing is ready
+    (co-pending sessions' blocks ride the same dispatches; their partials
+    accumulate for THEIR next push), ``flush`` finalizes and frees the
+    slot. Greedy partials stream from every push; with ``beam_width`` the
+    flush returns the streamed-beam final hypothesis instead.
+    """
+
+    def __init__(self, recognizer, slots=4, chunk=8, beam_width=None):
+        self.rec = recognizer
+        self.pool = recognizer.streaming_pool(
+            slots, chunk=chunk, beam_width=beam_width
+        )
+        self.beam_width = beam_width
+        self._lock = threading.Lock()
+        self._free = list(range(slots))
+        self._sessions = {}  # session id -> slot
+        self._pending = {}  # slot -> greedy ids not yet returned
+        self._counter = 0
+
+    def open(self):
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(
+                    "no free streaming slots (serving %d live sessions)"
+                    % len(self._sessions)
+                )
+            slot = self._free.pop()
+            self._counter += 1
+            sid = "s%d" % self._counter
+            self._sessions[sid] = slot
+            self._pending[slot] = []
+            return sid
+
+    def _slot(self, sid):
+        slot = self._sessions.get(sid)
+        if slot is None:
+            raise KeyError("unknown streaming session %r" % sid)
+        return slot
+
+    def push(self, sid, feats):
+        """Buffer frames, tick the pool dry, return NEW greedy partial ids
+        for this session (other sessions' outputs accumulate as pending)."""
+        with self._lock:
+            slot = self._slot(sid)
+            self.pool.push(slot, np.asarray(feats, np.float32))
+            while True:
+                got = self.pool.step()
+                if not got:
+                    break
+                for s, ids in got.items():
+                    self._pending[s].extend(ids)
+            out = self._pending[slot]
+            self._pending[slot] = []
+            return out
+
+    def flush(self, sid):
+        """Finalize the session, free its slot. Returns (ids, score or
+        None, complete): with a streamed beam, ids is the COMPLETE final
+        hypothesis (replaces earlier partials, complete=True); greedy, the
+        remaining tail ids (complete=False)."""
+        with self._lock:
+            slot = self._slot(sid)
+            result = self.pool.flush(slot)
+            pending = self._pending.pop(slot, [])
+            del self._sessions[sid]
+            self._free.append(slot)
+            if self.beam_width:
+                ids, score = result
+                return list(ids), float(score), True
+            return pending + list(result), None, False
+
+
 class ModelFleet:
     """Named models behind one daemon (multi-tenant serving).
 
@@ -166,12 +246,32 @@ class ModelFleet:
     single-model clients keep working unchanged.
     """
 
-    def __init__(self, frontends, default):
+    def __init__(self, frontends, default, stream_slots=4, stream_chunk=8,
+                 stream_beam=0):
         if default not in frontends:
             raise ValueError("default model %r not in fleet %s"
                              % (default, sorted(frontends)))
         self.frontends = dict(frontends)
         self.default = default
+        self._stream_cfg = (stream_slots, stream_chunk,
+                            stream_beam if stream_beam > 1 else None)
+        self._streams = {}
+        self._stream_lock = threading.Lock()
+
+    def stream_service(self, name=None):
+        """Per-model StreamingService, created on first use (streaming
+        needs the SRF front-end; non-SRF models error here, loudly)."""
+        name = name or self.default
+        frontend = self.get(name)  # validates the model name
+        with self._stream_lock:
+            service = self._streams.get(name)
+            if service is None:
+                slots, chunk, beam = self._stream_cfg
+                service = StreamingService(
+                    frontend.rec, slots=slots, chunk=chunk, beam_width=beam
+                )
+                self._streams[name] = service
+            return service
 
     def get(self, name=None):
         name = name or self.default
@@ -218,6 +318,13 @@ class ModelFleet:
 #           header: {"shape": [T, D], "corpus": "timit",
 #                    "model": "<fleet name>"?}
 #           or {"op": "stats"} (no payload) -> health/metrics snapshot
+#           or live streaming (SRF models; one request per op):
+#              {"op": "stream_open", "model": ...?} -> {"session": id}
+#              {"op": "stream_push", "session": id, "shape": [n, D]}
+#                + payload -> new greedy partials {"ids", "text"}
+#              {"op": "stream_flush", "session": id} -> final result
+#                ("complete": true = whole hypothesis, beam; false =
+#                 remaining greedy tail) + frees the slot
 # response: u32 body_len | body JSON {"ids": [...], "text": "..."} or
 #           {"error": "..."}
 
@@ -277,6 +384,47 @@ def request(host, port, feats, corpus="timit", timeout=60.0, model=None,
     return list(body["ids"]), body["text"]
 
 
+def stream_open(host, port, model=None, timeout=30.0):
+    """Client helper: claim a live streaming session -> session id."""
+    head = {"op": "stream_open"}
+    if model is not None:
+        head["model"] = model
+    return _round_trip(host, port, head, timeout=timeout)["session"]
+
+
+def stream_push(host, port, session, feats, corpus="timit", timeout=60.0):
+    """Client helper: stream frames into a session -> (ids, text) NEW
+    greedy partials since the last push."""
+    feats = np.ascontiguousarray(feats, np.float32)
+    head = {"op": "stream_push", "session": session,
+            "shape": list(feats.shape), "corpus": corpus}
+    body = _round_trip(host, port, head, payload=feats.tobytes(),
+                       timeout=timeout)
+    return list(body["ids"]), body["text"]
+
+
+def stream_flush(host, port, session, corpus="timit", timeout=60.0):
+    """Client helper: finalize a session. Returns the response dict —
+    ``complete=True`` means ids/text are the WHOLE final hypothesis
+    (streamed beam; replaces earlier partials, with ``score``),
+    ``False`` the remaining greedy tail (append to earlier partials)."""
+    head = {"op": "stream_flush", "session": session, "corpus": corpus}
+    return _round_trip(host, port, head, timeout=timeout)
+
+
+def _round_trip(host, port, head, payload=b"", timeout=60.0):
+    header = json.dumps(head).encode("utf-8")
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(struct.pack(">I", len(header)) + header)
+        if payload:
+            sock.sendall(payload)
+        (n,) = struct.unpack(">I", _read_exact(sock, 4))
+        body = json.loads(_read_exact(sock, n).decode("utf-8"))
+    if "error" in body:
+        raise RuntimeError("server error: %s" % body["error"])
+    return body
+
+
 def stats_request(host, port, timeout=10.0):
     """Client helper: health/metrics snapshot (no model dispatch)."""
     header = json.dumps({"op": "stats"}).encode("utf-8")
@@ -292,8 +440,12 @@ class _Handler(socketserver.BaseRequestHandler):
         try:
             (n,) = struct.unpack(">I", _read_exact(self.request, 4))
             header = json.loads(_read_exact(self.request, n).decode("utf-8"))
-            if header.get("op") == "stats":
+            op = header.get("op")
+            if op == "stats":
                 _send_msg(self.request, fleet.stats())
+                return
+            if op in ("stream_open", "stream_push", "stream_flush"):
+                self._handle_stream(fleet, op, header)
                 return
             frontend = fleet.get(header.get("model"))
             t, d = header["shape"]
@@ -308,6 +460,39 @@ class _Handler(socketserver.BaseRequestHandler):
                 _send_msg(self.request, {"error": str(exc)})
             except OSError:
                 pass
+
+    def _handle_stream(self, fleet, op, header):
+        """Live-session ops: open claims a slot, push streams frames and
+        returns greedy partials, flush finalizes (+frees the slot)."""
+        service = fleet.stream_service(header.get("model"))
+        if op == "stream_open":
+            _send_msg(self.request, {"session": service.open()})
+            return
+        sid = header["session"]
+        corpus = header.get("corpus", "timit")
+        rec = service.rec
+        raw_vocab = [t if t != " " else "<SPACE>" for t in rec.vocab]
+        from srf_tpu.utils.log2utt import ids_to_utt
+
+        if op == "stream_push":
+            t, d = header["shape"]
+            raw = _read_exact(self.request, int(t) * int(d) * 4)
+            feats = np.frombuffer(raw, np.float32).reshape(int(t), int(d))
+            ids = service.push(sid, feats)
+            _send_msg(self.request, {
+                "ids": [int(i) for i in ids],
+                "text": ids_to_utt(ids, raw_vocab, corpus),
+            })
+        else:  # stream_flush
+            ids, score, complete = service.flush(sid)
+            body = {
+                "ids": [int(i) for i in ids],
+                "text": ids_to_utt(ids, raw_vocab, corpus),
+                "complete": complete,
+            }
+            if score is not None:
+                body["score"] = score
+            _send_msg(self.request, body)
 
 
 class DaemonServer(socketserver.ThreadingTCPServer):
@@ -407,7 +592,8 @@ def start_reload_poller(recognizer, interval_s, logger=None,
 
 
 def build_fleet(model_configs, max_batch=16, max_wait_ms=10.0,
-                reload_secs=0.0, logger=None):
+                reload_secs=0.0, logger=None, stream_slots=4,
+                stream_chunk=8, stream_beam=0):
     """Build a ModelFleet from {name: config} (insertion order; first =
     default). Each model gets its own Recognizer, BatchingFrontend and —
     when ``reload_secs`` > 0 — hot-reload poller. Returns
@@ -431,7 +617,10 @@ def build_fleet(model_configs, max_batch=16, max_wait_ms=10.0,
             default = name
         if logger:
             logger.info("fleet model %r ready (beam %s)", name, beam)
-    return ModelFleet(frontends, default), stops
+    return ModelFleet(
+        frontends, default, stream_slots=stream_slots,
+        stream_chunk=stream_chunk, stream_beam=stream_beam,
+    ), stops
 
 
 def load_fleet_spec(path, base_argv, logger=None):
@@ -472,7 +661,8 @@ def load_fleet_spec(path, base_argv, logger=None):
 
 def serve(config, host="127.0.0.1", port=8764, max_batch=16,
           max_wait_ms=10.0, reload_secs=0.0, http_port=None, logger=None,
-          ready_event=None, model_configs=None):
+          ready_event=None, model_configs=None, stream_slots=4,
+          stream_chunk=8, stream_beam=0):
     """Blocking server loop (Ctrl-C to stop). ``http_port`` (0 = pick an
     ephemeral port) also serves the REST gateway, sharing the same
     batching frontends (HTTP and TCP requests coalesce into the same
@@ -486,7 +676,8 @@ def serve(config, host="127.0.0.1", port=8764, max_batch=16,
         model_configs = {"default": config}
     fleet, stop_reloads = build_fleet(
         model_configs, max_batch=max_batch, max_wait_ms=max_wait_ms,
-        reload_secs=reload_secs, logger=logger,
+        reload_secs=reload_secs, logger=logger, stream_slots=stream_slots,
+        stream_chunk=stream_chunk, stream_beam=stream_beam,
     )
     if reload_secs and reload_secs > 0:
         logger.info("hot reload: polling for new checkpoints every %.1f s",
@@ -530,6 +721,7 @@ def main(argv=None):
     argv = list(argv or sys.argv)
     host, port, max_batch, max_wait = "127.0.0.1", 8764, 16, 10.0
     reload_secs, http_port, fleet_path = 0.0, None, None
+    stream_slots, stream_chunk, stream_beam = 4, 8, 0
     filtered = []
     it = iter(argv)
     for arg in it:
@@ -547,6 +739,12 @@ def main(argv=None):
             reload_secs = float(arg.split("=", 1)[1])
         elif arg.startswith("--daemon-fleet="):
             fleet_path = arg.split("=", 1)[1]
+        elif arg.startswith("--daemon-stream-slots="):
+            stream_slots = int(arg.split("=", 1)[1])
+        elif arg.startswith("--daemon-stream-chunk="):
+            stream_chunk = int(arg.split("=", 1)[1])
+        elif arg.startswith("--daemon-stream-beam="):
+            stream_beam = int(arg.split("=", 1)[1])
         else:
             filtered.append(arg)
     if fleet_path:
@@ -560,7 +758,9 @@ def main(argv=None):
         config = ParseOption(filtered, logger, is_print_opts=False).args
     serve(config, host=host, port=port, max_batch=max_batch,
           max_wait_ms=max_wait, reload_secs=reload_secs,
-          http_port=http_port, logger=logger, model_configs=model_configs)
+          http_port=http_port, logger=logger, model_configs=model_configs,
+          stream_slots=stream_slots, stream_chunk=stream_chunk,
+          stream_beam=stream_beam)
 
 
 if __name__ == "__main__":

@@ -373,3 +373,129 @@ def test_detailed_scoring_fields(recognizer):
         frontend.close()
     assert plain == (detail["ids"], detail["text"])
     assert 0.0 < detail["confidence"] <= 1.0
+
+
+def test_streaming_sessions_over_tcp(tmp_path):
+    """Live streaming over the daemon protocol: two interleaved sessions
+    produce exactly what their standalone streaming sessions produce, a
+    third open is refused while both slots are busy, flushing frees the
+    slot, and unknown sessions error."""
+    import srf_tpu.serve_daemon as sd
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    argv, base = _trained_srf_args()
+    logger = Logger(name="daemon-stream", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+
+    ready = threading.Event()
+    thread = threading.Thread(
+        target=sd.serve,
+        kwargs=dict(config=config, host="127.0.0.1", port=0, max_batch=2,
+                    max_wait_ms=5, logger=logger, ready_event=ready,
+                    stream_slots=2, stream_chunk=4),
+        daemon=True,
+    )
+    thread.start()
+    assert ready.wait(timeout=300)
+    server = ready.server
+    port = server.server_address[1]
+    try:
+        rec = Recognizer(config, logger)
+        feats = [np.load(base / ("u%d.None.npy" % i)) for i in range(2)]
+        want = []
+        for f in feats:
+            session = rec.streaming_session(chunk=4)
+            want.append(session.push(f) + session.flush())
+
+        s0 = sd.stream_open("127.0.0.1", port)
+        s1 = sd.stream_open("127.0.0.1", port)
+        with pytest.raises(RuntimeError, match="no free streaming slots"):
+            sd.stream_open("127.0.0.1", port)
+        got = {s0: [], s1: []}
+        # interleave pushes in small chunks across the two sessions
+        for lo in range(0, max(f.shape[0] for f in feats), 11):
+            for sid, f in ((s0, feats[0]), (s1, feats[1])):
+                if lo < f.shape[0]:
+                    ids, _ = sd.stream_push(
+                        "127.0.0.1", port, sid, f[lo: lo + 11],
+                        corpus="wsj",
+                    )
+                    got[sid].extend(ids)
+        for sid, i in ((s0, 0), (s1, 1)):
+            body = sd.stream_flush("127.0.0.1", port, sid, corpus="wsj")
+            assert body["complete"] is False
+            got[sid].extend(body["ids"])
+            assert got[sid] == want[i], (i, got[sid], want[i])
+        # both slots free again; stale ids rejected
+        s2 = sd.stream_open("127.0.0.1", port)
+        with pytest.raises(RuntimeError, match="unknown streaming"):
+            sd.stream_flush("127.0.0.1", port, s0)
+        sd.stream_flush("127.0.0.1", port, s2)
+    finally:
+        server.shutdown()
+        thread.join(timeout=30)
+
+
+def _trained_srf_args():
+    """Train the tiny SRF checkpoint once per process (mirrors the
+    trained_srf fixture, callable outside its module)."""
+    global _SRF_ARGS
+    try:
+        return _SRF_ARGS
+    except NameError:
+        pass
+    import tempfile
+    from pathlib import Path
+
+    base = Path(tempfile.mkdtemp(prefix="daemon_srf_"))
+    import json as _json
+
+    from tests.test_serve import FEAT_DIM, VOCAB_TOKENS
+
+    rng = np.random.RandomState(5)
+    (base / "test.vocab").write_text("\n".join(VOCAB_TOKENS) + "\n")
+    utts = []
+    for i in range(4):
+        n = int(rng.randint(20, 40))
+        np.save(base / ("u%d.None.npy" % i),
+                rng.randn(n, FEAT_DIM).astype(np.float32))
+        utts.append({"key": "u%d" % i, "duration": n / 100.0, "text": "ab"})
+    for split in ("train", "valid", "test"):
+        with open(base / ("%s.json" % split), "w") as f:
+            for u in utts:
+                f.write(_json.dumps(u) + "\n")
+    argv = [
+        "prog", "--path-base=%s" % base, "--path-vocab=test.vocab",
+        "--feat-dim=%d" % FEAT_DIM, "--feat-type=None",
+        "--prep-data-name=synth", "--prep-data-shard=1",
+        "--path-train-json=train.json", "--path-valid-json=valid.json",
+        "--path-test-json=test.json", "--path-wrt-tfrecord=tfr",
+        "--path-train-ptrn=tfr/synth-train-None-8-*-of-*",
+        "--path-valid-ptrn=tfr/synth-valid-None-8-*-of-*",
+        "--path-test-ptrn=tfr/synth-test-None-8-*-of-*",
+        "--path-ckpt=%s/ckpt" % base,
+        "--model-type=srf", "--model-caps-type=naive",
+        "--model-caps-context=True", "--model-encoder-num=2",
+        "--model-caps-primary-num=6", "--model-caps-primary-dim=4",
+        "--model-caps-convolution-num=5", "--model-caps-convolution-dim=4",
+        "--model-caps-class-dim=4", "--model-caps-iter=1",
+        "--model-caps-window-lpad=1", "--model-caps-window-rpad=1",
+        "--model-conv-layer-num=2", "--model-conv-filter-num=8",
+        "--train-opti-type=adam", "--train-lr-param-k=0.05",
+        "--train-batch-dynamic=False", "--train-batch-size=2",
+        "--train-es-tolerance=100", "--decoding-beam-width=4",
+    ]
+    from srf_tpu.config import Logger as _Logger
+    from srf_tpu.config import ParseOption as _ParseOption
+    from srf_tpu.config.constants import Tag
+    from srf_tpu.data.writer import convert_to_tfrecord
+    from srf_tpu import trainer_sr
+
+    logger = _Logger(name="daemon-srf", level=_Logger.INFO).logger
+    config = _ParseOption(argv, logger, is_print_opts=False).args
+    for tag in (Tag.TRAIN, Tag.VALID, Tag.TEST):
+        convert_to_tfrecord(logger, config, tag, None)
+    trainer_sr.main(argv + ["--train-max-epoch=1"])
+    _SRF_ARGS = (argv, base)
+    return _SRF_ARGS

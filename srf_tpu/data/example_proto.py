@@ -45,6 +45,8 @@ def _read_varint(data: bytes, pos: int):
     result = 0
     shift = 0
     while True:
+        if pos >= len(data):  # untrusted input: clean error, never IndexError
+            raise ValueError("truncated varint")
         byte = data[pos]
         pos += 1
         result |= (byte & 0x7F) << shift

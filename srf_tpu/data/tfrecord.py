@@ -143,6 +143,10 @@ def read_records(path: str, verify_crc: bool = False):
             raise ValueError("truncated TFRecord payload in %s" % path)
         pos += length
         if verify_crc:
+            if end - pos < 4:
+                raise ValueError(
+                    "truncated TFRecord crc in %s @%d" % (path, pos)
+                )
             (rec_crc,) = U32_STRUCT.unpack_from(data, pos)
             if masked_crc32c(record) != rec_crc:
                 raise ValueError("bad record crc in %s @%d" % (path, pos))

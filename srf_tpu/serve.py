@@ -231,7 +231,7 @@ class Recognizer:
 
     def transcribe_long(self, feats, chunk=8, beam_width=None,
                         endpoint_blanks=25, corpus="timit",
-                        push_frames=None):
+                        push_frames=None, max_segment_s=30.0):
         """Long-form transcription: stream ``feats`` [T, feat_dim] through
         a session, auto-segmenting at silence (endpointing: a run of
         ``endpoint_blanks`` consecutive blank logit-frames closes the open
@@ -239,6 +239,10 @@ class Recognizer:
         audio transcribes where the offline path would build one giant
         lattice (and the reference's pipeline caps utterances at its
         bucket budget, reference: tfsr/helper/data_helper.py:77-80).
+
+        ``max_segment_s`` force-closes a segment that never hits silence
+        (continuous speech), so decode state — the beam's backpointer
+        tape in particular — stays bounded no matter the audio.
 
         Returns a list of segment dicts {ids, text, frames, times,
         start_s, end_s} (+``score`` with a beam), in stream order.
@@ -253,9 +257,17 @@ class Recognizer:
             if seg["ids"]:
                 segments.append(seg)
 
+        shift0 = 0.01 * self.in_len_div
+        max_frames = max(int(max_segment_s / shift0), 1)
         for lo in range(0, feats.shape[0], push):
             session.push(feats[lo: lo + push])
-            if session.endpoint_detected(endpoint_blanks):
+            open_frames = (
+                session._decoded_frames - session._segment_start_frame
+            )
+            if session.endpoint_detected(endpoint_blanks) or (
+                open_frames >= max_frames
+                and len(session._tokens) > session._segment_token_start
+            ):
                 _close()
         session.flush()
         _close()

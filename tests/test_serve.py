@@ -263,6 +263,39 @@ def test_transcribe_long_single_segment_matches_streaming(trained_srf):
     )
 
 
+def test_transcribe_long_max_segment_bound(trained_srf):
+    """With a tiny max_segment_s, continuous speech (no silence) still
+    splits into multiple bounded segments covering the stream in order."""
+    argv, base = trained_srf
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    logger = Logger(name="serve-long2", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+    recognizer = Recognizer(config, logger)
+    rng = np.random.RandomState(11)
+    feats = np.concatenate(
+        [np.load(base / ("u%d.None.npy" % i)) for i in (0, 1, 2, 3)] * 2
+    ) + 0.01 * rng.randn(1, FEAT_DIM).astype(np.float32)
+
+    shift = 0.01 * recognizer.in_len_div
+    segments = recognizer.transcribe_long(
+        feats, chunk=4, endpoint_blanks=10**9, corpus="wsj",
+        max_segment_s=8 * shift,
+    )
+    if not segments:
+        pytest.skip("randomly-trained model emitted nothing")
+    assert len(segments) >= 2  # the bound forced splits without silence
+    prev_end = 0.0
+    for seg in segments:
+        assert seg["start_s"] >= prev_end - 1e-9
+        prev_end = seg["end_s"]
+        assert all(
+            seg["start_s"] - 1e-9 <= t < seg["end_s"] + 1e-9
+            for t in seg["times"]
+        )
+
+
 def test_restore_on_different_topology(trained):
     """A checkpoint written under this process's 8-virtual-device mesh
     must restore in a fresh 1-device process (train on a pod, serve on

@@ -40,6 +40,7 @@ the extra state is inert and the decode is unchanged.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -243,7 +244,12 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
         rec_sym = jnp.where(active, sym, -1)
         return out_state, (rec_parent, rec_sym)
 
-    return jax.lax.scan(step, state, (logp, ts))
+    # unroll: fewer XLA while-loop iterations, each fusing several frame
+    # steps — the beam body is many small ops, so per-iteration overhead
+    # is a real cost at serving batch sizes (measured via SRF_BEAM_UNROLL;
+    # see BENCH_NOTES "beam scan unroll")
+    unroll = int(os.environ.get("SRF_BEAM_UNROLL", "1") or 1)
+    return jax.lax.scan(step, state, (logp, ts), unroll=max(unroll, 1))
 
 
 def beam_scores(state):

@@ -515,6 +515,9 @@ class DaemonServer(socketserver.ThreadingTCPServer):
 #                      or {"shape": [T, D], "data_b64": "<raw f32 LE>",
 #                          "corpus": "...", "model": ...}
 #                      -> {"ids": [...], "text": "..."}
+#   POST /v1/transcribe_long  same body (+"endpoint_blanks"?,
+#                      "max_segment_s"?) -> {"segments": [...]} —
+#                      silence-segmented long-form (SRF models)
 #   GET  /v1/health    -> the stats snapshot (no model dispatch)
 
 
@@ -541,21 +544,35 @@ def make_http_server(fleet, host, port):
                 return self._reply(404, {"error": "unknown path"})
             self._reply(200, dict(fleet.stats(), status="ok"))
 
+        def _read_feats(self, req):
+            if "data_b64" in req:
+                t, d = (int(v) for v in req["shape"])
+                raw = base64.b64decode(req["data_b64"])
+                return np.frombuffer(raw, "<f4").reshape(t, d)
+            return np.asarray(req["feats"], np.float32)
+
         def do_POST(self):
-            if self.path != "/v1/transcribe":
+            if self.path not in ("/v1/transcribe", "/v1/transcribe_long"):
                 return self._reply(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n).decode("utf-8"))
                 frontend = fleet.get(req.get("model"))
-                if "data_b64" in req:
-                    t, d = (int(v) for v in req["shape"])
-                    raw = base64.b64decode(req["data_b64"])
-                    feats = np.frombuffer(raw, "<f4").reshape(t, d)
-                else:
-                    feats = np.asarray(req["feats"], np.float32)
+                feats = self._read_feats(req)
+                corpus = req.get("corpus", "timit")
+                if self.path == "/v1/transcribe_long":
+                    # long-form: silence-segmented, timestamped segments
+                    # (SRF models; runs a private streaming session, so
+                    # it does NOT contend for the live-stream slots)
+                    segments = frontend.rec.transcribe_long(
+                        feats, corpus=corpus,
+                        beam_width=frontend.beam_width,
+                        endpoint_blanks=int(req.get("endpoint_blanks", 25)),
+                        max_segment_s=float(req.get("max_segment_s", 30.0)),
+                    )
+                    return self._reply(200, {"segments": segments})
                 detail = frontend.submit(
-                    feats, corpus=req.get("corpus", "timit"), detailed=True
+                    feats, corpus=corpus, detailed=True
                 ).result()
                 self._reply(200, _response_body(detail))
             except Exception as exc:  # noqa: BLE001 — report to the client

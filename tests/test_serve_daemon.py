@@ -499,3 +499,50 @@ def _trained_srf_args():
     trainer_sr.main(argv + ["--train-max-epoch=1"])
     _SRF_ARGS = (argv, base)
     return _SRF_ARGS
+
+
+def test_http_transcribe_long(tmp_path):
+    """POST /v1/transcribe_long returns silence-segmented, timestamped
+    segments matching Recognizer.transcribe_long directly."""
+    import json as _json
+    import urllib.request
+
+    import srf_tpu.serve_daemon as sd
+    from srf_tpu.config import Logger, ParseOption
+    from srf_tpu.serve import Recognizer
+
+    argv, base = _trained_srf_args()
+    logger = Logger(name="daemon-long", level=Logger.INFO).logger
+    config = ParseOption(argv, logger, is_print_opts=False).args
+
+    ready = threading.Event()
+    thread = threading.Thread(
+        target=sd.serve,
+        kwargs=dict(config=config, host="127.0.0.1", port=0, http_port=0,
+                    max_batch=2, max_wait_ms=5, logger=logger,
+                    ready_event=ready),
+        daemon=True,
+    )
+    thread.start()
+    assert ready.wait(timeout=300)
+    server, http_server = ready.server, ready.http_server
+    hport = http_server.server_address[1]
+    try:
+        rec = Recognizer(config, logger)
+        feats = np.load(base / "u2.None.npy")
+        want = rec.transcribe_long(feats, corpus="wsj", beam_width=4,
+                                   endpoint_blanks=3)
+        body = _json.dumps({
+            "feats": feats.tolist(), "corpus": "wsj",
+            "endpoint_blanks": 3,
+        }).encode()
+        req = urllib.request.Request(
+            "http://127.0.0.1:%d/v1/transcribe_long" % hport, data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            got = _json.loads(resp.read().decode())["segments"]
+        assert got == want
+    finally:
+        server.shutdown()
+        thread.join(timeout=30)

@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
-                noise=0.3, variability=0.0, markov=0.0):
+                noise=0.3, variability=0.0, markov=0.0, proto_sim=0.0):
     """Learnable synthetic corpus; each 'phone' has a feature direction.
 
     ``variability`` > 0 makes the corpus realistic enough for
@@ -56,8 +56,19 @@ def make_corpus(base, utts, vocab_size=20, frames=200, feat_dim=123,
     tokens = ["<PADDING_SYMBOL>"] + ["p%02d" % i for i in range(1, vocab_size)] + ["$", "@"]
     with open(os.path.join(base, "synth.vocab"), "w") as f:
         f.write("\n".join(tokens) + "\n")
-    # each phone: a random unit direction in feature space
+    # each phone: a random unit direction in feature space.
+    # ``proto_sim`` in [0, 1) mixes in a shared direction so phones are
+    # acoustically CONFUSABLE (cosine ~ proto_sim between any two) —
+    # random directions in 123-d are near-orthogonal, which makes the
+    # acoustics separable at any noise level and leaves an LM nothing to
+    # fix; substitution-dominated regimes need correlated prototypes.
     protos = rng.randn(vocab_size + 2, feat_dim).astype(np.float32) * 2.0
+    if proto_sim > 0:
+        common = rng.randn(1, feat_dim).astype(np.float32) * 2.0
+        protos = (
+            np.sqrt(proto_sim) * common
+            + np.sqrt(1.0 - proto_sim) * protos
+        ).astype(np.float32)
 
     def gen(n, tag):
         specs = []
@@ -127,6 +138,11 @@ def main():
     parser.add_argument("--mwer-epochs", type=int, default=0,
                         help="> 0: after CTC training, score, MWER "
                              "fine-tune this many epochs, score again")
+    parser.add_argument("--proto-sim", type=float, default=0.0,
+                        help="[0,1): cosine similarity between phone "
+                             "prototypes — makes phones acoustically "
+                             "confusable (substitution errors) so an LM "
+                             "has something to disambiguate; try 0.9")
     parser.add_argument("--markov", type=float, default=0.0,
                         help="> 0: draw transcripts from a shared random "
                              "Markov chain (Dirichlet concentration; try "
@@ -149,7 +165,8 @@ def main():
         shutil.rmtree(base)
     os.makedirs(base)
     make_corpus(base, args.utts, noise=args.noise,
-                variability=args.variability, markov=args.markov)
+                variability=args.variability, markov=args.markov,
+                proto_sim=args.proto_sim)
 
     common = [
         "--path-base=%s" % base, "--path-vocab=synth.vocab",

@@ -411,3 +411,46 @@ def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
         _backtrace(parents[b], syms[b], scores[b], with_frames=with_frames)
         for b in range(logits.shape[0])
     ]
+
+
+def ctc_beam_search_nbest_jax(logits, logit_lengths, beam_width=100,
+                              blank_id=None, lm=None, top_paths=4):
+    """N-best batched decode: the final beam state already holds
+    ``beam_width`` ranked hypotheses, so n-best costs ONE extra backtrace
+    per path — no second search (the reference caps at top_paths=1,
+    tfsr/trainer_sr.py:112). Returns, per utterance, up to ``top_paths``
+    (ids, score, frames) triples, best first, deduplicated by id sequence
+    (distinct beams can reconstruct the same prefix after merges of dead
+    beams). The first triple equals the ``with_frames`` batch decode's
+    result, so callers needing both pay for ONE scan.
+    """
+    logits = jnp.asarray(logits)
+    if blank_id is None:
+        blank_id = logits.shape[-1] - 1
+    parents, syms, scores = _beam_scan_batch(
+        logits, jnp.asarray(logit_lengths, jnp.int32), beam_width, blank_id,
+        **lm_fusion_args(lm, logits.shape[-1]),
+    )
+    parents = np.asarray(parents)
+    syms = np.asarray(syms)
+    scores = np.asarray(scores)
+    out = []
+    for b in range(logits.shape[0]):
+        order = np.argsort(-scores[b])
+        hyps, seen = [], set()
+        for beam in order:
+            if scores[b][beam] <= NEG / 2:
+                break  # dead beams below
+            ids, score, frames = _backtrace(
+                parents[b], syms[b], scores[b], beam=int(beam),
+                with_frames=True,
+            )
+            key = tuple(ids)
+            if key in seen:
+                continue
+            seen.add(key)
+            hyps.append((ids, score, frames))
+            if len(hyps) >= top_paths:
+                break
+        out.append(hyps)
+    return out

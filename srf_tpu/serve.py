@@ -309,7 +309,8 @@ class Recognizer:
         ]
 
     def transcribe_batch_detailed(self, feats_list, beam_width=None,
-                                  pad_multiple=128, corpus="timit"):
+                                  pad_multiple=128, corpus="timit",
+                                  n_best=1):
         """Like transcribe_batch, with per-utterance scoring detail.
 
         Returns dicts {ids, text, score, avg_logp, confidence, frames,
@@ -353,13 +354,28 @@ class Recognizer:
         # the greedy Viterbi score); one host fetch for the whole batch
         logp = np.asarray(jax.nn.log_softmax(
             jnp.asarray(logits, jnp.float32), axis=-1))
+        nbest_lists = None
         if beam_width and beam_width > 1:
-            from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
+            if n_best and n_best > 1:
+                # one scan serves both the top path and the n-best list
+                from srf_tpu.ops.ctc_beam_jax import (
+                    ctc_beam_search_nbest_jax,
+                )
 
-            results = ctc_beam_search_batch_jax(
-                logits, dec_lens, beam_width, self.blank_id, lm=self.lm,
-                with_frames=True,
-            )
+                nbest_lists = ctc_beam_search_nbest_jax(
+                    logits, dec_lens, beam_width, self.blank_id,
+                    lm=self.lm, top_paths=n_best,
+                )
+                results = [hyps[0] for hyps in nbest_lists]
+            else:
+                from srf_tpu.ops.ctc_beam_jax import (
+                    ctc_beam_search_batch_jax,
+                )
+
+                results = ctc_beam_search_batch_jax(
+                    logits, dec_lens, beam_width, self.blank_id,
+                    lm=self.lm, with_frames=True,
+                )
             decoded = [ids for ids, _, _ in results]
             scores = [score for _, score, _ in results]
             frames = [fr for _, _, fr in results]
@@ -403,6 +419,15 @@ class Recognizer:
                     for f, s in zip(frames[i], ids)
                 ],
             })
+            if nbest_lists is not None:
+                out[-1]["nbest"] = [
+                    {
+                        "ids": h_ids,
+                        "text": ids_to_utt(h_ids, raw_vocab, corpus),
+                        "score": float(h_score),
+                    }
+                    for h_ids, h_score, _ in nbest_lists[i]
+                ]
         return out
 
 

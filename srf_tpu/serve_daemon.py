@@ -58,10 +58,12 @@ class BatchingFrontend:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, feats, corpus="timit", detailed=False):
+    def submit(self, feats, corpus="timit", detailed=False, n_best=1):
         """feats: [T, feat_dim] numpy -> Future of (ids, text) — or, with
         ``detailed``, of the full scoring dict ({ids, text, score,
-        avg_logp, confidence}, Recognizer.transcribe_batch_detailed).
+        avg_logp, confidence, frames, times, token_confidences},
+        Recognizer.transcribe_batch_detailed). ``n_best`` > 1 adds that
+        many ranked hypotheses under "nbest" (beam decodes only).
 
         Shape-validates HERE so one malformed request is rejected alone
         instead of failing every co-batched request when the batched
@@ -75,7 +77,7 @@ class BatchingFrontend:
                 "expected [T, %d] features, got %s" % (feat_dim, feats.shape)
             )
         fut = Future()
-        self._q.put((feats, corpus, detailed, fut))
+        self._q.put((feats, corpus, detailed, max(1, int(n_best)), fut))
         return fut
 
     def transcribe(self, feats, corpus="timit", timeout=None):
@@ -116,19 +118,23 @@ class BatchingFrontend:
             batch = self._gather()
             if batch is None:
                 return
-            feats_list = [feats for feats, _, _, _ in batch]
+            feats_list = [feats for feats, _, _, _, _ in batch]
             n_real = len(feats_list)
             if self.pad_batch and n_real < self.max_batch:
                 dummy = np.zeros(
                     (_DUMMY_FRAMES, feats_list[0].shape[1]), np.float32
                 )
                 feats_list = feats_list + [dummy] * (self.max_batch - n_real)
+            # one n-best depth per dispatch: the deepest requested; each
+            # request's list is trimmed to its own depth below
+            batch_nbest = max(n for _, _, _, n, _ in batch)
             try:
                 results = self.rec.transcribe_batch_detailed(
-                    feats_list, beam_width=self.beam_width
+                    feats_list, beam_width=self.beam_width,
+                    n_best=batch_nbest,
                 )
             except Exception as exc:  # propagate to every waiter
-                for _, _, _, fut in batch:
+                for _, _, _, _, fut in batch:
                     fut.set_exception(exc)
                 continue
             from srf_tpu.utils.log2utt import ids_to_utt
@@ -136,12 +142,19 @@ class BatchingFrontend:
             raw_vocab = [
                 t if t != " " else "<SPACE>" for t in self.rec.vocab
             ]
-            for detail, (_, corpus, detailed, fut) in zip(
+            for detail, (_, corpus, detailed, n_best, fut) in zip(
                 results[:n_real], batch
             ):
                 detail = dict(
                     detail, text=ids_to_utt(detail["ids"], raw_vocab, corpus)
                 )
+                if n_best > 1 and "nbest" in detail:
+                    detail["nbest"] = [
+                        dict(h, text=ids_to_utt(h["ids"], raw_vocab, corpus))
+                        for h in detail["nbest"][:n_best]
+                    ]
+                else:
+                    detail.pop("nbest", None)
                 fut.set_result(
                     detail if detailed else (detail["ids"], detail["text"])
                 )
@@ -333,7 +346,7 @@ def _response_body(detail):
     """JSON-safe response body from a transcribe_batch_detailed dict —
     shared by the TCP and HTTP front-ends so both protocols expose the
     same fields (incl. per-symbol emission frames + start times)."""
-    return {
+    body = {
         "ids": [int(i) for i in detail["ids"]],
         "text": detail["text"],
         "score": detail["score"],
@@ -343,6 +356,13 @@ def _response_body(detail):
         "times": detail["times"],
         "token_confidences": detail["token_confidences"],
     }
+    if "nbest" in detail:
+        body["nbest"] = [
+            {"ids": [int(i) for i in h["ids"]], "text": h["text"],
+             "score": h["score"]}
+            for h in detail["nbest"]
+        ]
+    return body
 
 
 def _read_exact(sock, n):
@@ -361,14 +381,17 @@ def _send_msg(sock, obj):
 
 
 def request(host, port, feats, corpus="timit", timeout=60.0, model=None,
-            detailed=False):
+            detailed=False, nbest=1):
     """Client helper: one transcription round trip. -> (ids, text).
 
     ``model`` selects a fleet model by name (None = the daemon default);
     ``detailed`` returns the full response dict instead (adds score /
-    avg_logp / confidence)."""
+    avg_logp / confidence / frames / times / token_confidences, and —
+    with ``nbest`` > 1 — that many ranked hypotheses)."""
     feats = np.ascontiguousarray(feats, np.float32)
     head = {"shape": list(feats.shape), "corpus": corpus}
+    if nbest and nbest > 1:
+        head["nbest"] = int(nbest)
     if model is not None:
         head["model"] = model
     header = json.dumps(head).encode("utf-8")
@@ -452,7 +475,8 @@ class _Handler(socketserver.BaseRequestHandler):
             raw = _read_exact(self.request, int(t) * int(d) * 4)
             feats = np.frombuffer(raw, np.float32).reshape(int(t), int(d))
             detail = frontend.submit(
-                feats, corpus=header.get("corpus", "timit"), detailed=True
+                feats, corpus=header.get("corpus", "timit"), detailed=True,
+                n_best=int(header.get("nbest", 1)),
             ).result()
             _send_msg(self.request, _response_body(detail))
         except Exception as exc:  # noqa: BLE001 — report to the client
@@ -572,7 +596,8 @@ def make_http_server(fleet, host, port):
                     )
                     return self._reply(200, {"segments": segments})
                 detail = frontend.submit(
-                    feats, corpus=corpus, detailed=True
+                    feats, corpus=corpus, detailed=True,
+                    n_best=int(req.get("nbest", 1)),
                 ).result()
                 self._reply(200, _response_body(detail))
             except Exception as exc:  # noqa: BLE001 — report to the client

@@ -374,6 +374,23 @@ def test_detailed_scoring_fields(recognizer):
     assert plain == (detail["ids"], detail["text"])
     assert 0.0 < detail["confidence"] <= 1.0
 
+    # n-best through the coalescing frontend: ranked, top == the 1-best
+    frontend = BatchingFrontend(rec, max_batch=4, max_wait_ms=5,
+                                beam_width=4)
+    try:
+        d3 = frontend.submit(feats, corpus="wsj", detailed=True,
+                             n_best=3).result(timeout=120)
+        d1 = frontend.submit(feats, corpus="wsj",
+                             detailed=True).result(timeout=120)
+    finally:
+        frontend.close()
+    assert "nbest" not in d1
+    hyps = d3["nbest"]
+    assert 1 <= len(hyps) <= 3
+    assert hyps[0]["ids"] == d3["ids"] and hyps[0]["text"] == d3["text"]
+    scores = [h["score"] for h in hyps]
+    assert scores == sorted(scores, reverse=True)
+
 
 def test_streaming_sessions_over_tcp(tmp_path):
     """Live streaming over the daemon protocol: two interleaved sessions

@@ -188,3 +188,31 @@ def test_streaming_transcriber_token_frames():
     session.push(feats)
     session.flush()
     assert session.token_frames == offline_frames
+
+
+def test_nbest_device_beam():
+    """N-best: ranked, deduped, and the first triple equals the plain
+    with_frames batch decode."""
+    from srf_tpu.ops.ctc_beam_jax import (
+        ctc_beam_search_batch_jax, ctc_beam_search_nbest_jax,
+    )
+
+    rng = np.random.RandomState(3)
+    logits = (2.0 * rng.randn(2, 15, V)).astype(np.float32)
+    lens = np.asarray([15, 9])
+    nbest = ctc_beam_search_nbest_jax(
+        logits, lens, beam_width=8, blank_id=BLANK, top_paths=4
+    )
+    top = ctc_beam_search_batch_jax(
+        logits, lens, beam_width=8, blank_id=BLANK, with_frames=True
+    )
+    for b in range(2):
+        hyps = nbest[b]
+        assert 1 <= len(hyps) <= 4
+        assert hyps[0] == top[b]
+        scores = [s for _, s, _ in hyps]
+        assert scores == sorted(scores, reverse=True)
+        seqs = [tuple(ids) for ids, _, _ in hyps]
+        assert len(set(seqs)) == len(seqs)  # deduplicated
+        for ids, _, frames in hyps:
+            assert len(frames) == len(ids)

@@ -38,6 +38,15 @@ jax.config.update("jax_platforms", _platform)
 
 # Persistent compilation cache: the suite is dominated by CPU XLA compiles
 # (~100 jitted programs); repeat runs hit the cache and finish much faster.
-from srf_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+# The suite gets its OWN cache dir: sharing the default with bench/CLI
+# processes let a timeout-killed writer leave a truncated entry whose
+# native read SEGFAULTED a later suite run (jax compilation_cache
+# get_executable_and_time) — test runs must never read entries other
+# process families write.
+from srf_tpu.utils.compilation_cache import (  # noqa: E402
+    DEFAULT_CACHE_DIR, enable_compilation_cache,
+)
 
-enable_compilation_cache(os.environ.get("SRF_TEST_CACHE"))
+enable_compilation_cache(
+    os.environ.get("SRF_TEST_CACHE") or DEFAULT_CACHE_DIR + "_tests"
+)

@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--frames", type=int, default=800)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--beam", type=int, default=100)
+    parser.add_argument("--impl", default="",
+                        help="comma filter: greedy,beam_device,"
+                             "beam_host_cpp (default all)")
     args = parser.parse_args()
 
     import jax
@@ -73,12 +76,17 @@ def main():
             "x_realtime": round(audio_secs * args.iters / elapsed, 1),
         }), flush=True)
 
-    run("greedy", lambda lg: np.asarray(
-        greedy_decode_jit(lg, jnp.asarray(dec_lens))[0]))
-    run("beam_device", lambda lg: ctc_beam_search_batch_jax(
-        lg, dec_lens, args.beam))
-    run("beam_host_cpp", lambda lg: beam_search_batch(
-        np.asarray(lg), list(dec_lens), args.beam))
+    impls = (args.impl.split(",") if args.impl
+             else ["greedy", "beam_device", "beam_host_cpp"])
+    if "greedy" in impls:
+        run("greedy", lambda lg: np.asarray(
+            greedy_decode_jit(lg, jnp.asarray(dec_lens))[0]))
+    if "beam_device" in impls:
+        run("beam_device", lambda lg: ctc_beam_search_batch_jax(
+            lg, dec_lens, args.beam))
+    if "beam_host_cpp" in impls:
+        run("beam_host_cpp", lambda lg: beam_search_batch(
+            np.asarray(lg), list(dec_lens), args.beam))
 
 
 if __name__ == "__main__":

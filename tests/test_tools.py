@@ -142,3 +142,60 @@ def test_scorer_breakdown_pralign_confusions(tmp_path):
     assert "id: (u1)" in align and "id: (u3)" in align
     assert "REF: a B C q" not in align  # correct tokens stay lowercase
     assert "B" in align and "X" in align and "***" in align
+
+
+def test_make_vocab_roundtrip(tmp_path):
+    """make_vocab emits the loader's expected format: PAD first, '$'/'@'
+    last, frequency-major symbols; load_vocab accepts it."""
+    import json
+
+    from srf_tpu.config.logger import Logger
+    from srf_tpu.tools.make_vocab import main as make_vocab_main
+    from srf_tpu.utils.vocab import load_vocab
+
+    manifest = tmp_path / "train.json"
+    with open(manifest, "w") as f:
+        for text in ("abc ab", "bb", "cab a"):
+            f.write(json.dumps({"key": "k", "duration": 1.0,
+                                "text": text}) + "\n")
+    out = tmp_path / "auto.vocab"
+    assert make_vocab_main([str(out), str(manifest)]) == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "<PADDING_SYMBOL>"
+    assert lines[-2:] == ["$", "@"]
+    # b(4) > a(3) > c(2) > <SPACE>(2): freq major, alphabetical tiebreak
+    assert lines[1:-2] == ["b", "a", "<SPACE>", "c"]
+    logger = Logger(name="mv", level=Logger.INFO).logger
+    _, vocab, dim, _ = load_vocab(str(out), logger)
+    assert dim == len(lines)
+    # min-count filter drops rare symbols
+    assert make_vocab_main([str(out), str(manifest),
+                            "--min-count=3"]) == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[1:-2] == ["b", "a"]
+
+
+def test_ckpt_info_reports_tree(tmp_path):
+    """ckpt_info describes a checkpoint without the model that wrote it."""
+    import io
+
+    import numpy as np
+
+    from srf_tpu.tools.ckpt_info import describe
+    from srf_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, {
+        "step": np.asarray(3, np.int32),
+        "params": {"w": np.zeros((4, 5), np.float32),
+                   "b": np.zeros((5,), np.float32)},
+        "ema_params": {"w": np.zeros((4, 5), np.float32)},
+    })
+    mgr.close()
+    buf = io.StringIO()
+    assert describe(str(tmp_path / "ckpt"), full=True, out=buf) == 0
+    text = buf.getvalue()
+    assert "steps on disk:  3" in text
+    assert "params" in text and "25 params" in text
+    assert "present (serve with --tpu-decode-ema)" in text
+    assert "4x5" in text

@@ -324,6 +324,9 @@ class Recognizer:
         frame it entered the beam prefix) and ``times`` the corresponding
         start time in seconds (10 ms input frames x the model's
         subsampling; reference front-end: egs/script/fbank123.sh).
+        ``n_best`` > 1 (beam decodes only; greedy has no alternatives)
+        adds that many ranked hypotheses under "nbest" from the same
+        single beam scan.
         """
         if not feats_list:
             return []

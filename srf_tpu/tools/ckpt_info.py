@@ -2,8 +2,9 @@
 
 Ops tooling the reference lacks (its nearest analog is rebuilding the
 whole model just to call ``model.summary()``, reference:
-tfsr/trainer_sr.py:248). Reads orbax metadata only — no model build, no
-device work, safe on checkpoints from ANY topology.
+tfsr/trainer_sr.py:248). Template-free restore onto host CPU — no model
+build, no accelerator work, safe on checkpoints from ANY topology
+(loads the tree into host RAM; fine at this framework's model scales).
 
 Run:
     python -m srf_tpu.tools.ckpt_info /path/to/ckpt [--step N] [--full]

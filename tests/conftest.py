@@ -47,6 +47,8 @@ from srf_tpu.utils.compilation_cache import (  # noqa: E402
     DEFAULT_CACHE_DIR, enable_compilation_cache,
 )
 
-enable_compilation_cache(
-    os.environ.get("SRF_TEST_CACHE") or DEFAULT_CACHE_DIR + "_tests"
-)
+_test_cache = os.environ.get("SRF_TEST_CACHE") or DEFAULT_CACHE_DIR + "_tests"
+enable_compilation_cache(_test_cache)
+# subprocess trainers spawned by tests must inherit the SAME isolation
+# (they read SRF_JAX_CACHE at import)
+os.environ["SRF_JAX_CACHE"] = _test_cache

@@ -36,19 +36,34 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 
-# Persistent compilation cache: the suite is dominated by CPU XLA compiles
-# (~100 jitted programs); repeat runs hit the cache and finish much faster.
-# The suite gets its OWN cache dir: sharing the default with bench/CLI
-# processes let a timeout-killed writer leave a truncated entry whose
-# native read SEGFAULTED a later suite run (jax compilation_cache
-# get_executable_and_time) — test runs must never read entries other
-# process families write.
-from srf_tpu.utils.compilation_cache import (  # noqa: E402
-    DEFAULT_CACHE_DIR, enable_compilation_cache,
-)
+# Persistent compilation cache: OFF for CPU suite runs. XLA:CPU AOT
+# executable deserialization is machine-feature-sensitive and has
+# SEGFAULTED the suite twice (jax compilation_cache
+# get_executable_and_time -> backend.deserialize_executable, with
+# cpu_aot_loader "machine type ... doesn't match" warnings — even on
+# entries written moments earlier by this same process family). The
+# remote-TPU platform keeps the cache (it saves minutes per compile and
+# its serialized executables are not CPU-AOT objects); an explicit
+# SRF_TEST_CACHE opts back in for CPU. Subprocess trainers get a
+# per-run throwaway dir (below) so restart/resume tests keep their
+# warm-start while nothing test-written ever reaches the default dir.
+if _platform != "cpu" or os.environ.get("SRF_TEST_CACHE"):
+    from srf_tpu.utils.compilation_cache import (  # noqa: E402
+        DEFAULT_CACHE_DIR, enable_compilation_cache,
+    )
 
-_test_cache = os.environ.get("SRF_TEST_CACHE") or DEFAULT_CACHE_DIR + "_tests"
-enable_compilation_cache(_test_cache)
-# subprocess trainers spawned by tests must inherit the SAME isolation
-# (they read SRF_JAX_CACHE at import)
-os.environ["SRF_JAX_CACHE"] = _test_cache
+    _test_cache = (os.environ.get("SRF_TEST_CACHE")
+                   or DEFAULT_CACHE_DIR + "_tests")
+    enable_compilation_cache(_test_cache)
+    os.environ["SRF_JAX_CACHE"] = _test_cache
+else:
+    # children spawned by tests must not write the shared default dir
+    # either (a killed child's truncated entry would poison later CLI
+    # runs): point them at a per-run throwaway
+    os.environ.setdefault(
+        "SRF_JAX_CACHE",
+        os.path.join(
+            os.environ.get("TMPDIR", "/tmp"),
+            "srf_test_cache_%d" % os.getpid(),
+        ),
+    )

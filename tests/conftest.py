@@ -47,23 +47,15 @@ jax.config.update("jax_platforms", _platform)
 # SRF_TEST_CACHE opts back in for CPU. Subprocess trainers get a
 # per-run throwaway dir (below) so restart/resume tests keep their
 # warm-start while nothing test-written ever reaches the default dir.
-if _platform != "cpu" or os.environ.get("SRF_TEST_CACHE"):
-    from srf_tpu.utils.compilation_cache import (  # noqa: E402
-        DEFAULT_CACHE_DIR, enable_compilation_cache,
-    )
+from srf_tpu.utils.compilation_cache import (  # noqa: E402
+    DEFAULT_CACHE_DIR, enable_compilation_cache,
+)
 
-    _test_cache = (os.environ.get("SRF_TEST_CACHE")
-                   or DEFAULT_CACHE_DIR + "_tests")
-    enable_compilation_cache(_test_cache)
-    os.environ["SRF_JAX_CACHE"] = _test_cache
-else:
-    # children spawned by tests must not write the shared default dir
-    # either (a killed child's truncated entry would poison later CLI
-    # runs): point them at a per-run throwaway
-    os.environ.setdefault(
-        "SRF_JAX_CACHE",
-        os.path.join(
-            os.environ.get("TMPDIR", "/tmp"),
-            "srf_test_cache_%d" % os.getpid(),
-        ),
-    )
+_test_cache = (os.environ.get("SRF_TEST_CACHE")
+               or DEFAULT_CACHE_DIR + "_tests")
+enable_compilation_cache(
+    _test_cache, force=bool(os.environ.get("SRF_TEST_CACHE"))
+)
+# subprocess trainers inherit the test dir (their own
+# enable_compilation_cache applies the same CPU no-op rule)
+os.environ["SRF_JAX_CACHE"] = _test_cache

@@ -1,9 +1,16 @@
-"""Benchmark: canonical SRF-TIMIT training throughput (utterances/sec/chip).
+"""Round scoreboard benchmark (driver entry point).
 
-Prints ONE JSON line:
+Prints ONE JSON line. The headline fields keep the original contract:
     {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N}
+and the ``scoreboard`` key carries the full round table (VERDICT r3 item
+2): all five canonical dense-family train numbers (ms/step, utt/s, MFU),
+canonical SRF-WSJ, the batch-amortized TIMIT-TPU recipe point, the
+serving sweep point (greedy + device beam at batch 64), streamed-beam
+RTF at chunk 16, and forced-alignment throughput — so each round's JSON
+records the round's actual performance story without consulting
+BENCH_NOTES.md.
 
-The workload is the reference's canonical SRF-TIMIT recipe shape
+The headline workload is the reference's canonical SRF-TIMIT recipe shape
 (reference: egs/script/train_srf_timit.sh:5-12,50 — L=7, PH=60, CH=30, D=8,
 window 1+1+1, SDR iter 1, 7000-frame bucket budget -> batch 29 x 241
 frames), run as our full jitted data-parallel train step on synthetic data.
@@ -12,6 +19,10 @@ frames), run as our full jitted data-parallel train step on synthetic data.
 BASELINE_MEASURED.json (populated by bench_baseline.py, which runs the
 original TF graph on this host's CPU — no GPU exists here; the file records
 the hardware so the ratio is interpretable). Falls back to 1.0 when absent.
+
+Env knobs: BENCH_WARMUP / BENCH_ITERS (headline loop), BENCH_SCOREBOARD=0
+(headline only), BENCH_BUDGET_S (wall-clock budget for the extra sections,
+default 2400 s — sections that would start past it are skipped with a note).
 """
 
 import json
@@ -21,8 +32,12 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
-def build_workload(batch=29, frames=241, feat_dim=123, vocab=62):
+
+def build_workload(batch=29, frames=241, feat_dim=123, vocab=62, wsj=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,13 +48,24 @@ def build_workload(batch=29, frames=241, feat_dim=123, vocab=62):
     from srf_tpu.train.state import TrainState
     from srf_tpu.train.step import make_apply_fn, make_train_step
 
-    model = SequenceRouter(
-        feat_dim=feat_dim, class_n=vocab + 1, enc_num=7,
-        caps_primary_num=60, caps_primary_dim=8,
-        caps_conv_num=30, caps_conv_dim=8, caps_class_dim=8,
-        caps_iter=1, lpad=1, rpad=1, is_context=True,
-        conv_layer_num=2, conv_filter_num=64, caps_type="naive",
-    )
+    if wsj:
+        # canonical SRF-WSJ (reference: egs/script/train_srf_wsj.sh:5-10,44)
+        vocab = 31
+        model = SequenceRouter(
+            feat_dim=feat_dim, class_n=vocab + 1, enc_num=10,
+            caps_primary_num=60, caps_primary_dim=20,
+            caps_conv_num=30, caps_conv_dim=20, caps_class_dim=20,
+            caps_iter=1, lpad=2, rpad=2, is_context=True,
+            conv_layer_num=2, conv_filter_num=64, caps_type="lowmemory",
+        )
+    else:
+        model = SequenceRouter(
+            feat_dim=feat_dim, class_n=vocab + 1, enc_num=7,
+            caps_primary_num=60, caps_primary_dim=8,
+            caps_conv_num=30, caps_conv_dim=8, caps_class_dim=8,
+            caps_iter=1, lpad=1, rpad=1, is_context=True,
+            conv_layer_num=2, conv_filter_num=64, caps_type="naive",
+        )
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
     batch = max(n_dev, batch // n_dev * n_dev)
@@ -74,44 +100,181 @@ def build_workload(batch=29, frames=241, feat_dim=123, vocab=62):
     return train_step, state, batch_data, rng, batch, n_dev
 
 
-def main():
+def time_train(train_step, state, batch_data, rng, warmup, iters):
+    """Seconds/step. Synchronize by fetching a value, not
+    block_until_ready — on the remote-attached (axon) platform
+    block_until_ready returns before execution finishes and would
+    overstate throughput ~50x."""
     import jax
 
+    for _ in range(warmup):
+        state, metrics = train_step(state, batch_data, rng)
+    float(jax.device_get(metrics["loss_sum"]))
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, batch_data, rng)
+    float(jax.device_get(metrics["loss_sum"]))
+    return (time.perf_counter() - start) / iters
+
+
+def _srf_timit_mfu(batch, step_seconds, n_dev):
+    from srf_tpu.utils.flops import V5E_PEAK_BF16, srf_train_step_flops
+
+    flops_step = srf_train_step_flops(
+        batch=batch, frames=241, feat_dim=123, enc_num=7, ph=60, pd=8,
+        ch=30, cd=8, class_n=63, vd=8, lpad=1, rpad=1, num_iter=1,
+    )
+    return flops_step, flops_step / step_seconds / V5E_PEAK_BF16 / n_dev
+
+
+def section_srf_timit_batch(batch, warmup, iters):
+    """SRF-TIMIT at a given batch (the TPU-recipe amortization point)."""
+    train_step, state, data, rng, b, n_dev = build_workload(batch=batch)
+    dt = time_train(train_step, state, data, rng, warmup, iters)
+    flops, mfu = _srf_timit_mfu(b, dt, n_dev)
+    return {"batch": b, "ms_per_step": round(dt * 1e3, 3),
+            "utt_per_s": round(b / dt / n_dev, 1), "mfu": round(mfu, 5)}
+
+
+def section_srf_wsj(warmup, iters):
+    from srf_tpu.utils.flops import V5E_PEAK_BF16, srf_train_step_flops
+
+    train_step, state, data, rng, b, n_dev = build_workload(
+        batch=40, frames=600, wsj=True)
+    dt = time_train(train_step, state, data, rng, warmup, iters)
+    flops_step = srf_train_step_flops(
+        batch=b, frames=600, feat_dim=123, enc_num=10, ph=60, pd=20,
+        ch=30, cd=20, class_n=32, vd=20, lpad=2, rpad=2, num_iter=1,
+    )
+    mfu = flops_step / dt / V5E_PEAK_BF16 / n_dev
+    return {"batch": b, "ms_per_step": round(dt * 1e3, 3),
+            "utt_per_s": round(b / dt / n_dev, 1), "mfu": round(mfu, 5)}
+
+
+def section_families(iters):
+    from tools_dev.bench_families import family_specs
+
+    rows = {}
+    for name, thunk in family_specs(iters=iters, quiet=True).items():
+        rows[name] = {k: v for k, v in thunk().items() if k != "family"}
+    return rows
+
+
+def _canonical_model():
+    import jax
+    import jax.numpy as jnp
+
+    from srf_tpu.models.srf import SequenceRouter
+
+    model = SequenceRouter(
+        feat_dim=123, class_n=63, enc_num=7, caps_primary_num=60,
+        caps_primary_dim=8, caps_conv_num=30, caps_conv_dim=8,
+        caps_class_dim=8, caps_iter=1, lpad=1, rpad=1, is_context=True,
+        conv_layer_num=2, conv_filter_num=64, caps_type="naive",
+    )
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 64, 123), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy,
+                           jnp.asarray([64]), False)
+    return model, variables
+
+
+def section_serving(batch=64, frames=800, beam=100, iters=4):
+    """Batched serving throughput (forward + decode in one dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_batch_jax
+    from srf_tpu.ops.ctc_decode import greedy_decode_jit
+
+    model, variables = _canonical_model()
+    host = np.random.RandomState(0)
+    feats = jnp.asarray(host.randn(batch, frames, 123), jnp.float32)
+    lens = jnp.full((batch,), frames, jnp.int32)
+    fwd = jax.jit(lambda f, l: model.apply(variables, f, l, False))
+    dec_lens = np.full((batch,), frames // 4, np.int32)
+    audio_secs = frames * 0.01 * batch
+
+    out = {"batch": batch, "frames": frames}
+    for tag, decode_fn in (
+        ("greedy", lambda lg: np.asarray(
+            greedy_decode_jit(lg, jnp.asarray(dec_lens))[0])),
+        ("beam%d" % beam, lambda lg: ctc_beam_search_batch_jax(
+            lg, dec_lens, beam)),
+    ):
+        logits = fwd(feats, lens)
+        decode_fn(logits)  # warm/compile
+        start = time.perf_counter()
+        for _ in range(iters):
+            logits = fwd(feats, lens)
+            decode_fn(logits)
+        elapsed = time.perf_counter() - start
+        out[tag] = {
+            "utt_per_s": round(batch * iters / elapsed, 1),
+            "x_realtime": round(audio_secs * iters / elapsed, 1),
+        }
+    return out
+
+
+def section_streaming_beam(chunk=16, beam=100, frames=800):
+    """Streamed device-beam RTF at the standard chunk size."""
+    from srf_tpu.streaming import StreamingTranscriber
+
+    model, variables = _canonical_model()
+    host = np.random.RandomState(0)
+    raw = host.randn(frames, 123).astype(np.float32)
+    session = StreamingTranscriber(model, variables, blank_id=62,
+                                   chunk=chunk, beam_width=beam)
+    chunk_raw = chunk * 4
+    session.push(raw[:chunk_raw])
+    session.flush()  # warm compile
+    session.reset()
+    lat = []
+    start = time.perf_counter()
+    for lo in range(0, frames, chunk_raw):
+        t0 = time.perf_counter()
+        session.push(raw[lo:lo + chunk_raw])
+        lat.append(time.perf_counter() - t0)
+    session.flush()
+    total = time.perf_counter() - start
+    return {"chunk": chunk, "beam": beam,
+            "mean_push_ms": round(float(np.mean(lat)) * 1e3, 1),
+            "max_push_ms": round(float(np.max(lat)) * 1e3, 1),
+            "rtf": round(frames * 0.01 / total, 2)}
+
+
+def section_align(batch=64, frames=200, labels=60, vocab=63, iters=4):
+    from srf_tpu.ops.ctc_align import ctc_forced_align
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(batch, frames, vocab).astype(np.float32)
+    lens = np.full((batch,), frames, np.int32)
+    labs = rng.randint(0, vocab - 1, size=(batch, labels)).astype(np.int32)
+    lab_lens = np.full((batch,), labels, np.int32)
+    ctc_forced_align(logits, lens, labs, lab_lens, blank_id=vocab - 1)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ctc_forced_align(logits, lens, labs, lab_lens, blank_id=vocab - 1)
+    dt = (time.perf_counter() - t0) / iters
+    audio_s = batch * frames * 0.04  # 4x-subsampled 10 ms frames
+    return {"batch": batch, "ms_per_batch": round(dt * 1e3, 2),
+            "utt_per_s": round(batch / dt, 1),
+            "x_realtime": round(audio_s / dt, 1)}
+
+
+def main():
     from srf_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    t_start = time.perf_counter()
+
     train_step, state, batch, rng, batch_size, n_dev = build_workload()
-
-    # NOTE: synchronize by fetching a value, not block_until_ready — on the
-    # remote-attached (axon) platform block_until_ready returns before
-    # execution finishes and would overstate throughput ~50x.
-    for _ in range(warmup):
-        state, metrics = train_step(state, batch, rng)
-    float(jax.device_get(metrics["loss_sum"]))
-
-    start = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch, rng)
-    float(jax.device_get(metrics["loss_sum"]))
-    elapsed = time.perf_counter() - start
-
-    utts_per_sec = batch_size * iters / elapsed
-    per_chip = utts_per_sec / n_dev
-
-    # MFU: analytic model FLOPs (3x forward; remat recompute not credited)
-    # against the v5e bf16 matmul peak — see srf_tpu/utils/flops.py for the
-    # conventions and why XLA cost_analysis cannot be used (scan bodies
-    # counted once).
-    from srf_tpu.utils.flops import V5E_PEAK_BF16, srf_train_step_flops
-
-    step_seconds = elapsed / iters
-    flops_step = srf_train_step_flops(
-        batch=batch_size, frames=241, feat_dim=123, enc_num=7, ph=60, pd=8,
-        ch=30, cd=8, class_n=63, vd=8, lpad=1, rpad=1, num_iter=1,
-    )
-    mfu = flops_step / step_seconds / V5E_PEAK_BF16 / n_dev
+    step_seconds = time_train(train_step, state, batch, rng, warmup, iters)
+    per_chip = batch_size / step_seconds / n_dev
+    flops_step, mfu = _srf_timit_mfu(batch_size, step_seconds, n_dev)
 
     # The only measurable reference run in this environment is TF on a
     # single host-CPU thread (BASELINE_MEASURED.json records the hardware),
@@ -119,8 +282,7 @@ def main():
     # it is labeled as such. The BASELINE.md north star (>=10x vs the TF
     # GPU reference at accuracy parity) is not evaluable without a GPU run.
     vs_baseline = 1.0
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_MEASURED.json")
+    baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     if os.path.exists(baseline_path):
         try:
             measured = json.load(open(baseline_path))
@@ -130,7 +292,7 @@ def main():
         except (ValueError, OSError):
             pass
 
-    print(json.dumps({
+    result = {
         "metric": "srf_timit_sdr_train_throughput",
         "value": round(per_chip, 3),
         "unit": "utt/s/chip",
@@ -144,7 +306,33 @@ def main():
         "mfu": round(mfu, 5),
         "model_flops_per_step": flops_step,
         "ms_per_step": round(step_seconds * 1e3, 3),
-    }))
+    }
+
+    if os.environ.get("BENCH_SCOREBOARD", "1") != "0":
+        fam_iters = max(3, iters // 2)
+        sections = [
+            # the batch-amortized TIMIT-TPU recipe point (egs/conf/
+            # timit_tpu.conf — 28,000-frame budget -> batch 116)
+            ("srf_timit_tpu_b116",
+             lambda: section_srf_timit_batch(116, warmup, iters)),
+            ("srf_wsj", lambda: section_srf_wsj(warmup, max(5, iters // 2))),
+            ("families", lambda: section_families(fam_iters)),
+            ("serving_b64", section_serving),
+            ("streaming_beam_chunk16", section_streaming_beam),
+            ("align_b64", section_align),
+        ]
+        scoreboard = {}
+        for name, fn in sections:
+            if time.perf_counter() - t_start > budget_s:
+                scoreboard[name] = {"skipped": "bench budget exceeded"}
+                continue
+            try:
+                scoreboard[name] = fn()
+            except Exception as exc:  # one bad section must not kill the line
+                scoreboard[name] = {"error": repr(exc)[:300]}
+        result["scoreboard"] = scoreboard
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

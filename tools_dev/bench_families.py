@@ -26,7 +26,8 @@ import numpy as np
 
 
 def bench(name, model, batch, frames, vocab, in_len_div, iters=10,
-          stf_pen=None, bf16=False, flops_per_step=None, emit_json=False):
+          stf_pen=None, bf16=False, flops_per_step=None, emit_json=False,
+          quiet=False):
     import jax
 
     from srf_tpu.utils.flops import V5E_PEAK_BF16, V5E_PEAK_F32
@@ -92,7 +93,9 @@ def bench(name, model, batch, frames, vocab, in_len_div, iters=10,
         row["model_flops_per_step"] = flops_per_step
         row["mfu_bf16peak"] = round(flops_per_step / dt / V5E_PEAK_BF16, 4)
         row["mfu_f32peak"] = round(flops_per_step / dt / V5E_PEAK_F32, 4)
-    if emit_json:
+    if quiet:
+        pass
+    elif emit_json:
         print(json.dumps(row), flush=True)
     else:
         mfu_s = (
@@ -106,22 +109,10 @@ def bench(name, model, batch, frames, vocab, in_len_div, iters=10,
     return row
 
 
-def main():
-    from srf_tpu.utils.compilation_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--family", default="all")
-    parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--bf16", action="store_true")
-    parser.add_argument("--json", action="store_true")
-    parser.add_argument("--dropout-kernel", default="xla",
-                        choices=["xla", "pallas"],
-                        help="CNN dropout implementation (the fused "
-                             "hardware-PRNG kernel vs the default "
-                             "threefry masks; ops/dropout_pallas.py)")
-    args = parser.parse_args()
-
+def family_specs(iters=10, bf16=False, emit_json=False, quiet=False,
+                 dropout_kernel="xla"):
+    """The five canonical non-SRF recipes as name -> thunk returning the
+    measured row dict (also importable by the round scoreboard bench.py)."""
     from srf_tpu.models.cnn import CNNEncoder, CNNStrideEncoder
     from srf_tpu.models.lstm import LstmEncoder
     from srf_tpu.models.stf import ConvEncoder
@@ -142,7 +133,7 @@ def main():
             penalty_params=pen,
         )
 
-    common = dict(iters=args.iters, bf16=args.bf16, emit_json=args.json)
+    common = dict(iters=iters, bf16=bf16, emit_json=emit_json, quiet=quiet)
     fams = {}
     ap_t, stf_t = stf(128, 1024, 62)
     fams["stf_timit"] = lambda: bench(
@@ -175,7 +166,7 @@ def main():
         "cnn_timit",
         CNNEncoder(enc_num=10, class_n=63, feat_dim=123, nfilt_inp=128,
                    nfilt_inn=256, proj_layers=3, proj_dim=1024, stride=1,
-                   dropout_impl=args.dropout_kernel),
+                   dropout_impl=dropout_kernel),
         29, 241, 62, 1,
         flops_per_step=3 * cnn_maxpool_forward_flops(
             29, 241, 123, enc_num=10, class_n=63, nfilt_inp=128,
@@ -186,13 +177,34 @@ def main():
         "cnn_wsj",
         CNNStrideEncoder(enc_num=15, class_n=32, feat_dim=123,
                          nfilt_inp=200, nfilt_inn=430, proj_layers=3,
-                         proj_dim=2048, dropout_impl=args.dropout_kernel),
+                         proj_dim=2048, dropout_impl=dropout_kernel),
         40, 600, 31, 4,
         flops_per_step=3 * cnn_stride_forward_flops(
             40, 600, 123, enc_num=15, class_n=32, nfilt_inp=200,
             nfilt_inn=430, proj_layers=3, proj_dim=2048),
         **common,
     )
+    return fams
+
+
+def main():
+    from srf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", default="all")
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--json", action="store_true")
+    parser.add_argument("--dropout-kernel", default="xla",
+                        choices=["xla", "pallas"],
+                        help="CNN dropout implementation (the fused "
+                             "hardware-PRNG kernel vs the default "
+                             "threefry masks; ops/dropout_pallas.py)")
+    args = parser.parse_args()
+    fams = family_specs(iters=args.iters, bf16=args.bf16,
+                        emit_json=args.json,
+                        dropout_kernel=args.dropout_kernel)
     for name, fn in fams.items():
         if args.family in ("all", name):
             fn()

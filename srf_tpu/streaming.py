@@ -67,11 +67,18 @@ def _stream_step_fn(model):
 @functools.lru_cache(maxsize=8)
 def _pool_step_fn(model):
     """One compiled batched (vmapped) stream_step per model for
-    StreamingPool ticks; variables are an argument so pools share it."""
+    StreamingPool ticks; variables are an argument so pools share it.
+
+    The einsum flavor's per-session positional-encoding slice rides as one
+    more vmapped operand (``pos``, [n, win_posts, PH]) — its shape is fixed
+    by the window geometry, only its content varies with each session's
+    absolute stream position, so batching is unaffected. Non-einsum
+    flavors pass ``pos=None`` (an empty pytree under jit)."""
     enc_num = model.enc_num
 
     @jax.jit
-    def _pstep(variables, win, length, lpost, offs, bufs_list, vpr_list):
+    def _pstep(variables, win, length, lpost, offs, bufs_list, vpr_list,
+               pos=None):
         bufs = [
             jnp.stack([b[l] for b in bufs_list])
             for l in range(enc_num)
@@ -80,11 +87,19 @@ def _pool_step_fn(model):
             jnp.stack([v[l] for v in vpr_list])
             for l in range(enc_num)
         ]
-        logits, nb, nv = jax.vmap(
-            lambda w, l, lp, b, v, o: model.apply(
-                variables, w, l, lp, b, v, o, method="stream_step"
-            )
-        )(win, length, lpost, bufs, vpr, offs)
+        if pos is not None:
+            logits, nb, nv = jax.vmap(
+                lambda w, l, lp, b, v, o, p: model.apply(
+                    variables, w, l, lp, b, v, o, pos_enc_override=p,
+                    method="stream_step"
+                )
+            )(win, length, lpost, bufs, vpr, offs, pos)
+        else:
+            logits, nb, nv = jax.vmap(
+                lambda w, l, lp, b, v, o: model.apply(
+                    variables, w, l, lp, b, v, o, method="stream_step"
+                )
+            )(win, length, lpost, bufs, vpr, offs)
         n = win.shape[0]
         new_bufs = [[nb[l][i] for l in range(enc_num)]
                     for i in range(n)]
@@ -527,17 +542,15 @@ class StreamingPool:
     tick and splits the results back, so slots can be flushed/reset
     independently while others keep streaming. Ticks whose ready-set is
     smaller than ``slots`` are padded (rows discarded), keeping ONE
-    compiled shape. The einsum SRF flavor is rejected: its per-block
-    positional override varies per session and would defeat the batching.
+    compiled shape. All three reference caps_type flavors stream: the
+    einsum flavor's per-session positional-encoding slice (a fixed-shape
+    array whose content tracks the session's absolute stream position,
+    reference: tfsr/model/sequence_router_einsum.py:130-131) rides as one
+    more vmapped operand.
     """
 
     def __init__(self, model, variables, blank_id, slots, chunk=8,
                  beam_width=None, lm=None):
-        if model.caps_type == "einsum":
-            raise NotImplementedError(
-                "StreamingPool does not support the einsum flavor "
-                "(per-session pos_enc_override); use StreamingTranscriber"
-            )
         if slots < 1:
             raise ValueError("slots must be >= 1")
         self.sessions = [
@@ -577,10 +590,14 @@ class StreamingPool:
         length = np.asarray([p[1] for p in preps], np.int32)
         lpost = np.asarray([p[2] for p in preps], np.int32)
         offs = np.stack([p[3] for p in preps])
+        pos = None
+        if self.sessions[0].model.caps_type == "einsum":
+            pos = np.stack([np.asarray(p[4]) for p in preps])
         logits, nb, nv = self._pstep(
             self.variables, win, length, lpost, offs,
             [self.sessions[i]._bufs for i in idx],
             [self.sessions[i]._vprev for i in idx],
+            pos,
         )
         logits_np = np.asarray(logits)  # the tick's single host sync
         out = {}

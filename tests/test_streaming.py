@@ -229,10 +229,12 @@ def _pool_cls():
     return StreamingPool
 
 
-def test_pool_matches_single_sessions_greedy():
+@pytest.mark.parametrize("caps_type", ["naive", "einsum"])
+def test_pool_matches_single_sessions_greedy(caps_type):
     """Three staggered streams through ONE batched dispatch per tick must
-    decode exactly like three standalone sessions."""
-    model, variables = _build()
+    decode exactly like three standalone sessions. The einsum flavor's
+    per-session pos-enc slice is a vmapped operand (VERDICT r3 item 6)."""
+    model, variables = _build(caps_type=caps_type)
     rng = np.random.RandomState(3)
     utts = [rng.randn(t, FEAT).astype(np.float32) for t in (57, 33, 70)]
 
@@ -274,11 +276,12 @@ def test_pool_matches_single_sessions_greedy():
     assert toks == singles
 
 
-def test_pool_beam_matches_offline_beam():
+@pytest.mark.parametrize("caps_type", ["naive", "einsum"])
+def test_pool_beam_matches_offline_beam(caps_type):
     """Pool-batched streamed beam == offline device beam per utterance."""
     from srf_tpu.ops.ctc_beam_jax import ctc_beam_search_jax
 
-    model, variables = _build()
+    model, variables = _build(caps_type=caps_type)
     rng = np.random.RandomState(11)
     utts = [rng.randn(t, FEAT).astype(np.float32) for t in (41, 62)]
 

@@ -478,6 +478,15 @@ class ParseOption:
                  "fallback to batch 1, load_speech_data.py:127-145)",
         )
         tpu_group.add_argument(
+            "--tpu-data-lazy", type=ParseOption.str2bool, default="False",
+            help="out-of-core input pipeline: keep only a (shard, offset) "
+                 "index + labels resident and read feature matrices back "
+                 "per batch from the TFRecord shards (the reference "
+                 "streams via tf.data, load_speech_data.py:43-46; our "
+                 "default parses the split into host RAM). Use for "
+                 "splits too large for host memory.",
+        )
+        tpu_group.add_argument(
             "--tpu-import-src", default=None,
             help="reference TF checkpoint (prefix or directory) to convert "
                  "with tools/import_tf_ckpt",

@@ -154,6 +154,51 @@ def read_records(path: str, verify_crc: bool = False):
         yield record
 
 
+def iter_record_spans(path: str, verify_crc: bool = False):
+    """Yield ``(payload_offset, payload_length, record_bytes)`` per record.
+
+    The span addresses the record's PAYLOAD bytes inside the file, so a
+    later ``read_record_at(path, offset, length)`` returns exactly the
+    bytes yielded here — the index a lazy (out-of-core) dataset keeps
+    instead of the decoded features (the TPU-native analog of the
+    reference's streaming ``tf.data.TFRecordDataset`` reader, reference:
+    tfsr/data/load_speech_data.py:43-46)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    end = len(data)
+    while pos < end:
+        if end - pos < 12:
+            raise ValueError("truncated TFRecord header in %s" % path)
+        (length,) = U64_STRUCT.unpack_from(data, pos)
+        if verify_crc:
+            (len_crc,) = U32_STRUCT.unpack_from(data, pos + 8)
+            if masked_crc32c(data[pos : pos + 8]) != len_crc:
+                raise ValueError("bad length crc in %s @%d" % (path, pos))
+        pos += 12
+        record = data[pos : pos + length]
+        if len(record) != length:
+            raise ValueError("truncated TFRecord payload in %s" % path)
+        if end - pos - length < 4:
+            raise ValueError("truncated TFRecord crc in %s @%d" % (path, pos))
+        if verify_crc:
+            (rec_crc,) = U32_STRUCT.unpack_from(data, pos + length)
+            if masked_crc32c(record) != rec_crc:
+                raise ValueError("bad record crc in %s @%d" % (path, pos))
+        yield pos, length, record
+        pos += length + 4
+
+
+def read_record_at(fd: int, offset: int, length: int) -> bytes:
+    """Positional read of one record payload (thread-safe: ``os.pread``
+    never moves a shared file offset, so loader prefetch threads and the
+    eval path can share one fd per shard without locking)."""
+    data = os.pread(fd, length, offset)
+    if len(data) != length:
+        raise ValueError("short read at offset %d" % offset)
+    return data
+
+
 def count_records(pattern_or_paths) -> int:
     """Count records across files (glob pattern string or list of paths).
 

@@ -17,7 +17,9 @@ import jax
 
 from srf_tpu.config import Logger, ParseOption
 from srf_tpu.data.bucketing import get_bucket_info, round_batch_sizes
-from srf_tpu.data.loader import BucketedLoader, EvalLoader, SpeechDataset
+from srf_tpu.data.loader import (
+    BucketedLoader, EvalLoader, LazySpeechDataset, SpeechDataset,
+)
 from srf_tpu.data.tfrecord import count_records
 from srf_tpu.models.registry import build_model
 from srf_tpu.parallel.mesh import (
@@ -50,11 +52,13 @@ def build_loaders(config, logger, num_replicas, seed=0):
     feat_dim = config.feat_dim
     train_ptrn = os.path.join(config.path_base, config.path_train_ptrn)
     valid_ptrn = os.path.join(config.path_base, config.path_valid_ptrn)
-    train_ds = SpeechDataset(
+    ds_cls = (LazySpeechDataset if getattr(config, "tpu_data_lazy", False)
+              else SpeechDataset)
+    train_ds = ds_cls(
         train_ptrn, feat_dim, config.prep_max_inp, config.prep_max_tar,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
-    valid_ds = SpeechDataset(
+    valid_ds = ds_cls(
         valid_ptrn, feat_dim, config.prep_max_inp, config.prep_max_tar,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
@@ -210,7 +214,9 @@ def main(argv=None):
     if config.train_max_epoch == 0:
         # decode mode (reference: trainer_sr.py:290-299)
         test_ptrn = os.path.join(config.path_base, config.path_test_ptrn)
-        test_ds = SpeechDataset(
+        ds_cls = (LazySpeechDataset if config.tpu_data_lazy
+                  else SpeechDataset)
+        test_ds = ds_cls(
             test_ptrn, config.feat_dim, config.prep_max_inp, config.prep_max_tar,
             with_utt_id=True,
         )

@@ -39,7 +39,7 @@ from srf_tpu.trainer_sr import (
 from srf_tpu.utils.checkpoint import load_checkpoint
 from srf_tpu.utils.metrics import MeanMetric
 from srf_tpu.utils.vocab import get_file_path, load_vocab
-from srf_tpu.data.loader import EvalLoader, SpeechDataset
+from srf_tpu.data.loader import EvalLoader, LazySpeechDataset, SpeechDataset
 
 
 def make_stf_extra_kwargs(att_pen, in_len_div):
@@ -202,7 +202,9 @@ def main(argv=None):
 
     if config.train_max_epoch == 0:
         test_ptrn = os.path.join(config.path_base, config.path_test_ptrn)
-        test_ds = SpeechDataset(
+        ds_cls = (LazySpeechDataset if config.tpu_data_lazy
+                  else SpeechDataset)
+        test_ds = ds_cls(
             test_ptrn, config.feat_dim, config.prep_max_inp,
             config.prep_max_tar, with_utt_id=True,
         )

@@ -170,3 +170,103 @@ def test_plan_lockstep_label_cap_skip_lowers_ready_count():
     )
     assert len(emissions[0]) == 1 and len(emissions[1]) == 1
     assert emissions[0][0][1] == (0, 3)  # the two under-cap examples
+
+
+# ----------------------------------------------------- lazy (out-of-core)
+
+
+def _write_corpus_shards(tmp_path, n_utts, feat_dim=4, n_shards=3, seed=0,
+                         min_len=5, max_len=24):
+    """Round-robin TFRecord shards in the writer's exact schema
+    (data/writer.py:157-165)."""
+    from srf_tpu.data.example_proto import encode_example
+    from srf_tpu.data.tfrecord import TFRecordWriter
+
+    rng = np.random.RandomState(seed)
+    writers = [
+        TFRecordWriter(str(tmp_path / ("synth-train-%05d-of-%05d"
+                                       % (i + 1, n_shards))))
+        for i in range(n_shards)
+    ]
+    feats_all = []
+    for i in range(n_utts):
+        n = int(rng.randint(min_len, max_len + 1))
+        feats = rng.randn(n, feat_dim).astype(np.float32)
+        labels = rng.randint(1, 5, size=max(1, n // 8)).astype(np.int64)
+        feats_all.append(feats)
+        writers[i % n_shards].write(encode_example({
+            "target_label": labels,
+            "input_speech": feats.flatten(),
+            "input_length": np.asarray([n], np.int64),
+            "target_length": np.asarray([labels.size], np.int64),
+            "utt_id": [("utt%05d" % i).encode()],
+        }))
+    for w in writers:
+        w.close()
+    return feats_all
+
+
+def test_lazy_dataset_matches_eager(tmp_path):
+    """LazySpeechDataset is a drop-in: identical batches from both loader
+    paths (VERDICT r3 item 3 — out-of-core input pipeline)."""
+    from srf_tpu.data.loader import LazySpeechDataset, SpeechDataset
+
+    _write_corpus_shards(tmp_path, 37, feat_dim=4)
+    ptrn = str(tmp_path / "synth-train-*")
+    eager = SpeechDataset(ptrn, 4, with_utt_id=True)
+    lazy = LazySpeechDataset(ptrn, 4, with_utt_id=True)
+    assert len(eager) == len(lazy) == 37
+    np.testing.assert_array_equal(eager.inp_lens, lazy.inp_lens)
+    np.testing.assert_array_equal(eager.lab_lens, lazy.lab_lens)
+    assert eager.utt_ids == lazy.utt_ids
+    for i in range(len(eager)):
+        np.testing.assert_array_equal(eager.feats[i], lazy.feats[i])
+        np.testing.assert_array_equal(eager.labels[i], lazy.labels[i])
+
+    for kw in (dict(shuffle=True, seed=3), dict(shuffle=False)):
+        be = list(BucketedLoader(eager, [12], [4, 2], prefetch=2, **kw))
+        bl = list(BucketedLoader(lazy, [12], [4, 2], prefetch=2, **kw))
+        assert len(be) == len(bl) > 0
+        for a, b in zip(be, bl):
+            for k in ("feats", "labels", "inp_len", "tar_len"):
+                np.testing.assert_array_equal(a[k], b[k])
+    ee = list(EvalLoader(eager, batch_size=2, pad_multiple=8))
+    el = list(EvalLoader(lazy, batch_size=2, pad_multiple=8))
+    for a, b in zip(ee, el):
+        np.testing.assert_array_equal(a["feats"], b["feats"])
+        assert a["utt_ids"] == b["utt_ids"]
+
+
+def test_lazy_dataset_filters_and_sharding(tmp_path):
+    from srf_tpu.data.loader import LazySpeechDataset, SpeechDataset
+
+    _write_corpus_shards(tmp_path, 24, feat_dim=4)
+    ptrn = str(tmp_path / "synth-train-*")
+    for kw in (dict(max_inp=15), dict(process_index=1, process_count=2)):
+        eager = SpeechDataset(ptrn, 4, **kw)
+        lazy = LazySpeechDataset(ptrn, 4, **kw)
+        assert len(eager) == len(lazy)
+        for i in range(len(eager)):
+            np.testing.assert_array_equal(eager.feats[i], lazy.feats[i])
+
+
+def test_lazy_dataset_scales_to_10k_utts(tmp_path):
+    """Index-scan + full-epoch read-back at 10k utterances (small frames;
+    the point is the span index and per-batch random reads, not bytes)."""
+    from srf_tpu.data.loader import LazySpeechDataset
+
+    n = 10_000
+    _write_corpus_shards(tmp_path, n, feat_dim=4, n_shards=16,
+                         min_len=5, max_len=12)
+    ptrn = str(tmp_path / "synth-train-*")
+    lazy = LazySpeechDataset(ptrn, 4)
+    assert len(lazy) == n
+    loader = BucketedLoader(lazy, [8], [64, 32], shuffle=True, seed=1,
+                            prefetch=2)
+    seen = 0
+    checksum = 0.0
+    for batch in loader:
+        seen += batch["feats"].shape[0]
+        checksum += float(batch["feats"].sum())
+    assert seen > 0.9 * n  # drop_remainder loses < 10%
+    assert np.isfinite(checksum)

@@ -15,6 +15,11 @@ import functools
 
 import numpy as np
 
+# Kaldi floors log/energy at float epsilon (feature-window.cc uses
+# std::numeric_limits<float>::epsilon()), not a round 1e-10; matching it
+# keeps silence frames bit-comparable.
+_FLT_EPS = float(np.finfo(np.float32).eps)
+
 
 def _povey_window(n):
     return (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / (n - 1))) ** 0.85
@@ -65,7 +70,7 @@ def frame_signal(signal, frame_len, frame_shift, preemph=0.97,
     frames = np.asarray(signal, np.float32)[idx]
     if remove_dc:
         frames = frames - frames.mean(axis=1, keepdims=True)
-    energy = np.log(np.maximum(np.sum(frames**2, axis=1), 1e-10))
+    energy = np.log(np.maximum(np.sum(frames**2, axis=1), _FLT_EPS))
     if preemph:
         shifted = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = frames - preemph * shifted
@@ -84,23 +89,39 @@ def fbank_energy(signal, sample_rate=16000, num_bins=40, frame_ms=25.0,
         fft_size *= 2
     spectrum = np.abs(np.fft.rfft(frames, fft_size)) ** 2
     mel = mel_filterbank(num_bins, fft_size, sample_rate)
-    logmel = np.log(np.maximum(spectrum @ mel.T, 1e-10))
+    logmel = np.log(np.maximum(spectrum @ mel.T, _FLT_EPS))
     return np.concatenate([energy[:, None], logmel], axis=1).astype(np.float32)
 
 
-def add_deltas(feats, order=2, window=2):
-    """Append delta features (Kaldi add-deltas: regression over +-window)."""
-    out = [feats]
-    current = feats
+@functools.lru_cache(maxsize=4)
+def _delta_scales(order, window):
+    """Kaldi's combined delta filters: order o's filter is the regression
+    filter convolved with itself o times (delta-features.cc builds
+    ``scales_`` exactly this way), each applied to the ORIGINAL feature
+    sequence with index clamping. Applying the regression recursively to
+    already-clamped lower-order deltas instead (the obvious formulation)
+    diverges on the first/last ~2*window delta-delta frames:
+    clamp(clamp(t+i)+j) != clamp(t+i+j) when i and j have mixed signs."""
     denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    filt = np.arange(-window, window + 1, dtype=np.float64) / denom
+    scales = [np.asarray([1.0])]
     for _ in range(order):
-        padded = np.pad(current, ((window, window), (0, 0)), mode="edge")
-        delta = np.zeros_like(current)
-        for i in range(1, window + 1):
-            delta += i * (padded[window + i : padded.shape[0] - window + i]
-                          - padded[window - i : -window - i])
-        current = delta / denom
-        out.append(current)
+        scales.append(np.convolve(scales[-1], filt))
+    return tuple(scales)
+
+
+def add_deltas(feats, order=2, window=2):
+    """Append delta features (Kaldi add-deltas: regression over +-window,
+    edge frames by clamping source indices into [0, T-1])."""
+    t_idx = np.arange(feats.shape[0])
+    out = []
+    for sc in _delta_scales(order, window):
+        half = (len(sc) - 1) // 2
+        block = np.zeros(feats.shape, np.float64)
+        for j, w in enumerate(sc):
+            idx = np.clip(t_idx + (j - half), 0, feats.shape[0] - 1)
+            block += w * feats[idx]
+        out.append(block.astype(feats.dtype))
     return np.concatenate(out, axis=1)
 
 

@@ -1,12 +1,16 @@
 """Post-training int8 weight quantization for serving.
 
 No reference analog (the reference serves f32 through its trainers'
-decode mode). Serving on TPU at small batch is HBM-bandwidth-bound: each
-step streams the full weight set from HBM while the MXU idles, so
-shrinking the resident weights 4x (f32 -> int8 + per-channel f32 scales)
-is the lever — the matmuls still run in f32/bf16 after an in-kernel
-dequantize (weight-only quantization; activations are untouched, so no
-calibration data is needed).
+decode mode). The win at reference model scales is FOOTPRINT, not
+latency: 4x smaller resident weights (f32 -> int8 + per-channel f32
+scales) lets dozens of models stay hot-loaded per chip for multi-tenant
+serving, while the matmuls still run in f32/bf16 after an in-kernel
+dequantize (weight-only; activations untouched, so no calibration data
+is needed). Measured on v5e (BENCH_NOTES r3/r4): the ~85 MB reference
+forwards are NOT weight-bandwidth-bound (batch-1 int8 is 0.8-0.9x f32;
+a pure Dense-FFN stack of the same shapes IS 1.3x faster int8, so the
+fusion works — the full model just doesn't spend its time on the weight
+stream). Expect latency wins only on much larger FFN-dominated models.
 
 Scheme: symmetric per-output-channel int8. For a kernel whose LAST axis
 is the output-features axis (flax Dense [in, out], Conv [kh, kw, cin,
@@ -31,21 +35,27 @@ _QKEY = "__srf_int8__q"
 _SKEY = "__srf_int8__scale"
 
 
-def _should_quantize(x, min_size):
+def _should_quantize(x, min_size, max_ndim):
     return (
         hasattr(x, "dtype")
         and x.dtype == jnp.float32
-        and x.ndim >= 2
+        and 2 <= x.ndim <= max_ndim
         and x.size >= min_size
     )
 
 
-def quantize_tree(params, min_size=4096):
+def quantize_tree(params, min_size=4096, max_ndim=64):
     """f32 param pytree -> same tree with large >=2-D leaves replaced by
-    {"__srf_int8__q": int8, "__srf_int8__scale": f32[last-axis]}."""
+    {"__srf_int8__q": int8, "__srf_int8__scale": f32[last-axis]}.
+
+    ``max_ndim=2`` restricts quantization to matmul (Dense) kernels,
+    leaving conv kernels f32 — measured on v5e (BENCH_NOTES r4): feeding
+    a dequantized operand into a convolution costs more than the saved
+    weight bandwidth, while pure Dense stacks fuse the int8 read cleanly.
+    """
 
     def leaf(x):
-        if not _should_quantize(x, min_size):
+        if not _should_quantize(x, min_size, max_ndim):
             return x
         absmax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
         scale = jnp.maximum(absmax, 1e-12) / 127.0

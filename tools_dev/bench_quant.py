@@ -20,7 +20,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def bench_one(name, model, vocab, frames, batch, iters):
+def bench_one(name, model, vocab, frames, batch, iters, max_ndim=64):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,8 @@ def bench_one(name, model, vocab, frames, batch, iters):
     def fwd_q(qp, f, l):
         return fwd_f32(dequantize_tree(qp), f, l)
 
-    qparams = jax.jit(quantize_tree)(params)
+    qparams = jax.jit(
+        lambda p: quantize_tree(p, max_ndim=max_ndim))(params)
     q_b, f_b = quantized_bytes(jax.device_get(qparams))
 
     out = {}
@@ -73,6 +74,9 @@ def main():
     parser.add_argument("--family", default="all")
     parser.add_argument("--batches", default="1,8")
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--max-ndim", type=int, default=64,
+                        help="quantize only leaves with ndim <= this "
+                             "(2 = Dense kernels only, convs stay f32)")
     args = parser.parse_args()
 
     from srf_tpu.models.cnn import CNNStrideEncoder
@@ -89,7 +93,8 @@ def main():
     for name, (model, vocab) in fams.items():
         if args.family in ("all", name):
             for b in map(int, args.batches.split(",")):
-                bench_one(name, model, vocab, 600, b, args.iters)
+                bench_one(name, model, vocab, 600, b, args.iters,
+                          max_ndim=args.max_ndim)
 
 
 if __name__ == "__main__":

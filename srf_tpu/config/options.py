@@ -487,6 +487,21 @@ class ParseOption:
                  "splits too large for host memory.",
         )
         tpu_group.add_argument(
+            "--tpu-data-shard", default="example",
+            choices=["example", "batch"],
+            help="multi-process data sharding. 'example': each process "
+                 "round-robins its own example shard and the bucket "
+                 "schedule is lockstep-planned from allgathered lengths "
+                 "(a bucket one process never fills starves globally). "
+                 "'batch': every process scans the whole corpus and takes "
+                 "its 1/n slice of each GLOBAL bucket batch — the "
+                 "reference's tf.data AutoShardPolicy.DATA semantics "
+                 "(trainer_sr.py:147-149); immune to skewed shard length "
+                 "distributions and needs no collective, but requires "
+                 "all processes to read all shard files (pair with "
+                 "--tpu-data-lazy for large corpora).",
+        )
+        tpu_group.add_argument(
             "--tpu-import-src", default=None,
             help="reference TF checkpoint (prefix or directory) to convert "
                  "with tools/import_tf_ckpt",

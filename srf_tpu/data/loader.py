@@ -249,8 +249,32 @@ class BucketedLoader:
 
     def __init__(self, dataset, bucket_boundaries, bucket_batch_sizes,
                  shuffle=False, seed=0, drop_remainder=True,
-                 label_cap_divisor=2, prefetch=2, global_sync=False):
+                 label_cap_divisor=2, prefetch=2, global_sync=False,
+                 shard_batches=False, process_index=0, process_count=1):
         assert len(bucket_batch_sizes) == len(bucket_boundaries) + 1
+        if shard_batches and global_sync:
+            raise ValueError(
+                "shard_batches and global_sync are alternative multi-process"
+                " modes: batch sharding needs the FULL (unsharded) dataset on"
+                " every process; global_sync lockstep-schedules per-process"
+                " example shards")
+        self._shard_batches = bool(shard_batches) and process_count > 1
+        self._shard = (int(process_index), int(process_count))
+        if self._shard_batches:
+            # the reference's tf.data AutoShardPolicy.DATA: every worker
+            # reads the whole stream and takes its 1/n slice of each
+            # GLOBAL batch (reference: tfsr/trainer_sr.py:147-149). Every
+            # process sees identical metadata, so the (seed, epoch)-keyed
+            # schedule is identical everywhere with no collective — and
+            # unlike example-sharded lockstep, adversarially skewed shard
+            # length distributions cannot starve a bucket: the schedule
+            # IS the single-process schedule, sliced.
+            bad = [bs for bs in bucket_batch_sizes if bs % process_count]
+            if bad:
+                raise ValueError(
+                    "batch sharding needs bucket batch sizes divisible by"
+                    " process_count=%d, got %s"
+                    % (process_count, list(bucket_batch_sizes)))
         self.ds = dataset
         self.boundaries = list(bucket_boundaries)
         self.batch_sizes = list(bucket_batch_sizes)
@@ -337,11 +361,27 @@ class BucketedLoader:
         return len(self.boundaries)
 
     def batch_shapes(self):
-        """All static (batch, time, label) shapes this loader can emit."""
+        """All static (batch, time, label) shapes this loader can emit
+        (the LOCAL per-process slice under batch sharding)."""
+        div = self._shard[1] if self._shard_batches else 1
         return [
-            (bs, tw, lc)
+            (bs // div, tw, lc)
             for bs, tw, lc in zip(self.batch_sizes, self.time_widths, self.label_caps)
         ]
+
+    def _emit_shard(self, indices, bucket):
+        """Full-batch emit, or this process's contiguous 1/n slice of the
+        global batch under batch sharding. Remainder batches slice to
+        len//n each (identical on every process — same pools everywhere)
+        and are skipped when that is zero, so step counts stay in
+        lockstep."""
+        if not self._shard_batches:
+            return self._emit(indices, bucket)
+        p, n = self._shard
+        k = len(indices) // n
+        if k == 0:
+            return None
+        return self._emit(indices[p * k:(p + 1) * k], bucket)
 
     def _iter_epoch(self):
         if self._peer_lens is not None:
@@ -362,7 +402,9 @@ class BucketedLoader:
                 continue
             pools[b].append(idx)
             if len(pools[b]) == self.batch_sizes[b]:
-                yield self._emit(pools[b], b)
+                batch = self._emit_shard(pools[b], b)
+                if batch is not None:
+                    yield batch
                 pools[b] = []
         if skipped:
             # operator-visible: the reference pipeline pads to the batch
@@ -377,7 +419,9 @@ class BucketedLoader:
         if not self.drop_remainder:
             for b, pool in enumerate(pools):
                 if pool:
-                    yield self._emit(pool, b)
+                    batch = self._emit_shard(pool, b)
+                    if batch is not None:
+                        yield batch
 
     def _iter_epoch_lockstep(self):
         """Multi-process epoch: every process computes the same global

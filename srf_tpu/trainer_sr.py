@@ -54,15 +54,28 @@ def build_loaders(config, logger, num_replicas, seed=0):
     valid_ptrn = os.path.join(config.path_base, config.path_valid_ptrn)
     ds_cls = (LazySpeechDataset if getattr(config, "tpu_data_lazy", False)
               else SpeechDataset)
+    n_proc = jax.process_count()
+    shard_batches = (
+        n_proc > 1
+        and getattr(config, "tpu_data_shard", "example") == "batch"
+    )
+    # batch sharding (AutoShardPolicy.DATA semantics): every process scans
+    # the FULL corpus and slices each global batch; example sharding:
+    # round-robin ownership + lockstep-planned schedules
+    ds_proc = (0, 1) if shard_batches else (
+        jax.process_index(), jax.process_count())
     train_ds = ds_cls(
         train_ptrn, feat_dim, config.prep_max_inp, config.prep_max_tar,
-        process_index=jax.process_index(), process_count=jax.process_count(),
+        process_index=ds_proc[0], process_count=ds_proc[1],
     )
     valid_ds = ds_cls(
         valid_ptrn, feat_dim, config.prep_max_inp, config.prep_max_tar,
-        process_index=jax.process_index(), process_count=jax.process_count(),
+        process_index=ds_proc[0], process_count=ds_proc[1],
     )
-    n_proc = jax.process_count()
+    if shard_batches and not getattr(config, "tpu_data_lazy", False):
+        logger.info(
+            "batch sharding loads the FULL split on every process; use "
+            "--tpu-data-lazy=True to keep resident memory O(index)")
     if config.train_batch_dynamic:
         assert config.train_batch_frame and config.train_batch_frame > 0
         boundaries, batch_sizes = get_bucket_info(
@@ -76,18 +89,24 @@ def build_loaders(config, logger, num_replicas, seed=0):
         if n_proc > 1:
             # each process's loader yields its 1/n_proc share of every
             # GLOBAL bucket batch; the bucket-shape sequence is globally
-            # agreed via plan_lockstep_epoch (data/loader.py)
+            # agreed via plan_lockstep_epoch (example mode) or is the
+            # deterministic full-corpus schedule itself (batch mode)
             if any(bs % n_proc for bs in batch_sizes):
                 raise ValueError(
                     "bucket batch sizes %s must divide across %d processes"
                     " — every process must contribute the same number of"
                     " devices to the data axis" % (batch_sizes, n_proc)
                 )
-            batch_sizes = [bs // n_proc for bs in batch_sizes]
+            if not shard_batches:
+                batch_sizes = [bs // n_proc for bs in batch_sizes]
             logger.info(
                 "multi-process buckets: local sizes [%s] x %d processes "
-                "(globally scheduled lockstep)",
-                ", ".join(map(str, batch_sizes)), n_proc,
+                "(%s)",
+                ", ".join(str(bs // (n_proc if shard_batches else 1))
+                          for bs in batch_sizes),
+                n_proc,
+                "global-batch slices" if shard_batches
+                else "globally scheduled lockstep",
             )
     else:
         assert config.train_batch_size and config.train_batch_size > 0
@@ -98,20 +117,28 @@ def build_loaders(config, logger, num_replicas, seed=0):
             num_replicas,
             config.train_batch_size // num_replicas * num_replicas,
         )
-        boundaries, batch_sizes = [], [global_batch // n_proc]
+        boundaries = []
+        batch_sizes = [global_batch if shard_batches
+                       else global_batch // n_proc]
         if n_proc > 1:
             logger.info(
                 "multi-process batches: global %d = %d/process x %d "
                 "processes (shapes + per-epoch step count synchronized)",
                 global_batch, global_batch // n_proc, n_proc,
             )
+    loader_kw = dict(
+        global_sync=n_proc > 1 and not shard_batches,
+        shard_batches=shard_batches,
+        process_index=jax.process_index(),
+        process_count=n_proc,
+    )
     train_loader = BucketedLoader(
         train_ds, boundaries, batch_sizes, shuffle=True, seed=seed,
-        drop_remainder=True, global_sync=n_proc > 1,
+        drop_remainder=True, **loader_kw,
     )
     valid_loader = BucketedLoader(
         valid_ds, boundaries, batch_sizes, shuffle=False,
-        drop_remainder=True, global_sync=n_proc > 1,
+        drop_remainder=True, **loader_kw,
     )
     return train_loader, valid_loader
 

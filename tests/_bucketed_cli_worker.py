@@ -69,13 +69,19 @@ def main():
     #            BOTH processes through the collective mid save + exit 143
     #   resume — same ckpt dir, no fault: resumes from the mid checkpoint
     #   oracle — mid-epoch checkpointing on, fresh ckpt dir, uninterrupted
+    #   batch  — like plain, but --tpu-data-shard=batch (+ lazy reads):
+    #            every process scans the whole corpus and emits its 1/2
+    #            slice of each GLOBAL bucket batch (AutoShardPolicy.DATA
+    #            semantics); same global geometry, identical ckpts
     mode = sys.argv[2] if len(sys.argv) > 2 else "plain"
     ckpt = os.path.join(base, {
         "plain": "ckpt", "fault": "ckpt_p", "resume": "ckpt_p",
-        "oracle": "ckpt_oracle",
+        "oracle": "ckpt_oracle", "batch": "ckpt_bm",
     }[mode])
     extra = []
-    if mode != "plain":
+    if mode == "batch":
+        extra += ["--tpu-data-shard=batch", "--tpu-data-lazy=True"]
+    if mode not in ("plain", "batch"):
         extra.append("--tpu-ckpt-every-steps=2")
     if mode == "fault":
         extra += ["--tpu-fault-signal-at-step=4",

@@ -59,3 +59,34 @@ enable_compilation_cache(
 # subprocess trainers inherit the test dir (their own
 # enable_compilation_cache applies the same CPU no-op rule)
 os.environ["SRF_JAX_CACHE"] = _test_cache
+
+import pytest  # noqa: E402
+
+# Test tiers (VERDICT r3 item 4): `pytest -m core` is the <5-minute
+# contributor signal (numerics/data/decode/config); `slow` holds the
+# subprocess trainers, TF-parity goldens, and heavy multi-device
+# compiles. Marking is by module so the tier split stays auditable in
+# one place; a module not listed here is core by default.
+SLOW_MODULES = {
+    # subprocess spawners (CLI trainers, daemons, multi-process runs)
+    "test_distributed", "test_elastic", "test_lockstep_stress",
+    "test_preempt", "test_supervise", "test_watchdog", "test_serve",
+    "test_serve_daemon", "test_e2e", "test_stf_trainer", "test_packaging",
+    # TF interop (loads tensorflow, runs reference-shaped golden models)
+    "test_tf_parity", "test_tf_parity_more", "test_tf_grad_parity",
+    "test_import_tf_ckpt", "test_export_tf_ckpt",
+    # heavy multi-device / full-model compiles
+    "test_parallel", "test_pipeline", "test_ring_attention",
+    "test_blockwise_attention", "test_mwer_accum", "test_augment_accum",
+    "test_quant", "test_streaming", "test_models", "test_routing_pallas",
+    "test_dropout_pallas",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.module.__name__.rsplit(".", 1)[-1]
+        if module in SLOW_MODULES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.core)

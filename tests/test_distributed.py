@@ -341,6 +341,20 @@ def test_two_process_bucketed_cli_train(tmp_path):
         by_proc[1]["param_fp"], rel=1e-6
     )
 
+    # ---- batch sharding through the same CLI: every process scans the
+    # whole corpus (lazily) and emits its half of each GLOBAL bucket
+    # batch (--tpu-data-shard=batch); same global geometry here (global
+    # sizes [8, 4] -> 3 steps/epoch), identical checkpoints, no
+    # collective in the data plane
+    bm = _launch_two_process(
+        "_bucketed_cli_worker.py", base, extra_args=("batch",),
+    )
+    bm_by_proc = {r["process"]: r for r in bm}
+    assert bm_by_proc[0]["global_step"] == bm_by_proc[1]["global_step"] == 6
+    assert bm_by_proc[0]["param_fp"] == pytest.approx(
+        bm_by_proc[1]["param_fp"], rel=1e-6
+    )
+
     # ---- preemption consensus: ONE preempted host drags the whole job
     # through the synchronized mid-checkpoint exit -------------------
     # fault: process 0 alone raises SIGTERM at global step 4 (epoch 2,

@@ -59,9 +59,14 @@ def build_checkpoint(base):
         "--train-batch-dynamic=False", "--train-batch-size=2",
         "--decoding-beam-width=4",
     ]
+    from srf_tpu.utils.vocab import get_file_path, load_vocab
+
     logger = Logger(name="bench-daemon", level=Logger.INFO).logger
     config = ParseOption(argv, logger, is_print_opts=False).args
-    model, _ = build_model(config, 62, logger)
+    # trainer_sr.py:198-201: class count = dec_in_dim + 1 (appended blank)
+    _, _, dec_in_dim, _ = load_vocab(
+        get_file_path(config.path_base, config.path_vocab), logger)
+    model, _ = build_model(config, dec_in_dim + 1, logger)
     tx, _ = get_optimizer(config)
     state = trainer_sr.state_template(model, config, tx,
                                       jax.random.PRNGKey(0))

@@ -238,11 +238,14 @@ def main():
             print(line.strip(), flush=True)
 
     def decode_and_score(tag, decode_extra=()):
+        # args.extra rides EVERY trainer invocation: --extra model-*
+        # overrides change the architecture, and a decode without them
+        # would rebuild the wrong model for the checkpoint
         decode_log = os.path.join(base, "decode%s.log" % tag)
         run([sys.executable, "-m", trainer] + common + [
             "--train-opti-type=adam", "--train-lr-param-k=0.001",
             "--train-max-epoch=0",
-        ] + list(decode_extra), log=decode_log)
+        ] + args.extra + list(decode_extra), log=decode_log)
         # scrape hypotheses and score (timit-style: space-joined tokens;
         # the 61->39 map passes unknown tokens through)
         hyp = run([sys.executable, "-m", "srf_tpu.utils.log2utt", decode_log,

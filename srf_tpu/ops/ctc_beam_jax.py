@@ -239,9 +239,14 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
         out_state = jax.tree.map(
             lambda new, old: jnp.where(active, new, old), sel, state
         )
+        # tape entries are small ints (parent < W, sym < K, both well
+        # under 2^15): int16 halves the [T, W] tape pair the scan stacks
+        # per utterance — at serving batch the tapes are the dominant
+        # scan output buffer ([B, T, W] x2)
         rec_parent = jnp.where(active, parent,
-                               jnp.arange(W, dtype=jnp.int32))
-        rec_sym = jnp.where(active, sym, -1)
+                               jnp.arange(W, dtype=jnp.int32)).astype(
+                                   jnp.int16)
+        rec_sym = jnp.where(active, sym, -1).astype(jnp.int16)
         return out_state, (rec_parent, rec_sym)
 
     # unroll: fewer XLA while-loop iterations, each fusing several frame

@@ -331,6 +331,61 @@ def beam_chunk_step(state, logits, t0, length, beam_width, blank_id,
     return state, parents, syms, beam_scores(state)
 
 
+def _device_backtrace(parents, syms, scores):
+    """On-device reverse walk of one utterance's backpointer tape.
+
+    parents/syms [T, W] (int16 tape), scores [W] -> (ids [T], frames [T],
+    length, best_score), ids/frames left-aligned and zero-padded. Same
+    walk as :func:`_backtrace` (argmax ties resolve to the first maximum
+    in both), expressed as a reverse ``lax.scan`` with a [1]-sized beam
+    cursor, then the stable left-compaction used by greedy decode. Running
+    it inside the batched decode dispatch means the [B, T, W] tape pair
+    never leaves the device — at serving batch that fetch (plus the
+    Python walk) dominated decode post-processing (BENCH_NOTES "device
+    backtrace")."""
+    maxlen = parents.shape[0]
+    best = jnp.argmax(scores).astype(jnp.int32)
+
+    def step(beam, xs):
+        parent_row, sym_row = xs
+        sym = sym_row[beam].astype(jnp.int32)
+        return parent_row[beam].astype(jnp.int32), sym
+
+    _, sym_seq = jax.lax.scan(step, best, (parents, syms), reverse=True)
+    keep = sym_seq >= 0
+    positions = jnp.arange(maxlen)
+    order = jnp.argsort(~keep, stable=True)
+    length = jnp.sum(keep)
+    mask = positions < length
+    ids = jnp.where(mask, sym_seq[order], 0)
+    frames = jnp.where(mask, order, 0)
+    return ids, frames, length, scores[best]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "blank_id", "lm_order", "lm_ctx0"),
+)
+def _beam_scan_batch_compact(logits, lengths, beam_width, blank_id,
+                             lm_table=None, lm_order=0, lm_weight=0.0,
+                             lm_bonus=0.0, lm_ctx0=0):
+    """Batched beam scan + on-device backtrace in ONE dispatch.
+
+    [B, T, V] -> (ids [B, T'], frames [B, T'], lengths [B], scores [B]):
+    only the compact decode results are fetched; the [B, T, W]
+    backpointer tapes stay on device (they are the dominant device->host
+    transfer of the tape-returning path at serving batch)."""
+
+    def one(l, n):
+        parents, syms, scores = _beam_scan(
+            l, n, beam_width, blank_id, lm_table, lm_order, lm_weight,
+            lm_bonus, lm_ctx0,
+        )
+        return _device_backtrace(parents, syms, scores)
+
+    return jax.vmap(one)(logits, lengths)
+
+
 def _backtrace(parents, syms, scores, beam=None, with_frames=False):
     """Reverse-walk the recorded backpointers for the best final beam.
 
@@ -405,17 +460,24 @@ def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
     logits = jnp.asarray(logits)
     if blank_id is None:
         blank_id = logits.shape[-1] - 1
-    parents, syms, scores = _beam_scan_batch(
+    ids, frames, lengths, scores = _beam_scan_batch_compact(
         logits, jnp.asarray(logit_lengths, jnp.int32), beam_width, blank_id,
         **lm_fusion_args(lm, logits.shape[-1]),
     )
-    parents = np.asarray(parents)
-    syms = np.asarray(syms)
+    ids = np.asarray(ids)
+    frames = np.asarray(frames)
+    lengths = np.asarray(lengths)
     scores = np.asarray(scores)
-    return [
-        _backtrace(parents[b], syms[b], scores[b], with_frames=with_frames)
-        for b in range(logits.shape[0])
-    ]
+    out = []
+    for b in range(logits.shape[0]):
+        n = int(lengths[b])
+        seq = [int(x) for x in ids[b, :n]]
+        if with_frames:
+            out.append((seq, float(scores[b]),
+                        [int(x) for x in frames[b, :n]]))
+        else:
+            out.append((seq, float(scores[b])))
+    return out
 
 
 def ctc_beam_search_nbest_jax(logits, logit_lengths, beam_width=100,

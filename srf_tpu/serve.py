@@ -46,6 +46,30 @@ def _dequantize_fn():
     from srf_tpu.ops.quant import dequantize_tree
 
     return jax.jit(dequantize_tree)
+
+
+@jax.jit
+def _frame_max_logp(logits):
+    """Per-frame best log-posterior [B, T'] — the greedy (Viterbi) score
+    reduces over this. Computed on device so serving never fetches the
+    full [B, T', V] posterior tensor to host (at serving batch that fetch
+    is tens of MB per dispatch and dominated the product-path overhead;
+    see BENCH_NOTES "serving product path")."""
+    return jnp.max(
+        jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), axis=-1
+    )
+
+
+@jax.jit
+def _token_logp_gather(logits, frame_idx, sym_idx):
+    """Gather log-posteriors at (emission frame, symbol) per decoded token
+    slot: [B, T', V] x [B, L] x [B, L] -> [B, L], on device. Backs the
+    per-token confidences with an L-sized fetch instead of the full
+    posterior tensor. Padded slots (frame 0, sym 0) are gathered too and
+    simply ignored by the caller."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    batch_idx = jnp.arange(logits.shape[0], dtype=jnp.int32)[:, None]
+    return logp[batch_idx, frame_idx, sym_idx]
 from srf_tpu.train.state import TrainState
 from srf_tpu.utils.log2utt import ids_to_utt
 from srf_tpu.utils.vocab import get_file_path, load_vocab
@@ -353,10 +377,6 @@ class Recognizer:
             jnp.asarray(padded), jnp.asarray(lengths),
         )
         dec_lens = np.maximum(lengths // self.in_len_div, 1)
-        # per-frame posteriors back the per-token confidences below (and
-        # the greedy Viterbi score); one host fetch for the whole batch
-        logp = np.asarray(jax.nn.log_softmax(
-            jnp.asarray(logits, jnp.float32), axis=-1))
         nbest_lists = None
         if beam_width and beam_width > 1:
             if n_best and n_best > 1:
@@ -396,12 +416,27 @@ class Recognizer:
                 [int(x) for x in emit[i, : int(lens[i])]]
                 for i in range(len(feats_list))
             ]
-            # best-path (Viterbi) log-prob over the valid frames
-            frame_max = logp.max(axis=-1)  # [B, T']
+            # best-path (Viterbi) log-prob over the valid frames; the
+            # per-frame max reduces [B, T', V] -> [B, T'] on device
+            frame_max = np.asarray(_frame_max_logp(logits))
             pos = np.arange(frame_max.shape[1])[None, :]
             scores = (frame_max * (pos < dec_lens[:, None])).sum(axis=-1)
         raw_vocab = [t if t != " " else "<SPACE>" for t in self.vocab]
         frame_shift_s = 0.01 * self.in_len_div  # 10 ms frames x subsample
+        # per-token confidence lookup: gather logp at each decoded token's
+        # (emission frame, symbol) on device — an [B, L] fetch, not the
+        # full [B, T', V] posterior tensor. L is padded to a bucket so a
+        # handful of compiled gather shapes cover all batches.
+        max_tok = max((len(ids) for ids in decoded), default=0)
+        if max_tok:
+            bucket = -(-max_tok // 32) * 32
+            frame_idx = np.zeros((len(decoded), bucket), np.int32)
+            sym_idx = np.zeros((len(decoded), bucket), np.int32)
+            for i, ids in enumerate(decoded):
+                frame_idx[i, : len(ids)] = frames[i]
+                sym_idx[i, : len(ids)] = ids
+            tok_logp = np.asarray(_token_logp_gather(
+                logits, jnp.asarray(frame_idx), jnp.asarray(sym_idx)))
         out = []
         for i, ids in enumerate(decoded):
             avg = float(scores[i]) / max(int(dec_lens[i]), 1)
@@ -418,8 +453,8 @@ class Recognizer:
                 # signal (the utterance-level ``confidence`` above is too
                 # coarse to localize an error)
                 "token_confidences": [
-                    round(float(np.exp(logp[i, f, s])), 4)
-                    for f, s in zip(frames[i], ids)
+                    round(float(np.exp(tok_logp[i, j])), 4)
+                    for j in range(len(ids))
                 ],
             })
             if nbest_lists is not None:

@@ -318,6 +318,10 @@ def main():
             ("srf_wsj", lambda: section_srf_wsj(warmup, max(5, iters // 2))),
             ("families", lambda: section_families(fam_iters)),
             ("serving_b64", section_serving),
+            # the serving-beam knee after the device-backtrace/int16-tape
+            # work (r4): the beam scales past batch 64 — carry the
+            # large-batch point the headline quotes
+            ("serving_b384", lambda: section_serving(batch=384, iters=3)),
             ("streaming_beam_chunk16", section_streaming_beam),
             ("align_b64", section_align),
         ]

@@ -11,9 +11,10 @@ TPU-native design: the classic 2L+1-state CTC trellis
 (blank, y1, blank, y2, ..., blank) is swept by a ``lax.scan`` over frames
 with a max-plus carry ``alpha [S]`` — the per-frame transition argmax
 choices (stay / from previous state / skip over a blank) are recorded as a
-[T, S] uint8 tape, vmapped over the batch, ONE device dispatch; the
-backtrace is a cheap host walk (mirrors the beam decoder's tape design,
-ops/ctc_beam_jax.py).
+[T, S] uint8 tape, vmapped over the batch; backtrace AND per-token span
+extraction run on device in the same dispatch (mirrors the beam decoder's
+on-device backtrace, ops/ctc_beam_jax.py), so only [B, L] starts/ends and
+[B] scores are fetched — the choice tape never leaves the chip.
 """
 
 import functools
@@ -86,31 +87,55 @@ def _align_scan(logp, length, labels, label_length, blank_id):
     return choices, alpha
 
 
+def _device_backtrace_spans(choices, alpha, length, label_length, L):
+    """On-device backtrace + span extraction for one utterance.
+
+    Same walk as the host :func:`_backtrace` (end-state tie resolves to
+    the final blank in both), as a reverse ``lax.scan`` with a [1]-sized
+    state cursor, then per-token start/end frames as masked min/max over
+    the state sequence — so only [L] starts/ends + the score leave the
+    device instead of the [T, S] choice tape (the dominant fetch at
+    alignment batch; see BENCH_NOTES "device backtrace")."""
+    T, S = choices.shape
+    s_pos = jnp.arange(S)
+    s_true = 2 * label_length + 1
+    fin = jnp.where(s_pos < s_true, alpha, NEG)
+    end1 = s_true - 1
+    end2 = jnp.maximum(s_true - 2, 0)
+    s0 = jnp.where(
+        (label_length > 0) & (fin[end2] > fin[end1]), end2, end1
+    ).astype(jnp.int32)
+    score = fin[s0]
+
+    def step(s, inputs):
+        ch_row, t = inputs
+        active = t < length
+        rec = jnp.where(active, s, -1)
+        s_new = jnp.where(active, s - ch_row[s].astype(jnp.int32), s)
+        return s_new, rec
+
+    _, states = jax.lax.scan(
+        step, s0, (choices, jnp.arange(T)), reverse=True
+    )
+    tok_states = 2 * jnp.arange(L, dtype=jnp.int32) + 1
+    eq = states[None, :] == tok_states[:, None]  # [L, T]
+    tpos = jnp.arange(T)
+    starts = jnp.min(jnp.where(eq, tpos, T), axis=1)
+    ends = jnp.max(jnp.where(eq, tpos, -1), axis=1) + 1
+    return starts, ends, score
+
+
 @functools.partial(jax.jit, static_argnames=("blank_id",))
-def _align_scan_batch(logp, lengths, labels, label_lengths, blank_id):
-    return jax.vmap(
-        lambda lg, n, lb, m: _align_scan(lg, n, lb, m, blank_id)
-    )(logp, lengths, labels, label_lengths)
+def _align_spans_batch(logp, lengths, labels, label_lengths, blank_id):
+    """Trellis sweep + backtrace + spans in ONE dispatch: [B, T, V] ->
+    (starts [B, L], ends [B, L], scores [B])."""
+    L = labels.shape[1]
 
+    def one(lg, n, lb, m):
+        choices, alpha = _align_scan(lg, n, lb, m, blank_id)
+        return _device_backtrace_spans(choices, alpha, n, m, L)
 
-def _backtrace(choices, alpha, length, label_length):
-    """Host walk of one utterance's choice tape.
-
-    Returns (state_per_frame [length], score): the Viterbi state sequence
-    over the extended trellis."""
-    S_true = 2 * int(label_length) + 1
-    fin = np.full((alpha.shape[0],), NEG)
-    fin[:S_true] = alpha[:S_true]
-    # must end in the last blank or the last label state
-    end_states = [S_true - 1] + ([S_true - 2] if label_length > 0 else [])
-    s = max(end_states, key=lambda i: fin[i])
-    score = float(fin[s])
-    states = np.zeros((int(length),), np.int64)
-    for t in range(int(length) - 1, -1, -1):
-        states[t] = s
-        c = int(choices[t, s])
-        s = s - c  # 0 stay, 1 prev, 2 skip
-    return states, score
+    return jax.vmap(one)(logp, lengths, labels, label_lengths)
 
 
 def ctc_forced_align(logits, logit_lengths, labels, label_lengths,
@@ -133,13 +158,14 @@ def ctc_forced_align(logits, logit_lengths, labels, label_lengths,
     if blank_id is None:
         blank_id = logits.shape[-1] - 1
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    choices, alpha = _align_scan_batch(
+    starts, ends, scores = _align_spans_batch(
         logp, jnp.asarray(logit_lengths, jnp.int32),
         jnp.asarray(labels, jnp.int32),
         jnp.asarray(label_lengths, jnp.int32), blank_id,
     )
-    choices = np.asarray(choices)
-    alpha = np.asarray(alpha)
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    scores = np.asarray(scores)
     labels = np.asarray(labels)
     out = []
     for b in range(logits.shape[0]):
@@ -151,18 +177,17 @@ def ctc_forced_align(logits, logit_lengths, labels, label_lengths,
         ):
             out.append((None, float("-inf")))
             continue
-        states, score = _backtrace(choices[b], alpha[b], n, m)
+        score = float(scores[b])
         if not np.isfinite(score) or score <= NEG / 2:
             out.append((None, float("-inf")))
             continue
-        spans = []
-        for i in range(m):
-            s_i = 2 * i + 1
-            frames = np.nonzero(states == s_i)[0]
-            spans.append({
+        spans = [
+            {
                 "id": int(labels[b, i]),
-                "start": int(frames[0]),
-                "end": int(frames[-1]) + 1,
-            })
+                "start": int(starts[b, i]),
+                "end": int(ends[b, i]),
+            }
+            for i in range(m)
+        ]
         out.append((spans, score))
     return out

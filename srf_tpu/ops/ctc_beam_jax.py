@@ -86,6 +86,12 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
     W = state["hash"].shape[0]
     K = logp.shape[-1]
     syms_all = jnp.arange(K, dtype=jnp.int32)
+    # SRF_BEAM_TOPK=approx swaps the exact per-step top-k of the
+    # W*(K+1) candidates for lax.approx_max_k (TPU's binned partial
+    # reduction). The beam then holds an approximate top-W set —
+    # decodes can differ; dev/measurement knob, exact is the default
+    # (see BENCH_NOTES "beam top-k")
+    topk_approx = os.environ.get("SRF_BEAM_TOPK", "") == "approx"
     if lm is not None:
         lm_table, lm_order, lm_weight, lm_bonus = lm
         lm_base = jnp.uint32(lm_table.shape[-1] + 1)
@@ -190,7 +196,10 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
         rank_ext = jnp.where(ext_pnb <= NEG, NEG, ext_pnb + lm_ext)
         rank_stay = jnp.where(stay_tot <= NEG, NEG, stay_tot + lm_stay)
         scores = jnp.concatenate([rank_stay, rank_ext.reshape(-1)])
-        _, top_idx = jax.lax.top_k(scores, W)
+        if topk_approx:
+            _, top_idx = jax.lax.approx_max_k(scores, W)
+        else:
+            _, top_idx = jax.lax.top_k(scores, W)
         is_stay = top_idx < W
         ext_idx = jnp.maximum(top_idx - W, 0)
         ext_beam = ext_idx // K

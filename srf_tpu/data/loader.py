@@ -88,12 +88,19 @@ class _LazyFeats:
         self._feat_dim = feat_dim
         self._inp_lens = inp_lens
         self._fds = [None] * len(paths)
+        # the reads themselves (os.pread) are positional and lock-free;
+        # only the lazy first-open per shard needs the lock, or two
+        # threads racing it would each open the file and leak one fd
+        self._open_lock = threading.Lock()
 
     def _fd(self, path_idx):
         fd = self._fds[path_idx]
         if fd is None:
-            fd = _os.open(self._paths[path_idx], _os.O_RDONLY)
-            self._fds[path_idx] = fd
+            with self._open_lock:
+                fd = self._fds[path_idx]
+                if fd is None:
+                    fd = _os.open(self._paths[path_idx], _os.O_RDONLY)
+                    self._fds[path_idx] = fd
         return fd
 
     def __len__(self):
@@ -379,6 +386,18 @@ class BucketedLoader:
             return self._emit(indices, bucket)
         p, n = self._shard
         k = len(indices) // n
+        dropped = len(indices) - k * n
+        if dropped:
+            # operator-visible, like the label-cap skip: remainder batches
+            # slice to len//n per process, so up to n-1 examples per bucket
+            # per epoch vanish even with drop_remainder=False (ADVICE r4)
+            import logging
+
+            logging.getLogger("srf_tpu").warning(
+                "BucketedLoader: batch sharding dropped %d remainder "
+                "example(s) of a %d-example bucket batch (not divisible "
+                "by process_count=%d)", dropped, len(indices), n,
+            )
         if k == 0:
             return None
         return self._emit(indices[p * k:(p + 1) * k], bucket)

@@ -75,23 +75,29 @@ def beam_init(beam_width, lm_ctx0=0):
     }
 
 
-def _beam_chunk(state, logp, ts, length, blank_id, lm=None):
+def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
+                topk_approx=False):
     """Scan the beam over one block of frames.
 
     logp [T, V] log-probs, ts [T] global frame indices, length the global
     valid length (frames with ts >= length leave the state untouched).
     ``lm``: optional (table [C, V] log-probs, order, weight, bonus) for
-    shallow fusion. Returns (state, (parents [T, W], syms [T, W])).
+    shallow fusion. ``topk_approx`` swaps the exact per-step top-k of the
+    W*(K+1) candidates for lax.approx_max_k (TPU's binned partial
+    reduction) — the beam then holds an approximate top-W set, so decodes
+    can differ; plumbed as a static jit argument (every compiled entry is
+    keyed on it). Returns (state, (parents [T, W], syms [T, W])).
     """
     W = state["hash"].shape[0]
     K = logp.shape[-1]
+    # the backpointer tape is int16 (parent < W, sym < K): a vocab or beam
+    # >= 2^15 would wrap negative and the backtrace drops sym < 0 entries,
+    # silently truncating the decode — refuse at trace time instead
+    if K >= 2**15 or W >= 2**15:
+        raise ValueError(
+            "int16 backpointer tape requires vocab (%d) and beam width (%d)"
+            " < 32768" % (K, W))
     syms_all = jnp.arange(K, dtype=jnp.int32)
-    # SRF_BEAM_TOPK=approx swaps the exact per-step top-k of the
-    # W*(K+1) candidates for lax.approx_max_k (TPU's binned partial
-    # reduction). The beam then holds an approximate top-W set —
-    # decodes can differ; dev/measurement knob, exact is the default
-    # (see BENCH_NOTES "beam top-k")
-    topk_approx = os.environ.get("SRF_BEAM_TOPK", "") == "approx"
     if lm is not None:
         lm_table, lm_order, lm_weight, lm_bonus = lm
         lm_base = jnp.uint32(lm_table.shape[-1] + 1)
@@ -281,6 +287,18 @@ def _pack_lm(lm_table, lm_order, lm_weight, lm_bonus):
     return lm_table, lm_order, lm_weight, lm_bonus
 
 
+def _topk_approx_default(topk_approx):
+    """Resolve ``topk_approx=None`` to the SRF_BEAM_TOPK env default.
+
+    The env var is only the process-level DEFAULT (a CLI convenience);
+    the resolved boolean is a static jit argument, so both variants can
+    coexist in one process and the choice always participates in the
+    compilation cache key (ADVICE r4)."""
+    if topk_approx is None:
+        return os.environ.get("SRF_BEAM_TOPK", "") == "approx"
+    return bool(topk_approx)
+
+
 def lm_fusion_args(lm, n_classes):
     """Resolve ``lm`` = (NGramLM, weight, bonus) into the keyword args the
     jitted beam entry points take; ``n_classes`` is the logit vocab
@@ -308,10 +326,13 @@ def lm_fusion_args(lm, n_classes):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "blank_id", "lm_order", "lm_ctx0"),
+    static_argnames=(
+        "beam_width", "blank_id", "lm_order", "lm_ctx0", "topk_approx",
+    ),
 )
 def _beam_scan(logits, length, beam_width, blank_id, lm_table=None,
-               lm_order=0, lm_weight=0.0, lm_bonus=0.0, lm_ctx0=0):
+               lm_order=0, lm_weight=0.0, lm_bonus=0.0, lm_ctx0=0,
+               topk_approx=False):
     """Returns (parents [T, W], syms [T, W], final scores [W])."""
     maxlen = logits.shape[0]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -319,16 +340,18 @@ def _beam_scan(logits, length, beam_width, blank_id, lm_table=None,
     final, (parents, syms) = _beam_chunk(
         beam_init(beam_width, lm_ctx0), logp, ts, length, blank_id,
         _pack_lm(lm_table, lm_order, lm_weight, lm_bonus),
+        topk_approx=topk_approx,
     )
     return parents, syms, beam_scores(final)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "blank_id", "lm_order"),
+    static_argnames=("beam_width", "blank_id", "lm_order", "topk_approx"),
 )
 def beam_chunk_step(state, logits, t0, length, beam_width, blank_id,
-                    lm_table=None, lm_order=0, lm_weight=0.0, lm_bonus=0.0):
+                    lm_table=None, lm_order=0, lm_weight=0.0, lm_bonus=0.0,
+                    topk_approx=False):
     """One streamed block: advance ``state`` over logits [T, V] whose global
     frame indices are [t0, t0+T). Returns (state, parents, syms, scores)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -336,6 +359,7 @@ def beam_chunk_step(state, logits, t0, length, beam_width, blank_id,
     state, (parents, syms) = _beam_chunk(
         state, logp, ts, length, blank_id,
         _pack_lm(lm_table, lm_order, lm_weight, lm_bonus),
+        topk_approx=topk_approx,
     )
     return state, parents, syms, beam_scores(state)
 
@@ -373,11 +397,13 @@ def _device_backtrace(parents, syms, scores):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "blank_id", "lm_order", "lm_ctx0"),
+    static_argnames=(
+        "beam_width", "blank_id", "lm_order", "lm_ctx0", "topk_approx",
+    ),
 )
 def _beam_scan_batch_compact(logits, lengths, beam_width, blank_id,
                              lm_table=None, lm_order=0, lm_weight=0.0,
-                             lm_bonus=0.0, lm_ctx0=0):
+                             lm_bonus=0.0, lm_ctx0=0, topk_approx=False):
     """Batched beam scan + on-device backtrace in ONE dispatch.
 
     [B, T, V] -> (ids [B, T'], frames [B, T'], lengths [B], scores [B]):
@@ -388,7 +414,7 @@ def _beam_scan_batch_compact(logits, lengths, beam_width, blank_id,
     def one(l, n):
         parents, syms, scores = _beam_scan(
             l, n, beam_width, blank_id, lm_table, lm_order, lm_weight,
-            lm_bonus, lm_ctx0,
+            lm_bonus, lm_ctx0, topk_approx,
         )
         return _device_backtrace(parents, syms, scores)
 
@@ -419,18 +445,20 @@ def _backtrace(parents, syms, scores, beam=None, with_frames=False):
 
 
 def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None,
-                        lm=None, with_frames=False):
+                        lm=None, with_frames=False, topk_approx=None):
     """Decode one utterance on device; returns (ids list, score) — or
     (ids, score, frames) with ``with_frames`` (per-symbol emission frame
     indices, see ``_backtrace``).
 
     ``lm``: optional (ngram_lm.NGramLM, weight, bonus) for shallow fusion.
+    ``topk_approx=None`` follows the SRF_BEAM_TOPK env default.
     """
     logits = jnp.asarray(logits)
     if blank_id is None:
         blank_id = logits.shape[-1] - 1
     parents, syms, scores = _beam_scan(
         logits, jnp.asarray(logit_length, jnp.int32), beam_width, blank_id,
+        topk_approx=_topk_approx_default(topk_approx),
         **lm_fusion_args(lm, logits.shape[-1]),
     )
     return _backtrace(np.asarray(parents), np.asarray(syms),
@@ -439,23 +467,27 @@ def ctc_beam_search_jax(logits, logit_length, beam_width=100, blank_id=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "blank_id", "lm_order", "lm_ctx0"),
+    static_argnames=(
+        "beam_width", "blank_id", "lm_order", "lm_ctx0", "topk_approx",
+    ),
 )
 def _beam_scan_batch(logits, lengths, beam_width, blank_id, lm_table=None,
-                     lm_order=0, lm_weight=0.0, lm_bonus=0.0, lm_ctx0=0):
+                     lm_order=0, lm_weight=0.0, lm_bonus=0.0, lm_ctx0=0,
+                     topk_approx=False):
     """vmapped beam scan: [B, T, V] -> (parents/syms [B, T, W], scores
     [B, W]). The whole batch decodes in ONE device dispatch — the batched
     serving analog of the reference's batch-1 protocol."""
     return jax.vmap(
         lambda l, n: _beam_scan(
             l, n, beam_width, blank_id, lm_table, lm_order, lm_weight,
-            lm_bonus, lm_ctx0,
+            lm_bonus, lm_ctx0, topk_approx,
         )
     )(logits, lengths)
 
 
 def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
-                              blank_id=None, lm=None, with_frames=False):
+                              blank_id=None, lm=None, with_frames=False,
+                              topk_approx=None):
     """Decode a batch of utterances on device in one dispatch.
 
     logits [B, T, V], logit_lengths [B] -> list of (ids, score) per
@@ -471,6 +503,7 @@ def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
         blank_id = logits.shape[-1] - 1
     ids, frames, lengths, scores = _beam_scan_batch_compact(
         logits, jnp.asarray(logit_lengths, jnp.int32), beam_width, blank_id,
+        topk_approx=_topk_approx_default(topk_approx),
         **lm_fusion_args(lm, logits.shape[-1]),
     )
     ids = np.asarray(ids)
@@ -490,7 +523,8 @@ def ctc_beam_search_batch_jax(logits, logit_lengths, beam_width=100,
 
 
 def ctc_beam_search_nbest_jax(logits, logit_lengths, beam_width=100,
-                              blank_id=None, lm=None, top_paths=4):
+                              blank_id=None, lm=None, top_paths=4,
+                              topk_approx=None):
     """N-best batched decode: the final beam state already holds
     ``beam_width`` ranked hypotheses, so n-best costs ONE extra backtrace
     per path — no second search (the reference caps at top_paths=1,
@@ -505,6 +539,7 @@ def ctc_beam_search_nbest_jax(logits, logit_lengths, beam_width=100,
         blank_id = logits.shape[-1] - 1
     parents, syms, scores = _beam_scan_batch(
         logits, jnp.asarray(logit_lengths, jnp.int32), beam_width, blank_id,
+        topk_approx=_topk_approx_default(topk_approx),
         **lm_fusion_args(lm, logits.shape[-1]),
     )
     parents = np.asarray(parents)

@@ -111,20 +111,23 @@ def _pool_step_fn(model):
 
 
 def _pool_beam_fn():
-    from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
+    from srf_tpu.ops.ctc_beam_jax import (
+        _topk_approx_default, beam_chunk_step,
+    )
 
     @functools.partial(
-        jax.jit, static_argnames=("W", "blank", "lm_order")
+        jax.jit, static_argnames=("W", "blank", "lm_order", "topk_approx")
     )
     def _pbeam(states_list, blocks, los, his, W, blank, lm_table=None,
-               lm_order=0, lm_weight=0.0, lm_bonus=0.0):
+               lm_order=0, lm_weight=0.0, lm_bonus=0.0,
+               topk_approx=False):
         states = jax.tree.map(
             lambda *xs: jnp.stack(xs), *states_list
         )
         nstate, parents, syms, scores = jax.vmap(
             lambda st, b, lo, hi: beam_chunk_step(
                 st, b, lo, hi, W, blank, lm_table, lm_order, lm_weight,
-                lm_bonus,
+                lm_bonus, topk_approx,
             )
         )(states, blocks, los, his)
         n = blocks.shape[0]
@@ -383,7 +386,9 @@ class StreamingTranscriber:
     def _beam_advance(self, limit):
         """Advance the carried beam scan over newly available logit frames
         in fixed-size (K-frame, zero-padded) blocks — one compiled shape."""
-        from srf_tpu.ops.ctc_beam_jax import beam_chunk_step
+        from srf_tpu.ops.ctc_beam_jax import (
+            _topk_approx_default, beam_chunk_step,
+        )
 
         total = self._logit_frames if limit is None else min(
             self._logit_frames, limit
@@ -396,6 +401,7 @@ class StreamingTranscriber:
             self._beam_state, parents, syms, scores = beam_chunk_step(
                 self._beam_state, jnp.asarray(block), jnp.int32(lo),
                 jnp.int32(hi), self.beam_width, self.blank_id,
+                topk_approx=_topk_approx_default(None),
                 **self._lm_kwargs,
             )
             # keep the tape on device — fetching it per push would cost a
@@ -633,9 +639,12 @@ class StreamingPool:
             lo, hi = s._beam_frames, min(s._beam_frames + K, s._logit_frames)
             blocks[row, : hi - lo] = s.logits_slice(lo, hi)
             los[row], his[row] = lo, hi
+        from srf_tpu.ops.ctc_beam_jax import _topk_approx_default
+
         nstates, parents, syms, scores = self._pbeam(
             [s._beam_state for s in sess], blocks, los, his,
             W=self.beam_width, blank=self.sessions[0].blank_id,
+            topk_approx=_topk_approx_default(None),
             **self.sessions[0]._lm_kwargs,
         )
         for row, i in enumerate(todo):

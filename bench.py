@@ -37,7 +37,8 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def build_workload(batch=29, frames=241, feat_dim=123, vocab=62, wsj=False):
+def build_workload(batch=29, frames=241, feat_dim=123, vocab=62, wsj=False,
+                   routing_impl="auto"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -65,6 +66,7 @@ def build_workload(batch=29, frames=241, feat_dim=123, vocab=62, wsj=False):
             caps_conv_num=30, caps_conv_dim=8, caps_class_dim=8,
             caps_iter=1, lpad=1, rpad=1, is_context=True,
             conv_layer_num=2, conv_filter_num=64, caps_type="naive",
+            routing_impl=routing_impl,
         )
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
@@ -127,13 +129,33 @@ def _srf_timit_mfu(batch, step_seconds, n_dev):
     return flops_step, flops_step / step_seconds / V5E_PEAK_BF16 / n_dev
 
 
-def section_srf_timit_batch(batch, warmup, iters):
+def section_srf_timit_batch(batch, warmup, iters, routing_impl="auto"):
     """SRF-TIMIT at a given batch (the TPU-recipe amortization point)."""
-    train_step, state, data, rng, b, n_dev = build_workload(batch=batch)
+    train_step, state, data, rng, b, n_dev = build_workload(
+        batch=batch, routing_impl=routing_impl)
     dt = time_train(train_step, state, data, rng, warmup, iters)
     flops, mfu = _srf_timit_mfu(b, dt, n_dev)
     return {"batch": b, "ms_per_step": round(dt * 1e3, 3),
             "utt_per_s": round(b / dt / n_dev, 1), "mfu": round(mfu, 5)}
+
+
+def section_wavefront(warmup, iters):
+    """The whole-stack wavefront scan vs the layered scan, on the
+    scoreboard every round (VERDICT r4 #6): SRF-TIMIT train step at the
+    paper batch (29) and the TPU-recipe batch (116), layered vs
+    --tpu-routing-kernel=wavefront (ops/routing.py wavefront_sdr_stack)."""
+    out = {}
+    for b in (29, 116):
+        layered = section_srf_timit_batch(b, warmup, iters)
+        wave = section_srf_timit_batch(b, warmup, iters,
+                                       routing_impl="wavefront")
+        out["b%d" % b] = {
+            "layered_ms": layered["ms_per_step"],
+            "wavefront_ms": wave["ms_per_step"],
+            "wavefront_speedup": round(
+                layered["ms_per_step"] / wave["ms_per_step"], 3),
+        }
+    return out
 
 
 def section_srf_wsj(warmup, iters):
@@ -152,11 +174,26 @@ def section_srf_wsj(warmup, iters):
 
 
 def section_families(iters):
+    """Every family in BOTH dtypes (VERDICT r4 #1): the f32 row (the
+    reference's Keras-default precision, tfsr/trainer_tf.py:227-398) and
+    the --tpu-bf16 mixed-precision row (bf16 compute, f32 params/accum),
+    plus the measured speedup."""
     from tools_dev.bench_families import family_specs
 
     rows = {}
     for name, thunk in family_specs(iters=iters, quiet=True).items():
         rows[name] = {k: v for k, v in thunk().items() if k != "family"}
+    for name, thunk in family_specs(iters=iters, quiet=True,
+                                    bf16=True).items():
+        row = {k: v for k, v in thunk().items() if k != "family"}
+        rows[name]["bf16"] = {
+            "ms_per_step": row["ms_per_step"],
+            "utt_per_s": row["utt_per_s"],
+            "loss": row["loss"],
+            "mfu_bf16peak": row.get("mfu_bf16peak"),
+            "speedup": round(
+                rows[name]["ms_per_step"] / row["ms_per_step"], 3),
+        }
     return rows
 
 
@@ -316,6 +353,8 @@ def main():
             ("srf_timit_tpu_b116",
              lambda: section_srf_timit_batch(116, warmup, iters)),
             ("srf_wsj", lambda: section_srf_wsj(warmup, max(5, iters // 2))),
+            ("wavefront",
+             lambda: section_wavefront(warmup, max(5, iters // 2))),
             ("families", lambda: section_families(fam_iters)),
             ("serving_b64", section_serving),
             # the serving-beam knee after the device-backtrace/int16-tape

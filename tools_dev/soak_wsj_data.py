@@ -21,6 +21,14 @@ parallel reads) over wsj.conf's si284 split.
 
 Run:  python tools_dev/soak_wsj_data.py [--base /tmp/wsj_soak]
           [--utts 37416] [--shards 100] [--skip-eager] [--keep]
+
+Also reusable at other geometries (VERDICT r4 #5 — the TIMIT-TPU recipe):
+    python tools_dev/soak_wsj_data.py --skip-gen \
+        --pattern '/tmp/timit_dress/tfrecord_graves13/timit-train-*' \
+        --batch-frame 28000
+measures the lazy/eager epoch rate of an EXISTING corpus on the given
+frame budget (e.g. the b116 recipe's 28,000), giving the host-headroom
+ratio vs the chip's measured consumption.
 """
 
 import argparse
@@ -115,6 +123,11 @@ def main():
     parser.add_argument("--skip-gen", action="store_true",
                         help="reuse an existing corpus at --base")
     parser.add_argument("--keep", action="store_true")
+    parser.add_argument("--pattern", default=None,
+                        help="existing TFRecord glob (overrides --base)")
+    parser.add_argument("--batch-frame", type=int, default=24000,
+                        help="bucketing frame budget (wsj.conf 24000; "
+                             "timit_tpu.conf 28000; timit.conf 7000)")
     args = parser.parse_args()
 
     from srf_tpu.data.bucketing import get_bucket_info
@@ -123,16 +136,17 @@ def main():
         plan_lockstep_epoch,
     )
 
-    if not args.skip_gen:
+    if not args.skip_gen and args.pattern is None:
         if os.path.exists(args.base):
             shutil.rmtree(args.base)
         print(json.dumps({"stage": "generate",
                           **generate(args.base, args.utts, args.shards)}),
               flush=True)
-    pattern = os.path.join(args.base, "wsj-train-*.tfrecord")
+    pattern = args.pattern or os.path.join(args.base, "wsj-train-*.tfrecord")
 
-    # WSJ recipe geometry (egs/conf/wsj.conf: --train-batch-frame=24000)
-    boundaries, batch_sizes = get_bucket_info(24000, 1, 241, 10000, 150)
+    # recipe geometry (egs/conf/wsj.conf: 24000; timit_tpu.conf: 28000)
+    boundaries, batch_sizes = get_bucket_info(
+        args.batch_frame, 1, 241, 10000, 150)
 
     base_rss = rss_mb()
     t0 = time.perf_counter()
@@ -182,7 +196,7 @@ def main():
         print(json.dumps({"stage": "eager_epoch",
                           **epoch_through(eloader, "eager")}), flush=True)
 
-    if not args.keep and not args.skip_gen:
+    if not args.keep and not args.skip_gen and args.pattern is None:
         shutil.rmtree(args.base)
 
 

@@ -37,6 +37,9 @@ def main():
     import jax.numpy as jnp
 
     from srf_tpu.ops import ctc_beam_jax as cbj
+    from srf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     host = np.random.RandomState(0)
     logits = jnp.asarray(

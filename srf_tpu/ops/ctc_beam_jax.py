@@ -16,6 +16,12 @@ it against the W beam hashes (a [W, W] compare — independent of vocab size,
 unlike a [W, K, W] candidate compare), folds the single matched extend into
 the stay's non-blank mass, and top-k's the survivors — no per-step sort
 (the bitonic argsort of all W*(K+1) candidates used to dominate the scan).
+The step body is also gather/scatter-free outside the top-k: the merge
+mass is recomputed elementwise on the [W, W] match board, the dead-extend
+kill is a 0/1 matmul, and the selected winners rebuild their fields from
+one shared parent-beam gather instead of indexing the [W, K] candidate
+boards (those gathers + the dead-mask scatter were ~60% of the step at
+serving batch; decodes are bit-identical — same arithmetic, same inputs).
 Backpointers (parent beam, appended symbol) are recorded per step; the best
 path is reconstructed by a reverse walk (host-side, trivial).
 
@@ -107,49 +113,55 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
 
     def step(state, inputs):
         lp, t = inputs
+        pb, pnb = state["pb"], state["pnb"]
+        last, hsh = state["last"], state["hash"]
         p_tot = jnp.logaddexp(
-            jnp.maximum(state["pb"], NEG), jnp.maximum(state["pnb"], NEG)
+            jnp.maximum(pb, NEG), jnp.maximum(pnb, NEG)
         )
-        p_tot = jnp.where(
-            (state["pb"] <= NEG) & (state["pnb"] <= NEG), NEG, p_tot
-        )
+        p_tot = jnp.where((pb <= NEG) & (pnb <= NEG), NEG, p_tot)
 
         # --- stay candidates (one per beam): blank, or repeat of last ---
         lp_blank = lp[blank_id]
-        lp_last = jnp.where(
-            state["last"] >= 0, lp[jnp.maximum(state["last"], 0)], NEG
-        )
+        last_safe = jnp.maximum(last, 0)
+        lp_last = jnp.where(last >= 0, lp[last_safe], NEG)
         stay_pb = jnp.where(p_tot <= NEG, NEG, p_tot + lp_blank)
-        stay_pnb = jnp.where(state["pnb"] <= NEG, NEG, state["pnb"] + lp_last)
-        stay_hash = state["hash"]
+        stay_pnb = jnp.where(pnb <= NEG, NEG, pnb + lp_last)
+        stay_hash = hsh
 
         # --- extend candidates (beam x K, blank column dead) ---
-        ext_hash = (
-            state["hash"][:, None] * _HASH_MUL
-            + (syms_all[None, :].astype(jnp.uint32) + jnp.uint32(1))
-        )
-        is_repeat = syms_all[None, :] == state["last"][:, None]
-        base = jnp.where(is_repeat, state["pb"][:, None], p_tot[:, None])
+        # pure elementwise: the [W, K] board is only ever read by the
+        # top-k ranking — winners recompute their fields from the parent
+        # beam (below), and the merge works on a [W, W] board, so no
+        # [W, K]-shaped gather/scatter survives in the step body (the
+        # gather + dead-mask scatter pair used to be ~60% of the step
+        # cost at serving batch; see tools_dev/bench_beam_step.py)
+        is_repeat = syms_all[None, :] == last[:, None]
+        base = jnp.where(is_repeat, pb[:, None], p_tot[:, None])
         ext_pnb = jnp.where(base <= NEG, NEG, base + lp[None, :])
         ext_pnb = jnp.where(syms_all[None, :] == blank_id, NEG, ext_pnb)
 
         # --- merge each stay's unique parent extend into it ---
         # stay j merges with extend (i, last_j) iff hash_i == parent_hash_j;
-        # a [W, W] compare, independent of vocab size
-        last_safe = jnp.maximum(state["last"], 0)
+        # a [W, W] compare, independent of vocab size. The merging extend's
+        # mass is recomputed elementwise on the same [W, W] board
+        # (base(i, last_j) + lp[last_j]) instead of gathered from ext_pnb —
+        # identical arithmetic on identical inputs, so decodes are
+        # unchanged bit-for-bit
         parent_hash = (
             stay_hash - (last_safe.astype(jnp.uint32) + jnp.uint32(1))
         ) * _HASH_MUL_INV
-        ext_for_stay = ext_pnb[:, last_safe].T  # [W_stay, W_beam] gather
+        rep_ji = last[:, None] == last[None, :]
+        base_ji = jnp.where(rep_ji, pb[None, :], p_tot[None, :])
         match = (
             (parent_hash[:, None] == stay_hash[None, :])
-            & (state["last"][:, None] >= 0)
-            & (ext_for_stay > NEG)
+            & (last[:, None] >= 0)
+            & (last[:, None] != blank_id)
+            & (base_ji > NEG)
         )  # [W_stay, W_beam]
         has_match = jnp.any(match, axis=1)
         matched_i = jnp.argmax(match, axis=1)
-        merged_in = jnp.where(
-            has_match, ext_for_stay[jnp.arange(W), matched_i], NEG
+        merged_in = jnp.max(
+            jnp.where(match, base_ji + lp_last[:, None], NEG), axis=1
         )
         # timestamp bookkeeping: if the merging extend carries MORE mass
         # than the stay's whole existing prefix mass, the tape entry for
@@ -169,13 +181,14 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
             jnp.logaddexp(jnp.maximum(stay_pnb, NEG), merged_in),
             stay_pnb,
         )
-        # kill merged extends so mass is never counted twice
-        dead = (
-            jnp.zeros((W, K), bool)
-            .at[matched_i, last_safe]
-            .max(has_match)
-        )
-        ext_pnb = jnp.where(dead, NEG, ext_pnb)
+        # kill merged extends so mass is never counted twice: the dead set
+        # {(matched_i[j], last_j) : has_match[j]} lands as a 0/1 matmul
+        # (dead[i, s] = any_j match[j, i] & (last_j == s); 0/1 values are
+        # exact in any MXU precision) instead of a [W, K] scatter
+        onehot_last = (
+            syms_all[None, :] == last_safe[:, None]
+        ).astype(jnp.float32)  # [W_stay, K]; rows with last_j < 0 never match
+        dead = (match.astype(jnp.float32).T @ onehot_last) > 0.5  # [W, K]
 
         # --- top-k over stays + surviving extends ---
         stay_tot = jnp.logaddexp(
@@ -199,7 +212,7 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
                 + lm_bonus
             )
             lm_stay = state["lm"]
-        rank_ext = jnp.where(ext_pnb <= NEG, NEG, ext_pnb + lm_ext)
+        rank_ext = jnp.where(dead | (ext_pnb <= NEG), NEG, ext_pnb + lm_ext)
         rank_stay = jnp.where(stay_tot <= NEG, NEG, stay_tot + lm_stay)
         scores = jnp.concatenate([rank_stay, rank_ext.reshape(-1)])
         if topk_approx:
@@ -210,47 +223,93 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
         ext_idx = jnp.maximum(top_idx - W, 0)
         ext_beam = ext_idx // K
         ext_sym = (ext_idx % K).astype(jnp.int32)
-        safe_stay = jnp.where(is_stay, top_idx, 0)
+
+        # --- winner fields, recomputed from the parent beam ---
+        # a stay winner's parent beam is itself, an extend winner's is the
+        # beam it extends, so ONE shared index vector gathers every piece
+        # of parent state ([W]-sized gathers); each winner field is then
+        # the same arithmetic expression the candidate boards used, on the
+        # same inputs — bit-identical to gathering the boards, without the
+        # [W*(K+1)]-flat gathers per field
+        parent_i = jnp.where(is_stay, top_idx, ext_beam)
+        pb_par = pb[parent_i]
+        pnb_par = pnb[parent_i]
+        hash_par = hsh[parent_i]
+        last_par = last[parent_i]
+        ctx_par = state["ctx"][parent_i]
+        lm_par = state["lm"][parent_i]
+        hasm_par = has_match[parent_i]
+        merged_par = merged_in[parent_i]
+        rem_par = remerge[parent_i]
+        mi_par = matched_i[parent_i]
+        dead_sel = dead.reshape(-1)[ext_idx]
+
+        ptot_par = jnp.logaddexp(
+            jnp.maximum(pb_par, NEG), jnp.maximum(pnb_par, NEG)
+        )
+        ptot_par = jnp.where(
+            (pb_par <= NEG) & (pnb_par <= NEG), NEG, ptot_par
+        )
+        lp_last_par = jnp.where(
+            last_par >= 0, lp[jnp.maximum(last_par, 0)], NEG
+        )
+        # stay winner: stay_pb / merged stay_pnb of beam parent_i
+        st_pb = jnp.where(ptot_par <= NEG, NEG, ptot_par + lp_blank)
+        st_pnb0 = jnp.where(pnb_par <= NEG, NEG, pnb_par + lp_last_par)
+        st_pnb = jnp.where(
+            hasm_par,
+            jnp.logaddexp(jnp.maximum(st_pnb0, NEG), merged_par),
+            st_pnb0,
+        )
+        # extend winner: ext_pnb[parent_i, ext_sym] with the dead-kill
+        ext_base = jnp.where(ext_sym == last_par, pb_par, ptot_par)
+        ex_pnb = jnp.where(
+            dead_sel | (ext_base <= NEG) | (ext_sym == blank_id),
+            NEG, ext_base + lp[ext_sym],
+        )
+        ex_hash = hash_par * _HASH_MUL + (
+            ext_sym.astype(jnp.uint32) + jnp.uint32(1)
+        )
 
         if lm is None:
-            new_ctx = jnp.where(
-                is_stay, state["ctx"][safe_stay], state["ctx"][ext_beam]
-            )
+            new_ctx = ctx_par
+            new_lm = lm_par
         else:
             ext_ctx = (
-                (state["ctx"] % lm_keep)[ext_beam] * lm_base
+                (ctx_par % lm_keep) * lm_base
                 + ext_sym.astype(jnp.uint32)
             ) % jnp.uint32(lm_table.shape[0])  # order-1 folds to ctx 0
-            new_ctx = jnp.where(
-                is_stay, state["ctx"][safe_stay], ext_ctx
+            new_ctx = jnp.where(is_stay, ctx_par, ext_ctx)
+            sym_c = jnp.minimum(ext_sym, lm_table.shape[-1] - 1)
+            lm_ext_sel = (
+                lm_par
+                + lm_weight * lm_table[ctx_par.astype(jnp.int32), sym_c]
+                + lm_bonus
             )
+            new_lm = jnp.where(is_stay, lm_par, lm_ext_sel)
         sel = {
-            "hash": jnp.where(
-                is_stay, stay_hash[safe_stay], ext_hash.reshape(-1)[ext_idx]
-            ),
-            "pb": jnp.where(is_stay, stay_pb[safe_stay], NEG),
-            "pnb": jnp.where(
-                is_stay, stay_pnb[safe_stay], ext_pnb.reshape(-1)[ext_idx]
-            ),
-            "last": jnp.where(
-                is_stay, state["last"][safe_stay], ext_sym
-            ),
+            "hash": jnp.where(is_stay, hash_par, ex_hash),
+            "pb": jnp.where(is_stay, st_pb, NEG),
+            "pnb": jnp.where(is_stay, st_pnb, ex_pnb),
+            "last": jnp.where(is_stay, last_par, ext_sym),
             "ctx": new_ctx,
-            "lm": jnp.where(
-                is_stay, lm_stay[safe_stay], lm_ext.reshape(-1)[ext_idx]
-            ),
+            "lm": new_lm,
         }
-        stay_parent = jnp.where(
-            remerge, matched_i, jnp.arange(W)
-        )[safe_stay]
-        stay_sym = jnp.where(remerge, last_safe, -1)[safe_stay]
         parent = jnp.where(
-            is_stay, stay_parent, ext_beam
+            is_stay, jnp.where(rem_par, mi_par, parent_i), ext_beam
         ).astype(jnp.int32)
-        sym = jnp.where(is_stay, stay_sym, ext_sym).astype(jnp.int32)
+        sym = jnp.where(
+            is_stay,
+            jnp.where(rem_par, jnp.maximum(last_par, 0), -1),
+            ext_sym,
+        ).astype(jnp.int32)
 
-        # freeze state past the sequence length
-        active = t < length
+        # freeze state outside the valid range: past the sequence length,
+        # and (streaming) warm-up rows with negative global frame indices —
+        # the fused stream-step feeds the beam whole model blocks whose
+        # leading rows may precede frame 0 (srf_tpu/streaming.py); frozen
+        # rows record identity backpointers / sym -1, which backtraces skip
+        active = (t >= 0) & (t < length)
         out_state = jax.tree.map(
             lambda new, old: jnp.where(active, new, old), sel, state
         )

@@ -13,7 +13,6 @@ Epoch loop with the reference's observable behavior
   log2utt scrapers (reference: trainer_sr.py:96-117, log2utt.py:78-93).
 """
 
-import collections
 import time
 
 import jax
@@ -28,20 +27,83 @@ STEP_KEYS = ("feats", "labels", "inp_len", "tar_len")
 
 def device_prefetch(iterator, sharding=None, depth=2):
     """Stage host batches onto the device ahead of consumption so the H2D
-    transfer overlaps the previous step's compute."""
-    queue = collections.deque()
+    transfer overlaps the previous step's compute.
+
+    The puts run on a worker thread: ``jax.device_put`` can block until
+    the bytes land when the host<->device link is thin (e.g. a remote-TPU
+    tunnel at ~65 MB/s, where one bucketed TIMIT batch is ~170 ms of
+    upload), and an inline put would then serialize H2D with compute no
+    matter the queue depth. The bounded queue keeps at most ``depth``
+    staged batches alive, so device memory stays bounded as before."""
+    import queue as _queue
+    import threading
+
+    q = _queue.Queue(maxsize=depth)
+    end = object()
+    stop = threading.Event()
+    err = []
+    timing = device_prefetch.timing  # SRF_LOOP_TIMING phase accumulators
 
     def put(batch):
         from srf_tpu.parallel.mesh import put_sharded
 
         return put_sharded({k: batch[k] for k in STEP_KEYS}, sharding)
 
-    for batch in iterator:
-        queue.append(put(batch))
-        if len(queue) >= depth:
-            yield queue.popleft()
-    while queue:
-        yield queue.popleft()
+    def worker():
+        try:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                if timing is None:
+                    q.put(put(batch))
+                else:
+                    t0 = time.perf_counter()
+                    staged = put(batch)
+                    timing["put"] += time.perf_counter() - t0
+                    timing["load"] += t0 - timing.pop(
+                        "_iter_t0", t0)
+                    q.put(staged)
+                    timing["_iter_t0"] = time.perf_counter()
+        except BaseException as exc:  # surfaced in the consumer
+            err.append(exc)
+        finally:
+            q.put(end)
+
+    thread = threading.Thread(
+        target=worker, name="device-prefetch", daemon=True
+    )
+    thread.start()
+    try:
+        while True:
+            if timing is None:
+                item = q.get()
+            else:
+                t0 = time.perf_counter()
+                item = q.get()
+                timing["wait"] += time.perf_counter() - t0
+            if item is end:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        # consumer abandoned the generator mid-epoch (preemption exit,
+        # fault injection): drain the WHOLE queue so the worker can always
+        # land its in-flight put AND its final end-sentinel put (at most
+        # depth + 1 slots needed; one freed slot would deadlock its
+        # sentinel on a full queue)
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
+
+
+# SRF_LOOP_TIMING=1: run_training swaps in a dict accumulating host-loop
+# phase seconds (load = loader batch build, put = H2D staging, wait =
+# consumer starved on the queue) and logs it per epoch
+device_prefetch.timing = None
 
 
 def _drain(pending, train_loss, train_samples, num_feats):
@@ -312,6 +374,12 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
             prev = time.time()
             index = 0
             pending = []  # device metrics, fetched lazily so steps pipeline
+            import os as _tos
+
+            if _tos.environ.get("SRF_LOOP_TIMING"):
+                device_prefetch.timing = {
+                    "load": 0.0, "put": 0.0, "wait": 0.0, "dispatch": 0.0,
+                }
             tracing = bool(profile_dir) and epoch == epoch_offset
             if tracing:
                 # profile the first trained epoch (TensorBoard-loadable)
@@ -327,7 +395,13 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                 batches = itertools.islice(batches, resume_index, None)
                 index = resume_index
             for batch in device_prefetch(batches, batch_sharding):
-                state, metrics = train_step(state, batch, rng)
+                if device_prefetch.timing is None:
+                    state, metrics = train_step(state, batch, rng)
+                else:
+                    t_disp = time.perf_counter()
+                    state, metrics = train_step(state, batch, rng)
+                    device_prefetch.timing["dispatch"] += (
+                        time.perf_counter() - t_disp)
                 pending.append(metrics)
                 index += 1
                 kick_watchdog()
@@ -420,6 +494,15 @@ def run_training(config, logger, state, train_step, valid_step, train_loader,
                  "loss": train_loss.result(), "secs": train_secs, "step": step_i,
                  "samples": train_samples.result()}
             )
+            if device_prefetch.timing is not None:
+                tdict = device_prefetch.timing
+                logger.info(
+                    "Loop timing: load %.1fs  put %.1fs  wait %.1fs  "
+                    "dispatch %.1fs  (of %.1fs epoch)",
+                    tdict.get("load", 0.0), tdict.get("put", 0.0),
+                    tdict.get("wait", 0.0), tdict.get("dispatch", 0.0),
+                    train_secs,
+                )
 
             prev = time.time()
             pending = []

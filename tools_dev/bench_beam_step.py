@@ -15,6 +15,7 @@ Run: python tools_dev/bench_beam_step.py [--batch 512] [--frames 200]
 """
 
 import argparse
+import functools
 import time
 
 import numpy as np
@@ -60,10 +61,150 @@ def main():
               flush=True)
         return dt
 
-    timed("baseline", lambda: cbj._beam_scan_batch_compact(
-        logits, lengths, args.beam, args.vocab - 1))
-    timed("approx", lambda: cbj._beam_scan_batch_compact(
-        logits, lengths, args.beam, args.vocab - 1, topk_approx=True))
+    def fence(out):
+        for x in jax.tree.leaves(out):
+            np.asarray(x)  # block_until_ready does not fence on axon
+        return out
+
+    timed("baseline", lambda: fence(cbj._beam_scan_batch_compact(
+        logits, lengths, args.beam, args.vocab - 1)))
+    timed("approx", lambda: fence(cbj._beam_scan_batch_compact(
+        logits, lengths, args.beam, args.vocab - 1, topk_approx=True)))
+
+    # ---- ablation scans: strip one piece at a time from a body shaped
+    # like the real one, to locate the per-step cost. Semantics differ
+    # (no merge etc.) — these are TIMING brackets only.
+    def make_scan(with_merge=True, with_select=True, with_tape=True,
+                  with_freeze=True, topk="exact"):
+        W, K = args.beam, args.vocab
+        NEG = cbj.NEG
+        M, MI = cbj._HASH_MUL, cbj._HASH_MUL_INV
+        syms_all = jnp.arange(K, dtype=jnp.int32)
+        blank_id = K - 1
+
+        @jax.jit
+        def run(logits, lengths):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+
+            def one(lp_seq, n):
+                def step(state, inputs):
+                    lp, t = inputs
+                    pb, pnb, last, hsh = (state["pb"], state["pnb"],
+                                          state["last"], state["hash"])
+                    p_tot = jnp.logaddexp(jnp.maximum(pb, NEG),
+                                          jnp.maximum(pnb, NEG))
+                    p_tot = jnp.where((pb <= NEG) & (pnb <= NEG), NEG, p_tot)
+                    lp_blank = lp[blank_id]
+                    last_safe = jnp.maximum(last, 0)
+                    lp_last = jnp.where(last >= 0, lp[last_safe], NEG)
+                    stay_pb = jnp.where(p_tot <= NEG, NEG, p_tot + lp_blank)
+                    stay_pnb = jnp.where(pnb <= NEG, NEG, pnb + lp_last)
+                    is_rep = syms_all[None, :] == last[:, None]
+                    base = jnp.where(is_rep, pb[:, None], p_tot[:, None])
+                    ext_pnb = jnp.where(base <= NEG, NEG, base + lp[None, :])
+                    ext_pnb = jnp.where(
+                        syms_all[None, :] == blank_id, NEG, ext_pnb)
+                    dead = jnp.zeros((W, K), bool)
+                    if with_merge:
+                        parent_hash = (
+                            hsh - (last_safe.astype(jnp.uint32) + 1)) * MI
+                        rep_ji = last[:, None] == last[None, :]
+                        base_ji = jnp.where(rep_ji, pb[None, :],
+                                            p_tot[None, :])
+                        match = ((parent_hash[:, None] == hsh[None, :])
+                                 & (last[:, None] >= 0) & (base_ji > NEG))
+                        has_match = jnp.any(match, axis=1)
+                        merged_in = jnp.max(
+                            jnp.where(match, base_ji + lp_last[:, None], NEG),
+                            axis=1)
+                        stay_pnb = jnp.where(
+                            has_match,
+                            jnp.logaddexp(jnp.maximum(stay_pnb, NEG),
+                                          merged_in), stay_pnb)
+                        onehot = (syms_all[None, :] == last_safe[:, None]
+                                  ).astype(jnp.float32)
+                        dead = (match.astype(jnp.float32).T @ onehot) > 0.5
+                    stay_tot = jnp.logaddexp(jnp.maximum(stay_pb, NEG),
+                                             jnp.maximum(stay_pnb, NEG))
+                    rank_ext = jnp.where(dead | (ext_pnb <= NEG), NEG,
+                                         ext_pnb)
+                    scores = jnp.concatenate(
+                        [stay_tot, rank_ext.reshape(-1)])
+                    if topk == "exact":
+                        _, top_idx = jax.lax.top_k(scores, W)
+                    else:
+                        _, top_idx = jax.lax.approx_max_k(scores, W)
+                    is_stay = top_idx < W
+                    ext_idx = jnp.maximum(top_idx - W, 0)
+                    ext_beam = ext_idx // K
+                    ext_sym = (ext_idx % K).astype(jnp.int32)
+                    if with_select:
+                        parent_i = jnp.where(is_stay, top_idx, ext_beam)
+                        pb_p = pb[parent_i]
+                        pnb_p = pnb[parent_i]
+                        hash_p = hsh[parent_i]
+                        last_p = last[parent_i]
+                        ptot_p = jnp.logaddexp(jnp.maximum(pb_p, NEG),
+                                               jnp.maximum(pnb_p, NEG))
+                        st_pb = ptot_p + lp_blank
+                        ex_base = jnp.where(ext_sym == last_p, pb_p, ptot_p)
+                        ex_pnb = ex_base + lp[ext_sym]
+                        ex_hash = hash_p * M + (
+                            ext_sym.astype(jnp.uint32) + 1)
+                        sel = {
+                            "hash": jnp.where(is_stay, hash_p, ex_hash),
+                            "pb": jnp.where(is_stay, st_pb, NEG),
+                            "pnb": jnp.where(is_stay, pnb_p, ex_pnb),
+                            "last": jnp.where(is_stay, last_p, ext_sym),
+                        }
+                        parent = jnp.where(is_stay, parent_i,
+                                           ext_beam).astype(jnp.int32)
+                        sym = jnp.where(is_stay, -1, ext_sym)
+                    else:
+                        sel = {
+                            "hash": hsh, "pb": stay_pb, "pnb": stay_pnb,
+                            "last": jnp.where(is_stay, last, ext_sym),
+                        }
+                        parent = ext_beam.astype(jnp.int32)
+                        sym = ext_sym
+                    if with_freeze:
+                        active = (t >= 0) & (t < n)
+                        sel = jax.tree.map(
+                            lambda a, b: jnp.where(active, a, b), sel, state)
+                    if with_tape:
+                        rec = (parent.astype(jnp.int16),
+                               sym.astype(jnp.int16))
+                    else:
+                        rec = None
+                    return sel, rec
+
+                init = {
+                    "hash": jnp.uint32(17) + jnp.arange(W, dtype=jnp.uint32)
+                    * jnp.uint32(2654435761),
+                    "pb": jnp.where(jnp.arange(W) == 0, 0.0, NEG),
+                    "pnb": jnp.full((W,), NEG),
+                    "last": jnp.full((W,), -1, jnp.int32),
+                }
+                ts = jnp.arange(lp_seq.shape[0])
+                final, tape = jax.lax.scan(step, init, (lp_seq, ts))
+                return final["pnb"] if tape is None else tape
+
+            return jax.vmap(one)(logp, lengths)
+
+        return run
+
+    for tag, kw in [
+        ("full", {}),
+        ("no_merge", dict(with_merge=False)),
+        ("no_select", dict(with_select=False)),
+        ("no_tape", dict(with_tape=False)),
+        ("no_freeze", dict(with_freeze=False)),
+        ("bare", dict(with_merge=False, with_select=False,
+                      with_tape=False, with_freeze=False)),
+        ("full_approx", dict(topk="approx")),
+    ]:
+        timed(tag, functools.partial(
+            lambda f: fence(f(logits, lengths)), make_scan(**kw)))
 
     # top-k-only scan: candidate build + selection, none of the merge
     # machinery — brackets how much the merge/dead-mask costs

@@ -59,26 +59,33 @@ _HASH_MUL = jnp.uint32(1000003)
 _HASH_MUL_INV = jnp.uint32(pow(1000003, -1, 2**32))
 
 
-def beam_init(beam_width, lm_ctx0=0):
+def beam_init(beam_width, lm_ctx0=0, with_lm=None):
     """Fresh beam state: beam 0 holds the empty prefix, the rest are dead.
 
     ``lm_ctx0``: start-of-sequence LM context id (ngram_lm.NGramLM.ctx0)
-    when decoding with shallow fusion; inert otherwise.
-    """
+    when decoding with shallow fusion. ``with_lm``: carry the
+    shallow-fusion fields (LM context id + accumulated weighted LM score
+    per beam). Without an LM those fields used to ride along inert — at
+    serving batch their per-step gathers/selects were a measurable share
+    of the scan (tools_dev/bench_beam_step.py ablations), so the state
+    only carries them when an LM is actually fused. Default: carry them
+    iff ``lm_ctx0`` was given — NOTE an order-1 LM's ctx0 is legitimately
+    0, so LM callers should always pass ``with_lm=True`` explicitly."""
     W = beam_width
-    return {
+    if with_lm is None:
+        with_lm = bool(lm_ctx0)
+    state = {
         # distinct dummy hashes so dead beams never merge
         "hash": jnp.uint32(17)
         + jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(2654435761),
         "pb": jnp.where(jnp.arange(W) == 0, 0.0, NEG),
         "pnb": jnp.full((W,), NEG),
         "last": jnp.full((W,), -1, jnp.int32),
-        # shallow-fusion carry: LM context id + accumulated weighted LM
-        # score per beam (zeros when no LM is fused — beam_scores then
-        # reduces to pure CTC mass)
-        "ctx": jnp.full((W,), lm_ctx0, jnp.uint32),
-        "lm": jnp.zeros((W,)),
     }
+    if with_lm:
+        state["ctx"] = jnp.full((W,), lm_ctx0, jnp.uint32)
+        state["lm"] = jnp.zeros((W,))
+    return state
 
 
 def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
@@ -103,6 +110,10 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
         raise ValueError(
             "int16 backpointer tape requires vocab (%d) and beam width (%d)"
             " < 32768" % (K, W))
+    if (lm is not None) != ("ctx" in state):
+        raise ValueError(
+            "beam state LM fields do not match the lm argument; create "
+            "the state with beam_init(..., with_lm=%s)" % (lm is not None))
     syms_all = jnp.arange(K, dtype=jnp.int32)
     if lm is not None:
         lm_table, lm_order, lm_weight, lm_bonus = lm
@@ -198,8 +209,11 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
             (stay_pb <= NEG) & (stay_pnb <= NEG), NEG, stay_tot
         )
         if lm is None:
-            lm_stay = state["lm"]
-            lm_ext = jnp.broadcast_to(state["lm"][:, None], (W, K))
+            # no fused LM: rank by pure CTC mass (the lm fields do not
+            # exist in the state at all — their per-step selects/gathers
+            # were pure overhead at serving batch)
+            rank_ext = jnp.where(dead | (ext_pnb <= NEG), NEG, ext_pnb)
+            rank_stay = jnp.where(stay_tot <= NEG, NEG, stay_tot)
         else:
             # accumulated weighted LM score of each extended prefix;
             # symbols outside the LM vocab (the appended blank) only
@@ -212,8 +226,10 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
                 + lm_bonus
             )
             lm_stay = state["lm"]
-        rank_ext = jnp.where(dead | (ext_pnb <= NEG), NEG, ext_pnb + lm_ext)
-        rank_stay = jnp.where(stay_tot <= NEG, NEG, stay_tot + lm_stay)
+            rank_ext = jnp.where(
+                dead | (ext_pnb <= NEG), NEG, ext_pnb + lm_ext
+            )
+            rank_stay = jnp.where(stay_tot <= NEG, NEG, stay_tot + lm_stay)
         scores = jnp.concatenate([rank_stay, rank_ext.reshape(-1)])
         if topk_approx:
             _, top_idx = jax.lax.approx_max_k(scores, W)
@@ -227,21 +243,40 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
         # --- winner fields, recomputed from the parent beam ---
         # a stay winner's parent beam is itself, an extend winner's is the
         # beam it extends, so ONE shared index vector gathers every piece
-        # of parent state ([W]-sized gathers); each winner field is then
-        # the same arithmetic expression the candidate boards used, on the
-        # same inputs — bit-identical to gathering the boards, without the
-        # [W*(K+1)]-flat gathers per field
+        # of parent state; each winner field is then the same arithmetic
+        # expression the candidate boards used, on the same inputs —
+        # bit-identical to gathering the boards, without the
+        # [W*(K+1)]-flat gathers per field. The parent pieces ride as
+        # bitcast-f32 columns of ONE packed [W, F] matrix (bitcasts move
+        # bytes, never canonicalize), so the rebuild costs one gather:
+        # every separate op in the scan body carries fixed overhead that
+        # dominated the step at serving batch (bench_beam_step ablations)
         parent_i = jnp.where(is_stay, top_idx, ext_beam)
-        pb_par = pb[parent_i]
-        pnb_par = pnb[parent_i]
-        hash_par = hsh[parent_i]
-        last_par = last[parent_i]
-        ctx_par = state["ctx"][parent_i]
-        lm_par = state["lm"][parent_i]
-        hasm_par = has_match[parent_i]
-        merged_par = merged_in[parent_i]
-        rem_par = remerge[parent_i]
-        mi_par = matched_i[parent_i]
+        f32 = functools.partial(jax.lax.bitcast_convert_type,
+                                new_dtype=jnp.float32)
+        flags = (
+            matched_i.astype(jnp.int32)
+            | (has_match.astype(jnp.int32) << 16)
+            | (remerge.astype(jnp.int32) << 17)
+        )
+        cols = [pb, pnb, merged_in, f32(hsh), f32(last), f32(flags)]
+        if lm is not None:
+            cols += [state["lm"], f32(state["ctx"])]
+        packed = jnp.stack(cols, axis=-1)[parent_i]  # the ONE gather
+        pb_par = packed[:, 0]
+        pnb_par = packed[:, 1]
+        merged_par = packed[:, 2]
+        hash_par = jax.lax.bitcast_convert_type(packed[:, 3], jnp.uint32)
+        last_par = jax.lax.bitcast_convert_type(packed[:, 4], jnp.int32)
+        flags_par = jax.lax.bitcast_convert_type(packed[:, 5], jnp.int32)
+        mi_par = flags_par & 0xFFFF
+        hasm_par = (flags_par >> 16) & 1 == 1
+        rem_par = (flags_par >> 17) & 1 == 1
+        if lm is not None:
+            lm_par = packed[:, 6]
+            ctx_par = jax.lax.bitcast_convert_type(
+                packed[:, 7], jnp.uint32
+            )
         dead_sel = dead.reshape(-1)[ext_idx]
 
         ptot_par = jnp.logaddexp(
@@ -271,30 +306,25 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
             ext_sym.astype(jnp.uint32) + jnp.uint32(1)
         )
 
-        if lm is None:
-            new_ctx = ctx_par
-            new_lm = lm_par
-        else:
+        sel = {
+            "hash": jnp.where(is_stay, hash_par, ex_hash),
+            "pb": jnp.where(is_stay, st_pb, NEG),
+            "pnb": jnp.where(is_stay, st_pnb, ex_pnb),
+            "last": jnp.where(is_stay, last_par, ext_sym),
+        }
+        if lm is not None:
             ext_ctx = (
                 (ctx_par % lm_keep) * lm_base
                 + ext_sym.astype(jnp.uint32)
             ) % jnp.uint32(lm_table.shape[0])  # order-1 folds to ctx 0
-            new_ctx = jnp.where(is_stay, ctx_par, ext_ctx)
             sym_c = jnp.minimum(ext_sym, lm_table.shape[-1] - 1)
             lm_ext_sel = (
                 lm_par
                 + lm_weight * lm_table[ctx_par.astype(jnp.int32), sym_c]
                 + lm_bonus
             )
-            new_lm = jnp.where(is_stay, lm_par, lm_ext_sel)
-        sel = {
-            "hash": jnp.where(is_stay, hash_par, ex_hash),
-            "pb": jnp.where(is_stay, st_pb, NEG),
-            "pnb": jnp.where(is_stay, st_pnb, ex_pnb),
-            "last": jnp.where(is_stay, last_par, ext_sym),
-            "ctx": new_ctx,
-            "lm": new_lm,
-        }
+            sel["ctx"] = jnp.where(is_stay, ctx_par, ext_ctx)
+            sel["lm"] = jnp.where(is_stay, lm_par, lm_ext_sel)
         parent = jnp.where(
             is_stay, jnp.where(rem_par, mi_par, parent_i), ext_beam
         ).astype(jnp.int32)
@@ -333,11 +363,14 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
 
 def beam_scores(state):
     """Total score per beam: CTC mass plus the (weighted) fused-LM score
-    accumulated in the state — zero when decoding without an LM."""
+    accumulated in the state — pure CTC mass when decoding without an LM
+    (the state then carries no lm field at all, see ``beam_init``)."""
     ctc = jnp.logaddexp(
         jnp.maximum(state["pb"], NEG), jnp.maximum(state["pnb"], NEG)
     )
-    return jnp.where(ctc <= NEG, NEG, ctc + state["lm"])
+    lm = state.get("lm")
+    total = ctc if lm is None else ctc + lm
+    return jnp.where(ctc <= NEG, NEG, total)
 
 
 def _pack_lm(lm_table, lm_order, lm_weight, lm_bonus):
@@ -397,7 +430,8 @@ def _beam_scan(logits, length, beam_width, blank_id, lm_table=None,
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ts = jnp.arange(maxlen)
     final, (parents, syms) = _beam_chunk(
-        beam_init(beam_width, lm_ctx0), logp, ts, length, blank_id,
+        beam_init(beam_width, lm_ctx0, with_lm=lm_table is not None),
+        logp, ts, length, blank_id,
         _pack_lm(lm_table, lm_order, lm_weight, lm_bonus),
         topk_approx=topk_approx,
     )

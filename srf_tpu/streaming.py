@@ -284,7 +284,10 @@ class StreamingTranscriber:
         if self.beam_width:
             from srf_tpu.ops.ctc_beam_jax import beam_init
 
-            self._beam_state = beam_init(self.beam_width, self._lm_ctx0)
+            self._beam_state = beam_init(
+                self.beam_width, self._lm_ctx0,
+                with_lm=self.lm is not None,
+            )
             self._beam_frames = 0  # frames the beam scan has consumed
             self._beam_tape = []  # (parents, syms) np blocks, frame-aligned
             self._beam_tape_base = 0  # global frame of tape index 0
@@ -428,7 +431,10 @@ class StreamingTranscriber:
             seg.update(ids=ids, frames=frames, score=score)
             from srf_tpu.ops.ctc_beam_jax import beam_init
 
-            self._beam_state = beam_init(self.beam_width, self._lm_ctx0)
+            self._beam_state = beam_init(
+                self.beam_width, self._lm_ctx0,
+                with_lm=self.lm is not None,
+            )
             self._beam_tape = []
             self._beam_tape_base = self._beam_frames
             self._beam_scores = None

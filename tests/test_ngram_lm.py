@@ -227,7 +227,7 @@ def test_streamed_fused_beam_matches_offline():
     kw = lm_fusion_args(fused, V + 1)
     ctx0 = kw.pop("lm_ctx0")
     for chunk in (5, 7, 30):
-        state = beam_init(W, ctx0)
+        state = beam_init(W, ctx0, with_lm=True)
         parents, syms = [], []
         t0 = 0
         while t0 < T:

@@ -26,15 +26,18 @@ STEP_KEYS = ("feats", "labels", "inp_len", "tar_len")
 
 
 def device_prefetch(iterator, sharding=None, depth=2):
-    """Stage host batches onto the device ahead of consumption so the H2D
-    transfer overlaps the previous step's compute.
+    """Stage host batches ahead of consumption so the loader's host work
+    (shard reads, padding, stacking) overlaps the previous step's compute.
 
-    The puts run on a worker thread: ``jax.device_put`` can block until
-    the bytes land when the host<->device link is thin (e.g. a remote-TPU
-    tunnel at ~65 MB/s, where one bucketed TIMIT batch is ~170 ms of
-    upload), and an inline put would then serialize H2D with compute no
-    matter the queue depth. The bounded queue keeps at most ``depth``
-    staged batches alive, so device memory stays bounded as before."""
+    The worker thread only BUILDS host batches; the ``jax.device_put``
+    happens on the consumer thread right before the batch is yielded.
+    Device calls must stay on one thread here: a worker-side device_put
+    concurrent with the main thread's compile/execute deadlocked the
+    remote-TPU (axon) client intermittently (all threads futex-parked,
+    one epoll on the tunnel — observed twice on the TIMIT dress corpus),
+    and an idle link uploads a bucketed batch in single-digit ms anyway,
+    so overlapping the upload buys nothing. The bounded queue keeps at
+    most ``depth`` host batches staged."""
     import queue as _queue
     import threading
 
@@ -51,26 +54,22 @@ def device_prefetch(iterator, sharding=None, depth=2):
 
     def worker():
         try:
+            prev = time.perf_counter()
             for batch in iterator:
                 if stop.is_set():
                     return
-                if timing is None:
-                    q.put(put(batch))
-                else:
-                    t0 = time.perf_counter()
-                    staged = put(batch)
-                    timing["put"] += time.perf_counter() - t0
-                    timing["load"] += t0 - timing.pop(
-                        "_iter_t0", t0)
-                    q.put(staged)
-                    timing["_iter_t0"] = time.perf_counter()
+                if timing is not None:
+                    now = time.perf_counter()
+                    timing["load"] += now - prev
+                q.put(batch)
+                prev = time.perf_counter()
         except BaseException as exc:  # surfaced in the consumer
             err.append(exc)
         finally:
             q.put(end)
 
     thread = threading.Thread(
-        target=worker, name="device-prefetch", daemon=True
+        target=worker, name="host-prefetch", daemon=True
     )
     thread.start()
     try:
@@ -83,7 +82,13 @@ def device_prefetch(iterator, sharding=None, depth=2):
                 timing["wait"] += time.perf_counter() - t0
             if item is end:
                 break
-            yield item
+            if timing is None:
+                yield put(item)
+            else:
+                t0 = time.perf_counter()
+                staged = put(item)
+                timing["put"] += time.perf_counter() - t0
+                yield staged
         if err:
             raise err[0]
     finally:

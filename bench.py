@@ -276,6 +276,8 @@ def section_streaming_beam(chunk=16, beam=100, frames=800):
     total = time.perf_counter() - start
     return {"chunk": chunk, "beam": beam,
             "mean_push_ms": round(float(np.mean(lat)) * 1e3, 1),
+            "p50_push_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+            "p95_push_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
             "max_push_ms": round(float(np.max(lat)) * 1e3, 1),
             "rtf": round(frames * 0.01 / total, 2)}
 

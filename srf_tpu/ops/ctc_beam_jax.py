@@ -232,9 +232,9 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
             rank_stay = jnp.where(stay_tot <= NEG, NEG, stay_tot + lm_stay)
         scores = jnp.concatenate([rank_stay, rank_ext.reshape(-1)])
         if topk_approx:
-            _, top_idx = jax.lax.approx_max_k(scores, W)
+            top_val, top_idx = jax.lax.approx_max_k(scores, W)
         else:
-            _, top_idx = jax.lax.top_k(scores, W)
+            top_val, top_idx = jax.lax.top_k(scores, W)
         is_stay = top_idx < W
         ext_idx = jnp.maximum(top_idx - W, 0)
         ext_beam = ext_idx // K
@@ -277,7 +277,6 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
             ctx_par = jax.lax.bitcast_convert_type(
                 packed[:, 7], jnp.uint32
             )
-        dead_sel = dead.reshape(-1)[ext_idx]
 
         ptot_par = jnp.logaddexp(
             jnp.maximum(pb_par, NEG), jnp.maximum(pnb_par, NEG)
@@ -296,12 +295,13 @@ def _beam_chunk(state, logp, ts, length, blank_id, lm=None,
             jnp.logaddexp(jnp.maximum(st_pnb0, NEG), merged_par),
             st_pnb0,
         )
-        # extend winner: ext_pnb[parent_i, ext_sym] with the dead-kill
+        # extend winner: ext_pnb[parent_i, ext_sym] — a dead extend winner
+        # (merge-killed, blank column, dead source beam; selected only
+        # when the beam is underfull) is exactly a NEG-ranked one, so the
+        # top-k VALUE already carries the dead-kill and no gather from
+        # the dead board is needed
         ext_base = jnp.where(ext_sym == last_par, pb_par, ptot_par)
-        ex_pnb = jnp.where(
-            dead_sel | (ext_base <= NEG) | (ext_sym == blank_id),
-            NEG, ext_base + lp[ext_sym],
-        )
+        ex_pnb = jnp.where(top_val <= NEG, NEG, ext_base + lp[ext_sym])
         ex_hash = hash_par * _HASH_MUL + (
             ext_sym.astype(jnp.uint32) + jnp.uint32(1)
         )

@@ -215,6 +215,15 @@ FAMILIES = {
             "--model-conv-proj-dim=1024", "--model-conv-stride=1",
         ],
     },
+    # canonical BLSTM geometry (reference: egs/script/train_lstm_wsj.sh:5-9)
+    # driven at TIMIT scale for the bf16 convergence A/B
+    "lstm": {
+        "module": "srf_tpu.trainer_sr",
+        "flags": [
+            "--model-type=blstm", "--model-lstm-is-cnnfe=True",
+            "--model-encoder-num=5", "--model-dimension=534",
+        ],
+    },
 }
 
 

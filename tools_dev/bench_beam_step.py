@@ -1,14 +1,20 @@
 """Dev probe: per-step cost anatomy of the batched device beam.
 
-The serving beam saturates ~275 utt/s past batch 384 (r4, STATUS.md) —
-compute-bound in the per-step body. This isolates the beam scan from the
-model forward (bench.py's serving rows time fwd+decode together) and
-times variants that bracket the suspects:
+The serving beam saturated ~275 utt/s past batch 384 (r4, STATUS.md);
+this probe's ablations located the cost (r5, BENCH_NOTES "beam per-step
+anatomy"): the scan body is bounded by per-op overhead, not element
+counts. Rows:
 
-- baseline         the shipped exact path
-- approx           lax.approx_max_k selection (bounds the top-k share)
-- topk_only        a scan with ONLY the candidate build + top-k (no merge
-                   fold, no dead-mask scatter) — bounds the merge share
+- baseline / approx   the shipped compact path, exact vs approx_max_k
+- full .. bare        step-shaped ablation scans stripping one piece at
+                      a time (merge board, selection gathers, tape,
+                      freeze) — TIMING brackets only, semantics differ
+- topk_only           candidate build + top-k alone (the scan floor
+                      with exact selection)
+
+All variants are value-fetch fenced and return CHECKSUMS, never tapes:
+block_until_ready does not fence on the remote backend, and fetching a
+[B, T, W] tape would time the host link, not the chip.
 
 Run: python tools_dev/bench_beam_step.py [--batch 512] [--frames 200]
          [--vocab 63] [--beam 100] [--iters 3]
